@@ -1,0 +1,286 @@
+"""Batched HNSW graph traversal on TPU.
+
+Replaces the reference's pointer-chasing, per-query graph search (reference:
+lib/segment/src/index/hnsw_index/graph_layers.rs:108-243 `search_on_level`
+and the Vulkan shader suite under index/hnsw_index/gpu/shaders/) with a
+*batched, fixed-shape* formulation:
+
+  * B queries advance in lockstep through a `lax.while_loop`.
+  * Adjacency is a fixed-degree HBM-resident table `links [N, M]` (int32,
+    -1-padded) — the TPU analogue of the reference's bitpacked CSR
+    (graph_links/mod.rs:45-80); fixed degree turns neighbor expansion into a
+    single gather of shape [B, M].
+  * The beam (result set of size ef) is a sorted array updated with
+    `lax.top_k` over the concat of beam + new candidates each step.
+  * Visited handling: a per-query ring of expanded ids (one per iteration)
+    plus dedup against the current beam — the dense-batch replacement for the
+    reference's pooled visited bitsets (index/visited_pool.rs).
+
+Scores follow the engine-wide convention: larger is better.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distances import score_ids_batch
+
+NEG_INF = float(-np.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "max_steps"))
+def greedy_descend_level(
+    queries: jax.Array,  # [B, D] f32 (preprocessed)
+    vectors: jax.Array,  # [N, D]
+    links: jax.Array,  # [Nl, M] int32 level-l adjacency (compact ids → global ids)
+    compact_of: jax.Array,  # [N] int32 global id → compact id on this level (-1 absent)
+    cur_ids: jax.Array,  # [B] int32 current (global) node per query
+    cur_scores: jax.Array,  # [B] f32
+    distance: str,
+    max_steps: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy best-neighbor descent on one upper level (reference:
+    graph_layers.rs:247 `search_entry`), batched over queries."""
+
+    def cond(state):
+        _, _, improved, step = state
+        return jnp.logical_and(jnp.any(improved), step < max_steps)
+
+    def body(state):
+        ids, scores, _, step = state
+        compact = jnp.take(compact_of, ids)  # [B]
+        neigh = jnp.take(links, jnp.maximum(compact, 0), axis=0)  # [B, M]
+        neigh = jnp.where(compact[:, None] >= 0, neigh, -1)
+        n_scores = score_ids_batch(queries, vectors, neigh, distance)  # [B, M]
+        best = jnp.argmax(n_scores, axis=1)  # [B]
+        best_score = jnp.take_along_axis(n_scores, best[:, None], axis=1)[:, 0]
+        best_id = jnp.take_along_axis(neigh, best[:, None], axis=1)[:, 0]
+        improved = best_score > scores
+        new_ids = jnp.where(improved, best_id, ids)
+        new_scores = jnp.where(improved, best_score, scores)
+        return new_ids, new_scores, improved, step + 1
+
+    init = (cur_ids, cur_scores, jnp.ones_like(cur_ids, dtype=bool), jnp.int32(0))
+    ids, scores, _, _ = jax.lax.while_loop(cond, body, init)
+    return ids, scores
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "max_iters", "distance")
+)
+def beam_search_level(
+    queries: jax.Array,  # [B, D] f32
+    vectors: jax.Array,  # [N, D]
+    links: jax.Array,  # [Nl, M] int32 (-1 padded), rows indexed by compact id
+    entry_ids: jax.Array,  # [B, E] int32 initial candidates (-1 padded)
+    filter_mask: Optional[jax.Array],  # [N] bool — nodes allowed in results/expansion
+    ef: int,
+    max_iters: int,
+    distance: str,
+    compact_of: Optional[jax.Array] = None,  # [N] int32 global→row in `links`
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched beam search on one level → (scores [B, ef], ids [B, ef]).
+
+    Mirrors `search_on_level` (graph_layers.rs:108-148): repeatedly expand the
+    best unexpanded beam entry, score its neighbors (skipping those failing
+    the filter — FilteredScorer.check_vector semantics, point_scorer.rs:79),
+    and merge into the beam. Entry points are scored even if filtered out so
+    traversal can start anywhere; the host drops non-matching entries from
+    the final result.
+    """
+    b = queries.shape[0]
+    m = links.shape[1]
+
+    entry_scores = score_ids_batch(queries, vectors, entry_ids, distance)  # [B, E]
+
+    # initial beam: entries padded to ef
+    e = entry_ids.shape[1]
+    pad = max(ef - e, 0)
+    beam_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
+    beam_scores = jnp.pad(
+        entry_scores, ((0, 0), (0, pad)), constant_values=NEG_INF
+    )[:, :ef]
+    order = jnp.argsort(-beam_scores, axis=1)
+    beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
+    beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
+    beam_exp = beam_ids < 0  # invalid slots count as expanded
+    visited = jnp.full((b, max_iters), -1, dtype=jnp.int32)
+
+    if filter_mask is None:
+        filter_mask = jnp.ones(vectors.shape[0], dtype=bool)
+
+    def cond(state):
+        beam_ids, beam_scores, beam_exp, visited, it = state
+        has_cand = jnp.any(jnp.logical_and(~beam_exp, beam_ids >= 0))
+        return jnp.logical_and(has_cand, it < max_iters)
+
+    def body(state):
+        beam_ids, beam_scores, beam_exp, visited, it = state
+        cand_ok = jnp.logical_and(~beam_exp, beam_ids >= 0)  # [B, ef]
+        active = jnp.any(cand_ok, axis=1)  # [B]
+        pick_scores = jnp.where(cand_ok, beam_scores, NEG_INF)
+        pick = jnp.argmax(pick_scores, axis=1)  # [B]
+        pick_id = jnp.take_along_axis(beam_ids, pick[:, None], axis=1)[:, 0]
+        pick_id = jnp.where(active, pick_id, -1)
+
+        # mark expanded + record visit
+        beam_exp = jnp.where(
+            jnp.logical_and(
+                active[:, None],
+                jax.nn.one_hot(pick, beam_exp.shape[1], dtype=bool),
+            ),
+            True,
+            beam_exp,
+        )
+        visited = visited.at[:, it].set(pick_id)
+
+        # expand neighbors (via the level's compact row map when present)
+        if compact_of is not None:
+            row = jnp.take(compact_of, jnp.maximum(pick_id, 0))
+            row = jnp.where(pick_id >= 0, row, -1)
+        else:
+            row = pick_id
+        neigh = jnp.take(links, jnp.maximum(row, 0), axis=0)  # [B, M]
+        neigh = jnp.where(row[:, None] >= 0, neigh, -1)
+
+        # drop neighbors failing the filter (not scored, not traversed)
+        n_ok = jnp.take(filter_mask, jnp.maximum(neigh, 0))
+        neigh = jnp.where(jnp.logical_and(neigh >= 0, n_ok), neigh, -1)
+
+        # dedup against beam and visited set
+        dup_beam = jnp.any(neigh[:, :, None] == beam_ids[:, None, :], axis=2)
+        dup_vis = jnp.any(neigh[:, :, None] == visited[:, None, :], axis=2)
+        neigh = jnp.where(jnp.logical_or(dup_beam, dup_vis), -1, neigh)
+
+        n_scores = score_ids_batch(queries, vectors, neigh, distance)  # [B, M]
+
+        # merge into beam
+        all_ids = jnp.concatenate([beam_ids, neigh], axis=1)  # [B, ef+M]
+        all_scores = jnp.concatenate([beam_scores, n_scores], axis=1)
+        all_exp = jnp.concatenate(
+            [beam_exp, jnp.zeros_like(neigh, dtype=bool)], axis=1
+        )
+        top_scores, top_idx = jax.lax.top_k(all_scores, ef)
+        new_ids = jnp.take_along_axis(all_ids, top_idx, axis=1)
+        new_exp = jnp.take_along_axis(all_exp, top_idx, axis=1)
+        new_exp = jnp.where(new_ids < 0, True, new_exp)
+
+        return new_ids, top_scores, new_exp, visited, it + 1
+
+    state = (beam_ids, beam_scores, beam_exp, visited, jnp.int32(0))
+    beam_ids, beam_scores, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return beam_scores, beam_ids
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def heuristic_select(
+    cand_ids: jax.Array,  # [B, C] int32 sorted by score desc, -1 padded
+    cand_scores: jax.Array,  # [B, C] score(candidate, base point)
+    cand_pairwise: jax.Array,  # [B, C, C] score(candidate_i, candidate_j)
+    m: int,
+) -> jax.Array:
+    """Batched HNSW neighbor-selection heuristic → selected ids [B, m].
+
+    Reference: graph_layers_builder.rs:532-556 / links_container.rs —
+    iterating candidates nearest-first, keep candidate c iff for every
+    already-selected s: score(c, base) > score(c, s) (equivalently in
+    distance terms: c is closer to the base than to any selected neighbor).
+    Implemented as a `lax.scan` over the candidate axis with a running
+    selected mask; all B rows advance in lockstep.
+    """
+    b, c = cand_ids.shape
+
+    def step(carry, i):
+        sel_mask, count = carry  # [B, C] bool, [B] int32
+        pair_i = jax.lax.dynamic_slice_in_dim(cand_pairwise, i, 1, axis=1)[:, 0, :]
+        # max score(c_i, s) over selected s
+        masked = jnp.where(sel_mask, pair_i, NEG_INF)  # [B, C]
+        closest_sel = jnp.max(masked, axis=1)  # [B]
+        score_i = jax.lax.dynamic_slice_in_dim(cand_scores, i, 1, axis=1)[:, 0]
+        id_i = jax.lax.dynamic_slice_in_dim(cand_ids, i, 1, axis=1)[:, 0]
+        keep = (
+            (id_i >= 0)
+            & (count < m)
+            & (score_i > closest_sel)
+        )
+        sel_mask = sel_mask.at[:, i].set(keep)
+        count = count + keep.astype(jnp.int32)
+        return (sel_mask, count), None
+
+    init = (jnp.zeros((b, c), dtype=bool), jnp.zeros((b,), dtype=jnp.int32))
+    (sel_mask, _), _ = jax.lax.scan(step, init, jnp.arange(c))
+
+    # compact selected ids to the front, preserving candidate order
+    key = jnp.where(sel_mask, c - jax.lax.broadcasted_iota(jnp.int32, (b, c), 1), -1)
+    _, idx = jax.lax.top_k(key, m)
+    out = jnp.take_along_axis(cand_ids, idx, axis=1)
+    picked = jnp.take_along_axis(sel_mask, idx, axis=1)
+    return jnp.where(picked, out, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def simple_select(cand_ids: jax.Array, cand_scores: jax.Array, m: int) -> jax.Array:
+    """Keep the m best candidates (no diversity heuristic) — used for upper
+    levels with small M, mirroring the reference's plain selection fallback."""
+    _, idx = jax.lax.top_k(cand_scores, m)
+    out = jnp.take_along_axis(cand_ids, idx, axis=1)
+    sc = jnp.take_along_axis(cand_scores, idx, axis=1)
+    return jnp.where(jnp.isfinite(sc), out, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "distance"))
+def select_neighbors(
+    cand_ids: jax.Array,  # [B, C] int32 sorted by score desc (beam output)
+    cand_scores: jax.Array,  # [B, C] score(candidate, new point)
+    vectors: jax.Array,  # [N, D]
+    m: int,
+    distance: str,
+) -> jax.Array:
+    """Forward-link selection for a batch of newly inserted points."""
+    cand_vecs = jnp.take(vectors, jnp.maximum(cand_ids, 0), axis=0)  # [B, C, D]
+    from .distances import pairwise_scores
+
+    pair = pairwise_scores(cand_vecs, cand_vecs, distance)  # [B, C, C]
+    return heuristic_select(cand_ids, cand_scores, pair, m)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "distance"))
+def reprune_rows(
+    nb_ids: jax.Array,  # [K] int32 overflowed neighbor nodes
+    cand_ids: jax.Array,  # [K, C] int32 existing links + incoming points, -1 pad
+    vectors: jax.Array,  # [N, D]
+    m: int,
+    distance: str,
+) -> jax.Array:
+    """Re-apply the selection heuristic to overflowed link rows → [K, m].
+
+    The batched equivalent of the reference's on-overflow link shrink during
+    insertion (graph_layers_builder.rs:417 link_new_point's reverse step).
+    """
+    nb_vecs = jnp.take(vectors, nb_ids, axis=0).astype(jnp.float32)  # [K, D]
+    scores = score_ids_batch(nb_vecs, vectors, cand_ids, distance)  # [K, C]
+    order = jnp.argsort(-scores, axis=1)
+    sorted_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    sorted_scores = jnp.take_along_axis(scores, order, axis=1)
+    from .distances import pairwise_scores
+
+    sorted_vecs = jnp.take(vectors, jnp.maximum(sorted_ids, 0), axis=0)
+    pair = pairwise_scores(sorted_vecs, sorted_vecs, distance)
+    return heuristic_select(sorted_ids, sorted_scores, pair, m)
+
+
+_scatter_rows_donated = jax.jit(
+    lambda links, ids, rows: links.at[ids].set(rows), donate_argnums=0
+)
+
+
+def scatter_link_rows(links: jax.Array, ids, rows) -> jax.Array:
+    """Functional in-place update of the device adjacency table (donated)."""
+    return _scatter_rows_donated(
+        links, jnp.asarray(np.asarray(ids, dtype=np.int32)), jnp.asarray(np.asarray(rows, dtype=np.int32))
+    )

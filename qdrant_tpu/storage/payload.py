@@ -1,0 +1,92 @@
+"""Payload (JSON document) storage per segment.
+
+Reference: lib/segment/src/payload_storage/ (in-memory / Gridstore / mmap
+variants). Host-side list-of-dicts keyed by internal offset, persisted as
+msgpack. Payload JSON never touches the device — filters compile to offset
+bitmasks that are shipped to HBM (see index/payload_index.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import msgpack
+
+from ..utils import json_path
+
+
+class PayloadStorage:
+    def __init__(self):
+        self._payloads: List[Optional[Dict[str, Any]]] = []
+
+    def __len__(self) -> int:
+        return len(self._payloads)
+
+    def _ensure(self, offset: int) -> None:
+        while len(self._payloads) <= offset:
+            self._payloads.append(None)
+
+    def set(self, offset: int, payload: Dict[str, Any]) -> None:
+        """Merge payload keys (top-level merge, as the reference set_payload)."""
+        self._ensure(offset)
+        cur = self._payloads[offset]
+        if cur is None:
+            cur = {}
+            self._payloads[offset] = cur
+        cur.update(payload)
+
+    def set_by_key(self, offset: int, payload: Dict[str, Any], key: str) -> None:
+        """Merge `payload` at nested `key` (reference set_payload with key)."""
+        self._ensure(offset)
+        cur = self._payloads[offset]
+        if cur is None:
+            cur = {}
+            self._payloads[offset] = cur
+        existing = json_path.get_values(cur, key)
+        if existing and isinstance(existing[0], dict):
+            existing[0].update(payload)
+        else:
+            json_path.set_value(cur, key, dict(payload))
+
+    def overwrite(self, offset: int, payload: Optional[Dict[str, Any]]) -> None:
+        self._ensure(offset)
+        self._payloads[offset] = dict(payload) if payload else None
+
+    def get(self, offset: int) -> Dict[str, Any]:
+        if offset < len(self._payloads) and self._payloads[offset] is not None:
+            return self._payloads[offset]
+        return {}
+
+    def has_payload(self, offset: int) -> bool:
+        return offset < len(self._payloads) and bool(self._payloads[offset])
+
+    def delete_key(self, offset: int, key: str) -> bool:
+        if offset >= len(self._payloads) or self._payloads[offset] is None:
+            return False
+        return json_path.delete_path(self._payloads[offset], key)
+
+    def clear(self, offset: int) -> None:
+        if offset < len(self._payloads):
+            self._payloads[offset] = None
+
+    def iter_items(self):
+        for off, p in enumerate(self._payloads):
+            if p is not None:
+                yield off, p
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "payload.msgpack"), "wb") as f:
+            f.write(msgpack.packb(self._payloads, use_bin_type=True))
+
+    @classmethod
+    def load(cls, path: str) -> "PayloadStorage":
+        storage = cls()
+        file = os.path.join(path, "payload.msgpack")
+        if os.path.exists(file):
+            with open(file, "rb") as f:
+                storage._payloads = msgpack.unpackb(f.read(), raw=False, strict_map_key=False)
+        return storage

@@ -1,0 +1,328 @@
+"""Dense / multi vector storage: host-resident numpy with an HBM mirror.
+
+The reference keeps 25+ vector-storage variants (reference:
+lib/segment/src/vector_storage/vector_storage_base.rs:607). The TPU design
+collapses them: the source of truth is a float32 numpy array on the host
+(appendable, mmap-able for persistence); searches run against a lazily
+synchronized device block in the configured scoring dtype (f32/bf16), padded
+to a tiled capacity so XLA compiles one program shape per capacity class.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Datatype, Distance
+from ..ops.distances import preprocess_vectors
+
+_MIN_CAP = 1024
+
+
+def _round_capacity(n: int) -> int:
+    """Round capacity up to the next power-of-two block ≥ _MIN_CAP.
+
+    Power-of-two capacity classes keep the number of distinct XLA program
+    shapes logarithmic in collection size.
+    """
+    cap = _MIN_CAP
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+_DTYPE_MAP = {
+    Datatype.FLOAT32: jnp.float32,
+    Datatype.BFLOAT16: jnp.bfloat16,
+    Datatype.FLOAT16: jnp.float16,
+    Datatype.UINT8: jnp.uint8,
+}
+
+
+class DenseVectorStore:
+    """Appendable dense vector storage with a device mirror.
+
+    Host truth: float32 [cap, D] + deleted bitmap. Device mirror: [cap, D] in
+    `datatype` + validity mask, rebuilt on demand after mutations (cheap for
+    the small mutable segments; sealed segments sync exactly once).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        distance: Distance,
+        datatype: Datatype = Datatype.FLOAT32,
+    ):
+        self.dim = dim
+        self.distance = distance
+        self.datatype = datatype
+        self._data = np.zeros((0, dim), dtype=np.float32)
+        self._deleted = np.zeros((0,), dtype=bool)
+        self._count = 0
+        self._deleted_count = 0
+        # device mirror
+        self._dev: Optional[jax.Array] = None
+        self._dev_mask: Optional[jax.Array] = None
+        self._dirty = True
+
+    # -- host mutation ------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def deleted_count(self) -> int:
+        return self._deleted_count
+
+    @property
+    def available_count(self) -> int:
+        return self._count - self._deleted_count
+
+    def _ensure_capacity(self, n: int) -> None:
+        if n <= self._data.shape[0]:
+            return
+        cap = _round_capacity(n)
+        data = np.zeros((cap, self.dim), dtype=np.float32)
+        data[: self._count] = self._data[: self._count]
+        self._data = data
+        deleted = np.zeros((cap,), dtype=bool)
+        deleted[: self._count] = self._deleted[: self._count]
+        self._deleted = deleted
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append preprocessed vectors; returns assigned offsets (int32)."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        if vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"vector dim {vectors.shape[1]} != storage dim {self.dim}"
+            )
+        vectors = preprocess_vectors(vectors, self.distance)
+        n = vectors.shape[0]
+        self._ensure_capacity(self._count + n)
+        offsets = np.arange(self._count, self._count + n, dtype=np.int32)
+        self._data[self._count : self._count + n] = vectors
+        self._count += n
+        self._dirty = True
+        return offsets
+
+    def set(self, offset: int, vector: np.ndarray) -> None:
+        v = preprocess_vectors(
+            np.asarray(vector, dtype=np.float32)[None, :], self.distance
+        )[0]
+        self._data[offset] = v
+        if self._deleted[offset]:
+            self._deleted[offset] = False
+            self._deleted_count -= 1
+        self._dirty = True
+
+    def delete(self, offset: int) -> bool:
+        if offset >= self._count or self._deleted[offset]:
+            return False
+        self._deleted[offset] = True
+        self._deleted_count += 1
+        self._dirty = True
+        return True
+
+    def is_deleted(self, offset: int) -> bool:
+        return bool(self._deleted[offset])
+
+    def get(self, offset: int) -> np.ndarray:
+        return self._data[offset]
+
+    def get_batch(self, offsets: np.ndarray) -> np.ndarray:
+        return self._data[np.asarray(offsets, dtype=np.int64)]
+
+    @property
+    def host_array(self) -> np.ndarray:
+        """Valid rows [count, D] (includes deleted rows; mask separately)."""
+        return self._data[: self._count]
+
+    @property
+    def deleted_mask(self) -> np.ndarray:
+        return self._deleted[: self._count]
+
+    # -- device mirror ------------------------------------------------------
+
+    def device_block(self) -> Tuple[jax.Array, jax.Array]:
+        """→ (vectors [cap, D] in scoring dtype, valid_mask [cap] bool)."""
+        if self._dirty or self._dev is None:
+            cap = max(_MIN_CAP, self._data.shape[0])
+            data = self._data
+            if data.shape[0] < cap:
+                data = np.zeros((cap, self.dim), dtype=np.float32)
+                data[: self._count] = self._data[: self._count]
+            mask = np.zeros((cap,), dtype=bool)
+            mask[: self._count] = ~self._deleted[: self._count]
+            self._dev = jnp.asarray(data, dtype=_DTYPE_MAP[self.datatype])
+            self._dev_mask = jnp.asarray(mask)
+            self._dirty = False
+        return self._dev, self._dev_mask
+
+    def drop_device(self) -> None:
+        self._dev = None
+        self._dev_mask = None
+        self._dirty = True
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "vectors.npy"), self._data[: self._count])
+        np.save(os.path.join(path, "deleted.npy"), self._deleted[: self._count])
+
+    @classmethod
+    def load(
+        cls, path: str, dim: int, distance: Distance, datatype: Datatype
+    ) -> "DenseVectorStore":
+        store = cls(dim, distance, datatype)
+        data = np.load(os.path.join(path, "vectors.npy"))
+        deleted = np.load(os.path.join(path, "deleted.npy"))
+        n = data.shape[0]
+        store._ensure_capacity(n)
+        store._data[:n] = data
+        store._deleted[:n] = deleted
+        store._count = n
+        store._deleted_count = int(deleted.sum())
+        return store
+
+
+class MultiVectorStore:
+    """Storage for multi-vectors (token matrices, ColBERT-style).
+
+    Flat layout: one big [total_tokens, D] float32 array + per-point
+    (start, len) ranges — the TPU search path re-packs per-point matrices
+    into padded [N, S_max, D] blocks on demand.
+    (reference: lib/segment/src/vector_storage/ multi-dense variants)
+    """
+
+    def __init__(self, dim: int, distance: Distance, datatype: Datatype = Datatype.FLOAT32):
+        self.dim = dim
+        self.distance = distance
+        self.datatype = datatype
+        self._flat = np.zeros((0, dim), dtype=np.float32)
+        self._flat_count = 0
+        self._ranges = np.zeros((0, 2), dtype=np.int64)  # (start, len)
+        self._count = 0
+        self._deleted = np.zeros((0,), dtype=bool)
+        self._deleted_count = 0
+        self._dev = None
+        self._dirty = True
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def deleted_count(self) -> int:
+        return self._deleted_count
+
+    @property
+    def available_count(self) -> int:
+        return self._count - self._deleted_count
+
+    def add(self, matrices) -> np.ndarray:
+        offsets = []
+        for mat in matrices:
+            mat = np.atleast_2d(np.asarray(mat, dtype=np.float32))
+            if mat.shape[1] != self.dim:
+                raise ValueError(f"multivector dim {mat.shape[1]} != {self.dim}")
+            mat = preprocess_vectors(mat, self.distance)
+            t = mat.shape[0]
+            if self._flat_count + t > self._flat.shape[0]:
+                cap = _round_capacity(self._flat_count + t)
+                flat = np.zeros((cap, self.dim), dtype=np.float32)
+                flat[: self._flat_count] = self._flat[: self._flat_count]
+                self._flat = flat
+            self._flat[self._flat_count : self._flat_count + t] = mat
+            if self._count + 1 > self._ranges.shape[0]:
+                cap = _round_capacity(self._count + 1)
+                ranges = np.zeros((cap, 2), dtype=np.int64)
+                ranges[: self._count] = self._ranges[: self._count]
+                self._ranges = ranges
+                deleted = np.zeros((cap,), dtype=bool)
+                deleted[: self._count] = self._deleted[: self._count]
+                self._deleted = deleted
+            self._ranges[self._count] = (self._flat_count, t)
+            offsets.append(self._count)
+            self._flat_count += t
+            self._count += 1
+        self._dirty = True
+        return np.asarray(offsets, dtype=np.int32)
+
+    def set(self, offset: int, matrix) -> None:
+        # Append new token block; old block becomes garbage (reclaimed on rebuild).
+        new_off = self.add([matrix])[0]
+        self._ranges[offset] = self._ranges[new_off]
+        self._count -= 1  # drop the temporary tail point
+        if self._deleted[offset]:
+            self._deleted[offset] = False
+            self._deleted_count -= 1
+        self._dirty = True
+
+    def delete(self, offset: int) -> bool:
+        if offset >= self._count or self._deleted[offset]:
+            return False
+        self._deleted[offset] = True
+        self._deleted_count += 1
+        self._dirty = True
+        return True
+
+    def is_deleted(self, offset: int) -> bool:
+        return bool(self._deleted[offset])
+
+    def get(self, offset: int) -> np.ndarray:
+        start, ln = self._ranges[offset]
+        return self._flat[start : start + ln]
+
+    @property
+    def max_tokens(self) -> int:
+        if self._count == 0:
+            return 0
+        return int(self._ranges[: self._count, 1].max())
+
+    def padded_block(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """→ (tokens [N, S, D], token_mask [N, S], valid_mask [N]) device arrays."""
+        if self._dirty or self._dev is None:
+            n = max(1, self._count)
+            s = max(1, self.max_tokens)
+            # pad token dim to a multiple of 8 (f32 sublane) for layout
+            s = (s + 7) // 8 * 8
+            out = np.zeros((n, s, self.dim), dtype=np.float32)
+            tok_mask = np.zeros((n, s), dtype=bool)
+            for i in range(self._count):
+                start, ln = self._ranges[i]
+                out[i, :ln] = self._flat[start : start + ln]
+                tok_mask[i, :ln] = True
+            valid = np.zeros((n,), dtype=bool)
+            valid[: self._count] = ~self._deleted[: self._count]
+            self._dev = (
+                jnp.asarray(out, dtype=_DTYPE_MAP[self.datatype]),
+                jnp.asarray(tok_mask),
+                jnp.asarray(valid),
+            )
+            self._dirty = False
+        return self._dev
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "mv_flat.npy"), self._flat[: self._flat_count])
+        np.save(os.path.join(path, "mv_ranges.npy"), self._ranges[: self._count])
+        np.save(os.path.join(path, "mv_deleted.npy"), self._deleted[: self._count])
+
+    @classmethod
+    def load(cls, path: str, dim: int, distance: Distance, datatype: Datatype) -> "MultiVectorStore":
+        store = cls(dim, distance, datatype)
+        flat = np.load(os.path.join(path, "mv_flat.npy"))
+        ranges = np.load(os.path.join(path, "mv_ranges.npy"))
+        deleted = np.load(os.path.join(path, "mv_deleted.npy"))
+        store._flat = flat.copy()
+        store._flat_count = flat.shape[0]
+        n = ranges.shape[0]
+        store._ranges = ranges.copy()
+        store._deleted = deleted.copy()
+        store._count = n
+        store._deleted_count = int(deleted.sum())
+        return store
