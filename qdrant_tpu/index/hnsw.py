@@ -185,7 +185,7 @@ class HnswIndex:
         seed_dev = jnp.asarray(seed_ids)
         seed_vecs = jnp.take(vectors, seed_dev, axis=0)[None]  # [1, S, D]
         pair = pairwise_scores(seed_vecs, seed_vecs, dist)[0]  # [S, S]
-        pair_np = np.asarray(pair, dtype=np.float32)
+        pair_np = np.array(pair, dtype=np.float32)  # writable copy
         np.fill_diagonal(pair_np, -np.inf)
 
         seed_levels = self.levels[seed_ids]

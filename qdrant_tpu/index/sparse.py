@@ -1,0 +1,261 @@
+"""Sparse vector storage + inverted index.
+
+Reference: lib/sparse/ (InvertedIndexRam / compressed / mmap variants,
+vector storage in lib/segment's sparse storages) and the IDF modifier
+(lib/segment/src/index/vector_index_base.rs:57 fill_idf_statistics).
+
+Host keeps per-point sparse rows (mutable, append-only); sealing compacts a
+CSR inverted index whose flat arrays are shipped to HBM for the segmented-
+SpMV search kernel (ops/sparse.py). A mutable RAM postings dict serves
+un-sealed points exactly, mirroring the reference's plain sparse search.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import sparse_search
+from ..types import SparseVector
+
+# posting window cap on device: longest postings are truncated to the
+# heaviest `WINDOW` entries (weight-sorted), qdrant-style pruning analogue
+DEFAULT_WINDOW = 4096
+
+
+class SparseVectorStore:
+    """Per-point sparse rows, host-resident."""
+
+    def __init__(self):
+        self._indices: List[Optional[np.ndarray]] = []
+        self._values: List[Optional[np.ndarray]] = []
+        self._count = 0
+        self._deleted_count = 0
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def deleted_count(self) -> int:
+        return self._deleted_count
+
+    @property
+    def available_count(self) -> int:
+        return self._count - self._deleted_count
+
+    def add(self, vectors: List[SparseVector]) -> np.ndarray:
+        offsets = []
+        for vec in vectors:
+            sv = vec.sorted()
+            self._indices.append(np.asarray(sv.indices, dtype=np.int32))
+            self._values.append(np.asarray(sv.values, dtype=np.float32))
+            offsets.append(self._count)
+            self._count += 1
+        return np.asarray(offsets, dtype=np.int32)
+
+    def set(self, offset: int, vector: SparseVector) -> None:
+        sv = vector.sorted()
+        if self._indices[offset] is None:
+            self._deleted_count -= 1
+        self._indices[offset] = np.asarray(sv.indices, dtype=np.int32)
+        self._values[offset] = np.asarray(sv.values, dtype=np.float32)
+
+    def delete(self, offset: int) -> bool:
+        if offset >= self._count or self._indices[offset] is None:
+            return False
+        self._indices[offset] = None
+        self._values[offset] = None
+        self._deleted_count += 1
+        return True
+
+    def is_deleted(self, offset: int) -> bool:
+        return offset >= self._count or self._indices[offset] is None
+
+    def get(self, offset: int) -> Optional[SparseVector]:
+        if self.is_deleted(offset):
+            return None
+        return SparseVector(
+            self._indices[offset].tolist(), self._values[offset].tolist()
+        )
+
+    def iter_rows(self):
+        for off in range(self._count):
+            if self._indices[off] is not None:
+                yield off, self._indices[off], self._values[off]
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        lens = np.asarray(
+            [0 if i is None else len(i) for i in self._indices], dtype=np.int64
+        )
+        deleted = np.asarray([i is None for i in self._indices], dtype=bool)
+        if self._count:
+            all_idx = np.concatenate(
+                [i for i in self._indices if i is not None]
+                or [np.zeros(0, dtype=np.int32)]
+            )
+            all_val = np.concatenate(
+                [v for v in self._values if v is not None]
+                or [np.zeros(0, dtype=np.float32)]
+            )
+        else:
+            all_idx = np.zeros(0, dtype=np.int32)
+            all_val = np.zeros(0, dtype=np.float32)
+        np.savez(
+            os.path.join(path, "sparse.npz"),
+            lens=lens,
+            deleted=deleted,
+            indices=all_idx,
+            values=all_val,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SparseVectorStore":
+        store = cls()
+        file = os.path.join(path, "sparse.npz")
+        if not os.path.exists(file):
+            return store
+        data = np.load(file)
+        lens, deleted = data["lens"], data["deleted"]
+        all_idx, all_val = data["indices"], data["values"]
+        pos = 0
+        for i, ln in enumerate(lens):
+            if deleted[i]:
+                store._indices.append(None)
+                store._values.append(None)
+                store._deleted_count += 1
+            else:
+                store._indices.append(all_idx[pos : pos + ln].copy())
+                store._values.append(all_val[pos : pos + ln].copy())
+            pos += int(ln)
+            store._count += 1
+        return store
+
+
+class SparseIndex:
+    """Inverted index over a SparseVectorStore with a device CSR mirror."""
+
+    def __init__(self, store: SparseVectorStore, modifier: Optional[str] = None):
+        self.store = store
+        self.modifier = modifier  # None | "idf"
+        self._dev: Optional[Tuple] = None
+        self._dirty = True
+
+    def invalidate(self) -> None:
+        self._dirty = True
+
+    def _build_csr(self):
+        """Compact postings (dim → [offsets, weights] weight-sorted desc)."""
+        postings: Dict[int, List[Tuple[int, float]]] = {}
+        for off, idxs, vals in self.store.iter_rows():
+            for d, w in zip(idxs.tolist(), vals.tolist()):
+                postings.setdefault(d, []).append((off, w))
+        dims = sorted(postings.keys())
+        max_dim = (dims[-1] + 1) if dims else 1
+        starts = np.full(max_dim, -1, dtype=np.int32)
+        lens = np.zeros(max_dim, dtype=np.int32)
+        flat_ids: List[int] = []
+        flat_w: List[float] = []
+        for d in dims:
+            entries = sorted(postings[d], key=lambda t: -abs(t[1]))
+            starts[d] = len(flat_ids)
+            lens[d] = len(entries)
+            flat_ids.extend(e[0] for e in entries)
+            flat_w.extend(e[1] for e in entries)
+        return (
+            np.asarray(flat_ids, dtype=np.int32),
+            np.asarray(flat_w, dtype=np.float32),
+            starts,
+            lens,
+        )
+
+    def _device(self):
+        if self._dirty or self._dev is None:
+            flat_ids, flat_w, starts, lens = self._build_csr()
+            # pad flat arrays so any window slice is in-bounds
+            pad = DEFAULT_WINDOW
+            flat_ids = np.concatenate(
+                [flat_ids, np.full(pad, len(self.store), dtype=np.int32)]
+            )
+            flat_w = np.concatenate([flat_w, np.zeros(pad, dtype=np.float32)])
+            n_pad = max(8, 1 << (max(len(self.store), 1) - 1).bit_length())
+            self._dev = (
+                jnp.asarray(flat_ids),
+                jnp.asarray(flat_w),
+                starts,
+                lens,
+                n_pad,
+            )
+            self._dirty = False
+        return self._dev
+
+    def idf(self, dim: int) -> float:
+        """BM25-style IDF (reference: idf_statistics / modifier=idf)."""
+        _, _, starts, lens, _ = self._device()
+        n = self.store.available_count
+        df = int(lens[dim]) if 0 <= dim < len(lens) else 0
+        return math.log(((n - df + 0.5) / (df + 0.5)) + 1.0)
+
+    def remap_query(self, query: SparseVector) -> SparseVector:
+        if self.modifier == "idf":
+            return SparseVector(
+                list(query.indices),
+                [w * self.idf(d) for d, w in zip(query.indices, query.values)],
+            )
+        return query
+
+    def search(
+        self,
+        queries: List[SparseVector],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+        window: int = DEFAULT_WINDOW,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, k], offsets [B, k]); -1 = no result."""
+        flat_ids, flat_w, starts, lens, n_pad = self._device()
+        b = len(queries)
+        queries = [self.remap_query(q) for q in queries]
+        t_max = max([len(q.indices) for q in queries] + [1])
+        t_pad = max(8, 1 << (t_max - 1).bit_length())
+        q_starts = np.full((b, t_pad), -1, dtype=np.int32)
+        q_lens = np.zeros((b, t_pad), dtype=np.int32)
+        q_w = np.zeros((b, t_pad), dtype=np.float32)
+        for i, q in enumerate(queries):
+            for j, (d, w) in enumerate(zip(q.indices, q.values)):
+                if 0 <= d < len(starts) and starts[d] >= 0:
+                    q_starts[i, j] = starts[d]
+                    q_lens[i, j] = lens[d]
+                    q_w[i, j] = w
+        k_eff = min(k, n_pad)
+        scores, ids = sparse_search(
+            flat_ids,
+            flat_w,
+            jnp.asarray(q_starts),
+            jnp.asarray(q_lens),
+            jnp.asarray(q_w),
+            window,
+            n_pad,
+            k_eff,
+            _mask_to_dev(filter_mask, n_pad, len(self.store)),
+        )
+        scores = np.asarray(scores, dtype=np.float32)
+        ids = np.asarray(ids, dtype=np.int32)
+        ids = np.where(np.isfinite(scores), ids, -1)
+        if k_eff < k:
+            scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+
+def _mask_to_dev(filter_mask: Optional[np.ndarray], n_pad: int, n: int):
+    mask = np.zeros(n_pad, dtype=bool)
+    if filter_mask is not None:
+        mask[: len(filter_mask)] = filter_mask[:n_pad]
+    else:
+        mask[:n] = True
+    return jnp.asarray(mask)

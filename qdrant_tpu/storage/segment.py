@@ -1,0 +1,670 @@
+"""Segment: the per-shard storage + index unit.
+
+Reference: lib/segment/src/segment/ (Segment struct mod.rs:65, entry.rs) —
+id tracker + named vector storages + payload storage/index + per-vector
+search index, with versioned idempotent ops keyed by op_num.
+
+TPU redesign: appendable segments answer searches exactly (MXU full scan —
+the plain path); sealed segments carry an HNSW graph and optional quantized
+encodings. Filters compile to offset bitmasks fused into every search path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..index.hnsw import HnswIndex
+from ..index.payload_index import StructPayloadIndex
+from ..index.plain import PlainIndex
+from ..index.sparse import SparseIndex, SparseVectorStore
+from ..ops import quantization as qops
+from ..ops.distances import (
+    preprocess_vectors,
+    score_ids_batch,
+    score_multivector_maxsim,
+)
+from ..types import (
+    BinaryQuantizationConfig,
+    CollectionParams,
+    Datatype,
+    Filter,
+    HnswConfig,
+    PayloadIndexParams,
+    PointId,
+    ProductQuantizationConfig,
+    ScalarQuantizationConfig,
+    SparseVector,
+    VectorParams,
+    DEFAULT_VECTOR_NAME,
+)
+from .id_tracker import IdTracker
+from .payload import PayloadStorage
+from .vectors import DenseVectorStore, MultiVectorStore
+
+import jax.numpy as jnp
+
+
+DEFAULT_FULL_SCAN_THRESHOLD = 10_000
+DEFAULT_OVERSAMPLING = 3.0
+
+
+class SearchParams:
+    def __init__(
+        self,
+        hnsw_ef: Optional[int] = None,
+        exact: bool = False,
+        quantization_ignore: bool = False,
+        quantization_rescore: bool = True,
+        quantization_oversampling: Optional[float] = None,
+    ):
+        self.hnsw_ef = hnsw_ef
+        self.exact = exact
+        self.quantization_ignore = quantization_ignore
+        self.quantization_rescore = quantization_rescore
+        self.quantization_oversampling = quantization_oversampling
+
+    @staticmethod
+    def from_dict(d: Optional[dict]) -> "SearchParams":
+        d = d or {}
+        q = d.get("quantization") or {}
+        return SearchParams(
+            hnsw_ef=d.get("hnsw_ef"),
+            exact=bool(d.get("exact", False)),
+            quantization_ignore=bool(q.get("ignore", False)),
+            quantization_rescore=bool(q.get("rescore", True)),
+            quantization_oversampling=q.get("oversampling"),
+        )
+
+
+class Segment:
+    def __init__(self, params: CollectionParams, appendable: bool = True):
+        self.params = params
+        self.appendable = appendable
+        self.version = 0  # max applied op_num
+        self.id_tracker = IdTracker()
+        self.payload_storage = PayloadStorage()
+        self.dense: Dict[str, DenseVectorStore] = {}
+        self.multi: Dict[str, MultiVectorStore] = {}
+        self.sparse: Dict[str, SparseVectorStore] = {}
+        self.hnsw: Dict[str, HnswIndex] = {}
+        self.quantized: Dict[str, Any] = {}
+        self.sparse_index: Dict[str, SparseIndex] = {}
+        for name, vp in params.vectors.items():
+            if vp.multivector_config is not None:
+                self.multi[name] = MultiVectorStore(vp.size, vp.distance, vp.datatype)
+            else:
+                self.dense[name] = DenseVectorStore(vp.size, vp.distance, vp.datatype)
+        for name, sp in params.sparse_vectors.items():
+            self.sparse[name] = SparseVectorStore()
+            self.sparse_index[name] = SparseIndex(self.sparse[name], sp.modifier)
+        self.payload_index = StructPayloadIndex(
+            self.payload_storage, self.id_tracker, self._has_vector
+        )
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.id_tracker)
+
+    @property
+    def total_offsets(self) -> int:
+        """Upper bound on internal offsets (including deleted slots)."""
+        counts = (
+            [len(s) for s in self.dense.values()]
+            + [len(s) for s in self.multi.values()]
+            + [len(s) for s in self.sparse.values()]
+        )
+        return max(counts, default=0)
+
+    def _has_vector(self, name: str, offset: int) -> bool:
+        if name in self.dense:
+            store = self.dense[name]
+            return offset < len(store) and not store.is_deleted(offset)
+        if name in self.multi:
+            store = self.multi[name]
+            return offset < len(store) and not store.is_deleted(offset)
+        if name in self.sparse:
+            return not self.sparse[name].is_deleted(offset)
+        return False
+
+    def available_point_count(self) -> int:
+        return len(self.id_tracker)
+
+    # ------------------------------------------------------------------
+    # write ops (idempotent by op_num; reference: segment/entry.rs)
+    # ------------------------------------------------------------------
+
+    def _stale(self, external_id: PointId, op_num: int) -> bool:
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        return self.id_tracker.version(internal) > op_num
+
+    def upsert_point(
+        self,
+        op_num: int,
+        external_id: PointId,
+        vectors: Dict[str, Any],
+        payload: Optional[Dict[str, Any]] = None,
+    ) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        new_offset = self._next_offset() if internal is None else internal
+
+        for name, store in self.dense.items():
+            vec = vectors.get(name)
+            if vec is not None:
+                arr = np.asarray(vec, dtype=np.float32)
+                if internal is None:
+                    off = store.add(arr[None, :])[0]
+                    assert off == new_offset, (off, new_offset)
+                else:
+                    store.set(internal, arr)
+            elif internal is None:
+                # keep offsets aligned across stores: add a deleted placeholder
+                off = store.add(np.zeros((1, store.dim), dtype=np.float32))[0]
+                store.delete(off)
+        for name, store in self.multi.items():
+            vec = vectors.get(name)
+            if vec is not None:
+                if internal is None:
+                    store.add([np.asarray(vec, dtype=np.float32)])
+                else:
+                    store.set(internal, np.asarray(vec, dtype=np.float32))
+            elif internal is None:
+                off = store.add([np.zeros((1, store.dim), dtype=np.float32)])[0]
+                store.delete(off)
+        for name, store in self.sparse.items():
+            vec = vectors.get(name)
+            if vec is not None:
+                sv = vec if isinstance(vec, SparseVector) else SparseVector.from_dict(vec)
+                if internal is None:
+                    store.add([sv])
+                else:
+                    store.set(internal, sv)
+                self.sparse_index[name].invalidate()
+            elif internal is None:
+                store.add([SparseVector([], [])])
+                store.delete(len(store) - 1)
+
+        self.id_tracker.link(external_id, new_offset, op_num)
+        if payload is not None:
+            self.payload_storage.overwrite(new_offset, payload)
+            self.payload_index.update_point(new_offset, payload)
+        elif internal is None:
+            self.payload_storage.overwrite(new_offset, None)
+        self.version = max(self.version, op_num)
+        # new points invalidate a sealed graph's coverage; mark non-appendable
+        # segments dirty so the optimizer rebuilds (reference: proxy segments)
+        return True
+
+    def _next_offset(self) -> int:
+        return self.total_offsets
+
+    def delete_point(self, op_num: int, external_id: PointId) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.drop(external_id)
+        if internal is None:
+            return False
+        for store in self.dense.values():
+            store.delete(internal)
+        for store in self.multi.values():
+            store.delete(internal)
+        for name, store in self.sparse.items():
+            if store.delete(internal):
+                self.sparse_index[name].invalidate()
+        self.payload_index.remove_point(internal)
+        self.payload_storage.clear(internal)
+        self.version = max(self.version, op_num)
+        return True
+
+    def update_vectors(
+        self, op_num: int, external_id: PointId, vectors: Dict[str, Any]
+    ) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        for name, vec in vectors.items():
+            if name in self.dense:
+                self.dense[name].set(internal, np.asarray(vec, dtype=np.float32))
+            elif name in self.multi:
+                self.multi[name].set(internal, np.asarray(vec, dtype=np.float32))
+            elif name in self.sparse:
+                sv = vec if isinstance(vec, SparseVector) else SparseVector.from_dict(vec)
+                self.sparse[name].set(internal, sv)
+                self.sparse_index[name].invalidate()
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def delete_vectors(
+        self, op_num: int, external_id: PointId, names: List[str]
+    ) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        for name in names:
+            if name in self.dense:
+                self.dense[name].delete(internal)
+            elif name in self.multi:
+                self.multi[name].delete(internal)
+            elif name in self.sparse:
+                if self.sparse[name].delete(internal):
+                    self.sparse_index[name].invalidate()
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def set_payload(
+        self,
+        op_num: int,
+        external_id: PointId,
+        payload: Dict[str, Any],
+        key: Optional[str] = None,
+    ) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        if key:
+            self.payload_storage.set_by_key(internal, payload, key)
+        else:
+            self.payload_storage.set(internal, payload)
+        self.payload_index.update_point(internal, self.payload_storage.get(internal))
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def overwrite_payload(
+        self, op_num: int, external_id: PointId, payload: Optional[Dict[str, Any]]
+    ) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        self.payload_storage.overwrite(internal, payload)
+        self.payload_index.update_point(internal, self.payload_storage.get(internal))
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def delete_payload_key(self, op_num: int, external_id: PointId, key: str) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        self.payload_storage.delete_key(internal, key)
+        self.payload_index.update_point(internal, self.payload_storage.get(internal))
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def clear_payload(self, op_num: int, external_id: PointId) -> bool:
+        if self._stale(external_id, op_num):
+            return False
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return False
+        self.payload_storage.clear(internal)
+        self.payload_index.remove_point(internal)
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    def create_field_index(self, field: str, params: PayloadIndexParams) -> None:
+        self.payload_index.set_indexed(field, params)
+
+    def delete_field_index(self, field: str) -> None:
+        self.payload_index.drop_index(field)
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def get_payload(self, external_id: PointId) -> Optional[Dict[str, Any]]:
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return None
+        return self.payload_storage.get(internal)
+
+    def get_vectors(self, external_id: PointId) -> Optional[Dict[str, Any]]:
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return None
+        out: Dict[str, Any] = {}
+        for name, store in self.dense.items():
+            if internal < len(store) and not store.is_deleted(internal):
+                out[name] = store.get(internal).tolist()
+        for name, store in self.multi.items():
+            if internal < len(store) and not store.is_deleted(internal):
+                out[name] = store.get(internal).tolist()
+        for name, store in self.sparse.items():
+            sv = store.get(internal)
+            if sv is not None:
+                out[name] = sv.to_dict()
+        return out
+
+    def filter_mask(self, flt: Optional[Filter]) -> Optional[np.ndarray]:
+        return self.payload_index.filter_mask(flt, self.total_offsets)
+
+    def alive_mask(self) -> np.ndarray:
+        """Mask of offsets currently linked to an external id."""
+        n = self.total_offsets
+        mask = np.zeros(n, dtype=bool)
+        ids = self.id_tracker.internal_ids_array()
+        if len(ids):
+            mask[ids[ids < n]] = True
+        return mask
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def search_dense(
+        self,
+        name: str,
+        queries: np.ndarray,  # [B, D] raw
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, k] internal convention, offsets [B, k])."""
+        params = params or SearchParams()
+        store = self.dense[name]
+        n = self.total_offsets
+        if n == 0:
+            b = len(np.atleast_2d(queries))
+            return (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int32),
+            )
+        fmask = self.filter_mask(flt)
+        alive = self.alive_mask()
+        combined = alive if fmask is None else (alive & fmask)
+
+        vp = self.params.vectors[name]
+        hnsw = self.hnsw.get(name)
+        use_graph = (
+            hnsw is not None
+            and not params.exact
+            and self._should_use_graph(vp, combined, fmask is not None)
+        )
+        quant = None if params.quantization_ignore else self.quantized.get(name)
+
+        if use_graph:
+            ef = params.hnsw_ef or max(k, 64)
+            scores, ids = hnsw.search(queries, k, ef=ef, filter_mask=combined)
+            return scores, ids
+        if quant is not None and not params.exact:
+            return self._search_quantized(
+                name, quant, queries, k, combined, params
+            )
+        return PlainIndex(store).search(queries, k, filter_mask=combined)
+
+    def _should_use_graph(
+        self, vp: VectorParams, combined_mask: np.ndarray, filtered: bool
+    ) -> bool:
+        """Cardinality dispatch (reference: hnsw/read_view/dispatch.rs:111-170):
+        small filtered cardinality → exact scan of matching points."""
+        threshold = (
+            vp.hnsw_config.full_scan_threshold
+            if vp.hnsw_config
+            else DEFAULT_FULL_SCAN_THRESHOLD
+        )
+        if not filtered:
+            return True
+        cardinality = int(combined_mask.sum())
+        return cardinality >= threshold
+
+    def _search_quantized(
+        self,
+        name: str,
+        quant: Any,
+        queries: np.ndarray,
+        k: int,
+        mask: np.ndarray,
+        params: SearchParams,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Quantized full scan + oversampled f32 rescore (reference:
+        vector_index_search_common.rs:48 get_oversampled_top)."""
+        store = self.dense[name]
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q = preprocess_vectors(queries, store.distance)
+        oversampling = params.quantization_oversampling or DEFAULT_OVERSAMPLING
+        k_over = min(max(int(k * oversampling), k), max(int(mask.sum()), 1))
+
+        if isinstance(quant, qops.ScalarQuantized):
+            codes_dev, norms_dev = quant.device()
+            cap = codes_dev.shape[0]
+            mask_pad = np.zeros(cap, dtype=bool)
+            mask_pad[: len(mask)] = mask[:cap]
+            q_codes = quant.encode_queries(q)
+            q_norms = (q * q).sum(axis=1).astype(np.float32)
+            scores = qops.score_sq(
+                jnp.asarray(q_codes),
+                jnp.asarray(q_norms),
+                codes_dev,
+                norms_dev,
+                jnp.float32(quant.scale),
+                store.distance.value,
+                jnp.asarray(mask_pad),
+            )
+        elif isinstance(quant, qops.BinaryQuantized):
+            signs = quant.device()
+            cap = signs.shape[0]
+            mask_pad = np.zeros(cap, dtype=bool)
+            mask_pad[: len(mask)] = mask[:cap]
+            scores = qops.score_bq(
+                jnp.asarray(q), signs, store.distance.value, jnp.asarray(mask_pad)
+            )
+        elif isinstance(quant, qops.ProductQuantized):
+            codes = quant.device()
+            cap = codes.shape[0]
+            mask_pad = np.zeros(cap, dtype=bool)
+            mask_pad[: len(mask)] = mask[:cap]
+            lut = quant.query_lut(q, store.distance)
+            scores = qops.score_pq(jnp.asarray(lut), codes, jnp.asarray(mask_pad))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown quantization {type(quant)}")
+
+        import jax.lax
+
+        top_scores, top_ids = jax.lax.top_k(scores, k_over)
+        if not params.quantization_rescore:
+            s = np.asarray(top_scores)[:, :k]
+            i = np.asarray(top_ids, dtype=np.int32)[:, :k]
+            return s, np.where(np.isfinite(s), i, -1)
+
+        # f32 rescore of the oversampled candidates
+        vectors, _ = store.device_block()
+        cand = jnp.where(jnp.isfinite(top_scores), top_ids, -1).astype(jnp.int32)
+        re_scores = score_ids_batch(jnp.asarray(q), vectors, cand, store.distance.value)
+        re_top, re_idx = jax.lax.top_k(re_scores, min(k, k_over))
+        final_ids = jnp.take_along_axis(cand, re_idx, axis=1)
+        s = np.asarray(re_top, dtype=np.float32)
+        i = np.asarray(final_ids, dtype=np.int32)
+        i = np.where(np.isfinite(s), i, -1)
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        return s, i
+
+    def search_multi(
+        self,
+        name: str,
+        query: np.ndarray,  # [T, D] query token matrix
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        store = self.multi[name]
+        if len(store) == 0:
+            return (
+                np.full((1, k), -np.inf, dtype=np.float32),
+                np.full((1, k), -1, dtype=np.int32),
+            )
+        fmask = self.filter_mask(flt)
+        alive = self.alive_mask()
+        combined = alive if fmask is None else (alive & fmask)
+        tokens, token_mask, valid = store.padded_block()
+        n = tokens.shape[0]
+        comb_pad = np.zeros(n, dtype=bool)
+        comb_pad[: len(combined)] = combined[:n]
+        valid = jnp.logical_and(valid, jnp.asarray(comb_pad))
+        q = preprocess_vectors(
+            np.atleast_2d(np.asarray(query, dtype=np.float32)), store.distance
+        )
+        scores = score_multivector_maxsim(
+            jnp.asarray(q), tokens, token_mask, store.distance.value, valid
+        )
+        import jax.lax
+
+        k_eff = min(k, n)
+        top_s, top_i = jax.lax.top_k(scores, k_eff)
+        s = np.asarray(top_s, dtype=np.float32)[None, :]
+        i = np.asarray(top_i, dtype=np.int32)[None, :]
+        i = np.where(np.isfinite(s), i, -1)
+        if k_eff < k:
+            s = np.pad(s, ((0, 0), (0, k - k_eff)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return s, i
+
+    def search_sparse(
+        self,
+        name: str,
+        queries: List[SparseVector],
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        fmask = self.filter_mask(flt)
+        alive = self.alive_mask()
+        combined = alive if fmask is None else (alive & fmask)
+        return self.sparse_index[name].search(queries, k, filter_mask=combined)
+
+    # ------------------------------------------------------------------
+    # seal: build indexes + quantization (reference: SegmentBuilder::build)
+    # ------------------------------------------------------------------
+
+    def build_indexes(self, default_hnsw: Optional[HnswConfig] = None) -> None:
+        for name, vp in self.params.vectors.items():
+            if name not in self.dense:
+                continue
+            store = self.dense[name]
+            cfg = vp.hnsw_config or default_hnsw or HnswConfig()
+            if store.available_count > 0:
+                idx = HnswIndex(store, cfg)
+                idx.build()
+                self.hnsw[name] = idx
+            qc = vp.quantization_config
+            if qc is not None and len(store) > 0:
+                data = store.host_array
+                if isinstance(qc, ScalarQuantizationConfig):
+                    self.quantized[name] = qops.ScalarQuantized.encode(
+                        data, qc.quantile or 0.99
+                    )
+                elif isinstance(qc, BinaryQuantizationConfig):
+                    self.quantized[name] = qops.BinaryQuantized.encode(data)
+                elif isinstance(qc, ProductQuantizationConfig):
+                    self.quantized[name] = qops.ProductQuantized.encode(
+                        data, qc.compression
+                    )
+        self.appendable = False
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "version": self.version,
+            "appendable": self.appendable,
+            "params": self.params.to_dict(),
+            "payload_indexes": {
+                k: v.to_dict() for k, v in self.payload_index.indexed_fields().items()
+            },
+            "hnsw": list(self.hnsw.keys()),
+            "quantized": {
+                name: type(q).__name__ for name, q in self.quantized.items()
+            },
+        }
+        with open(os.path.join(path, "segment.json"), "w") as f:
+            json.dump(meta, f)
+        self.id_tracker.save(path)
+        self.payload_storage.save(path)
+        for name, store in self.dense.items():
+            store.save(os.path.join(path, f"dense_{_safe(name)}"))
+        for name, store in self.multi.items():
+            store.save(os.path.join(path, f"multi_{_safe(name)}"))
+        for name, store in self.sparse.items():
+            store.save(os.path.join(path, f"sparse_{_safe(name)}"))
+        for name, idx in self.hnsw.items():
+            idx.save(os.path.join(path, f"hnsw_{_safe(name)}"))
+        for name, q in self.quantized.items():
+            q.save(os.path.join(path, f"quant_{_safe(name)}"))
+
+    @classmethod
+    def load(cls, path: str) -> "Segment":
+        with open(os.path.join(path, "segment.json")) as f:
+            meta = json.load(f)
+        params = CollectionParams.from_dict(meta["params"])
+        seg = cls(params, appendable=meta["appendable"])
+        seg.version = meta["version"]
+        seg.id_tracker = IdTracker.load(path)
+        seg.payload_storage = PayloadStorage.load(path)
+        for name, vp in params.vectors.items():
+            sub = os.path.join(path, f"dense_{_safe(name)}")
+            if vp.multivector_config is not None:
+                msub = os.path.join(path, f"multi_{_safe(name)}")
+                if os.path.exists(msub):
+                    seg.multi[name] = MultiVectorStore.load(
+                        msub, vp.size, vp.distance, vp.datatype
+                    )
+            elif os.path.exists(sub):
+                seg.dense[name] = DenseVectorStore.load(
+                    sub, vp.size, vp.distance, vp.datatype
+                )
+        for name, sp in params.sparse_vectors.items():
+            sub = os.path.join(path, f"sparse_{_safe(name)}")
+            seg.sparse[name] = SparseVectorStore.load(sub)
+            seg.sparse_index[name] = SparseIndex(seg.sparse[name], sp.modifier)
+        seg.payload_index = StructPayloadIndex(
+            seg.payload_storage, seg.id_tracker, seg._has_vector
+        )
+        for field, pdict in meta.get("payload_indexes", {}).items():
+            seg.payload_index.set_indexed(field, PayloadIndexParams.from_dict(pdict))
+        for name in meta.get("hnsw", []):
+            vp = params.vectors[name]
+            cfg = vp.hnsw_config or HnswConfig()
+            seg.hnsw[name] = HnswIndex.load(
+                os.path.join(path, f"hnsw_{_safe(name)}"), seg.dense[name], cfg
+            )
+        for name, qtype in meta.get("quantized", {}).items():
+            qpath = os.path.join(path, f"quant_{_safe(name)}")
+            if qtype == "ScalarQuantized":
+                seg.quantized[name] = qops.ScalarQuantized.load(qpath)
+            elif qtype == "BinaryQuantized":
+                seg.quantized[name] = qops.BinaryQuantized.load(qpath)
+            elif qtype == "ProductQuantized":
+                seg.quantized[name] = qops.ProductQuantized.load(qpath)
+        return seg
+
+
+def _safe(name: str) -> str:
+    return name if name else "_default"
