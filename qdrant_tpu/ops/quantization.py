@@ -71,7 +71,7 @@ class ScalarQuantized:
         np.savez(
             os.path.join(path, "sq.npz"),
             codes=self.codes,
-            scale=np.float32(self.scale),
+            scale=np.float64(self.scale),
             norms_sq=self.norms_sq,
         )
 

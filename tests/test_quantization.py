@@ -1,0 +1,122 @@
+import numpy as np
+import jax.numpy as jnp
+
+from qdrant_tpu.ops import quantization as qops
+from qdrant_tpu.types import Distance
+
+
+def recall_at_k(approx_ids, exact_ids):
+    hits = 0
+    for a, e in zip(approx_ids, exact_ids):
+        hits += len(set(a.tolist()) & set(e.tolist()))
+    return hits / exact_ids.size
+
+
+def test_sq_roundtrip_and_ranking():
+    rng = np.random.default_rng(0)
+    n, d, b, k = 2000, 64, 8, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    sq = qops.ScalarQuantized.encode(data)
+
+    scores = np.asarray(
+        qops.score_sq(
+            jnp.asarray(sq.encode_queries(q)),
+            jnp.asarray((q * q).sum(1).astype(np.float32)),
+            *sq.device(),
+            jnp.float32(sq.scale),
+            "Dot",
+        )
+    )
+    exact = q @ data.T
+    approx_ids = np.argsort(-scores, axis=1)[:, :k]
+    exact_ids = np.argsort(-exact, axis=1)[:, :k]
+    assert recall_at_k(approx_ids, exact_ids) >= 0.85
+
+
+def test_sq_euclid_ranking():
+    rng = np.random.default_rng(1)
+    n, d, b, k = 1000, 32, 4, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    sq = qops.ScalarQuantized.encode(data)
+    scores = np.asarray(
+        qops.score_sq(
+            jnp.asarray(sq.encode_queries(q)),
+            jnp.asarray((q * q).sum(1).astype(np.float32)),
+            *sq.device(),
+            jnp.float32(sq.scale),
+            "Euclid",
+        )
+    )
+    exact = -((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    approx_ids = np.argsort(-scores, axis=1)[:, :k]
+    exact_ids = np.argsort(-exact, axis=1)[:, :k]
+    assert recall_at_k(approx_ids, exact_ids) >= 0.8
+
+
+def test_sq_save_load(tmp_path):
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(100, 16)).astype(np.float32)
+    sq = qops.ScalarQuantized.encode(data)
+    sq.save(str(tmp_path))
+    loaded = qops.ScalarQuantized.load(str(tmp_path))
+    np.testing.assert_array_equal(sq.codes, loaded.codes)
+    assert sq.scale == loaded.scale
+
+
+def test_bq_ranking():
+    rng = np.random.default_rng(3)
+    n, d, b, k = 1000, 512, 4, 10  # BQ needs high dim to rank well
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    bq = qops.BinaryQuantized.encode(data)
+    scores = np.asarray(qops.score_bq(jnp.asarray(q), bq.device(), "Cosine"))
+    # normalized exact cosine
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    exact = qn @ vn.T
+    approx_ids = np.argsort(-scores, axis=1)[:, : k * 4]  # with oversampling
+    exact_ids = np.argsort(-exact, axis=1)[:, :k]
+    hits = sum(
+        len(set(a.tolist()) & set(e.tolist())) for a, e in zip(approx_ids, exact_ids)
+    )
+    # random gaussian data is BQ's worst case (real embeddings do far better);
+    # this guards the kernel's sanity, not production recall
+    assert hits / exact_ids.size >= 0.5
+
+
+def test_bq_save_load(tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(50, 33)).astype(np.float32)  # odd dim
+    bq = qops.BinaryQuantized.encode(data)
+    bq.save(str(tmp_path))
+    loaded = qops.BinaryQuantized.load(str(tmp_path))
+    np.testing.assert_array_equal(bq.signs, loaded.signs)
+
+
+def test_pq_ranking():
+    rng = np.random.default_rng(5)
+    n, d, b, k = 1500, 64, 4, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    pq = qops.ProductQuantized.encode(data, compression="x8", iters=8)
+    lut = pq.query_lut(q, Distance.EUCLID)
+    scores = np.asarray(qops.score_pq(jnp.asarray(lut), pq.device()))
+    exact = -((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    approx_ids = np.argsort(-scores, axis=1)[:, : k * 3]
+    exact_ids = np.argsort(-exact, axis=1)[:, :k]
+    hits = sum(
+        len(set(a.tolist()) & set(e.tolist())) for a, e in zip(approx_ids, exact_ids)
+    )
+    assert hits / exact_ids.size >= 0.6
+
+
+def test_pq_save_load(tmp_path):
+    rng = np.random.default_rng(6)
+    data = rng.normal(size=(600, 32)).astype(np.float32)
+    pq = qops.ProductQuantized.encode(data, compression="x16", iters=4)
+    pq.save(str(tmp_path))
+    loaded = qops.ProductQuantized.load(str(tmp_path))
+    np.testing.assert_array_equal(pq.codes, loaded.codes)
+    np.testing.assert_allclose(pq.codebooks, loaded.codebooks)

@@ -1,0 +1,151 @@
+import numpy as np
+import pytest
+
+from qdrant_tpu.storage.segment import Segment, SearchParams
+from qdrant_tpu.types import (
+    CollectionParams,
+    Datatype,
+    Distance,
+    Filter,
+    HnswConfig,
+    PayloadIndexParams,
+    PayloadSchemaType,
+    ScalarQuantizationConfig,
+    SparseVector,
+    SparseVectorParams,
+    VectorParams,
+    parse_filter,
+)
+
+
+def make_params(dim=16, distance=Distance.EUCLID, quant=None):
+    return CollectionParams(
+        vectors={"": VectorParams(size=dim, distance=distance, quantization_config=quant)},
+        sparse_vectors={"text": SparseVectorParams()},
+    )
+
+
+def test_segment_upsert_search_roundtrip():
+    rng = np.random.default_rng(0)
+    seg = Segment(make_params())
+    data = rng.normal(size=(100, 16)).astype(np.float32)
+    for i in range(100):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"city": "berlin" if i % 2 else "москва", "num": i})
+    assert len(seg) == 100
+
+    scores, ids = seg.search_dense("", data[:3], k=1)
+    assert ids[:, 0].tolist() == [0, 1, 2]
+
+    # idempotency: older op_num must not overwrite
+    assert not seg.upsert_point(0, 5, {"": np.zeros(16, dtype=np.float32)})
+    _, ids = seg.search_dense("", data[5:6], k=1)
+    assert ids[0, 0] == 5
+
+
+def test_segment_filter_search():
+    rng = np.random.default_rng(1)
+    seg = Segment(make_params())
+    data = rng.normal(size=(200, 16)).astype(np.float32)
+    for i in range(200):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"group": f"g{i % 4}", "val": i})
+    flt = parse_filter({"must": [{"key": "group", "match": {"value": "g1"}}]})
+    scores, ids = seg.search_dense("", data[:2], k=5, flt=flt)
+    valid = ids[ids >= 0]
+    assert len(valid) > 0
+    assert np.all(valid % 4 == 1)
+
+    # range filter
+    flt2 = parse_filter({"must": [{"key": "val", "range": {"gte": 100, "lt": 110}}]})
+    _, ids2 = seg.search_dense("", data[:1], k=20, flt=flt2)
+    valid2 = ids2[ids2 >= 0]
+    assert set(valid2.tolist()) <= set(range(100, 110))
+
+
+def test_segment_indexed_filter_matches_fallback():
+    rng = np.random.default_rng(2)
+    seg = Segment(make_params())
+    data = rng.normal(size=(150, 16)).astype(np.float32)
+    for i in range(150):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"tag": f"t{i % 5}"})
+    flt = parse_filter({"must": [{"key": "tag", "match": {"any": ["t0", "t3"]}}]})
+    mask_scan = seg.filter_mask(flt).copy()
+    seg.create_field_index("tag", PayloadIndexParams(type=PayloadSchemaType.KEYWORD))
+    mask_idx = seg.filter_mask(flt)
+    np.testing.assert_array_equal(mask_scan, mask_idx)
+
+
+def test_segment_delete_and_payload_ops():
+    rng = np.random.default_rng(3)
+    seg = Segment(make_params())
+    data = rng.normal(size=(50, 16)).astype(np.float32)
+    for i in range(50):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"a": {"b": i}})
+    seg.delete_point(100, 10)
+    assert len(seg) == 49
+    _, ids = seg.search_dense("", data[10:11], k=1)
+    assert ids[0, 0] != 10
+
+    seg.set_payload(101, 11, {"c": "x"})
+    assert seg.get_payload(11) == {"a": {"b": 11}, "c": "x"}
+    seg.delete_payload_key(102, 11, "a.b")
+    assert seg.get_payload(11) == {"a": {}, "c": "x"}
+    seg.clear_payload(103, 11)
+    assert seg.get_payload(11) == {}
+
+
+def test_segment_sparse_search():
+    seg = Segment(make_params())
+    vecs = [
+        SparseVector([1, 5, 9], [1.0, 2.0, 3.0]),
+        SparseVector([1, 7], [5.0, 1.0]),
+        SparseVector([5, 9], [1.0, 1.0]),
+    ]
+    for i, sv in enumerate(vecs):
+        seg.upsert_point(i + 1, i, {"text": sv, "": np.zeros(16, dtype=np.float32)})
+    q = SparseVector([1, 9], [1.0, 1.0])
+    scores, ids = seg.search_sparse("text", [q], k=3)
+    # expected: p0 = 1+3=4, p1 = 5, p2 = 1
+    assert ids[0, 0] == 1 and ids[0, 1] == 0 and ids[0, 2] == 2
+    np.testing.assert_allclose(scores[0], [5.0, 4.0, 1.0])
+
+
+def test_segment_seal_with_hnsw_and_sq():
+    rng = np.random.default_rng(4)
+    params = make_params(
+        dim=24,
+        distance=Distance.COSINE,
+        quant=ScalarQuantizationConfig(),
+    )
+    params.vectors[""].hnsw_config = HnswConfig(m=8, ef_construct=48, full_scan_threshold=10)
+    seg = Segment(params)
+    data = rng.normal(size=(500, 24)).astype(np.float32)
+    for i in range(500):
+        seg.upsert_point(i + 1, i, {"": data[i]})
+    seg.build_indexes()
+    assert "" in seg.hnsw and "" in seg.quantized
+
+    # graph search
+    scores, ids = seg.search_dense("", data[:5], k=1, params=SearchParams(hnsw_ef=64))
+    assert (ids[:, 0] == np.arange(5)).mean() >= 0.8
+
+    # quantized path forced (exact=False, no graph): drop graph
+    seg.hnsw = {}
+    scores, ids = seg.search_dense("", data[:5], k=1)
+    assert (ids[:, 0] == np.arange(5)).mean() >= 0.8
+
+
+def test_segment_save_load(tmp_path):
+    rng = np.random.default_rng(5)
+    seg = Segment(make_params())
+    data = rng.normal(size=(80, 16)).astype(np.float32)
+    for i in range(80):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"k": i % 3})
+    seg.create_field_index("k", PayloadIndexParams(type=PayloadSchemaType.INTEGER))
+    seg.save(str(tmp_path / "seg"))
+    loaded = Segment.load(str(tmp_path / "seg"))
+    assert len(loaded) == 80
+    assert loaded.get_payload(7) == {"k": 1}
+    _, ids1 = seg.search_dense("", data[:2], k=3)
+    _, ids2 = loaded.search_dense("", data[:2], k=3)
+    np.testing.assert_array_equal(ids1, ids2)
+    assert "k" in loaded.payload_index.indexed_fields()
