@@ -1,0 +1,448 @@
+"""LocalShard: WAL + segment lifecycle + scatter-gather search.
+
+Reference: lib/collection/src/shards/local_shard/ (WAL replay, update
+pipeline shard_ops.rs:61) + lib/shard/src/segment_holder/ + the optimizer
+policies (lib/collection/src/collection_manager/optimizers/ and
+lib/shard/src/optimizers/segment_optimizer.rs:489):
+
+  * updates append to the WAL, then apply to segments (idempotent per-point
+    by op_num);
+  * one appendable segment receives new points (searched exactly via MXU full
+    scan); the optimizer seals it into an indexed immutable segment when it
+    crosses the indexing threshold (indexing_optimizer), vacuums segments
+    with many deletes (vacuum_optimizer), and merges small sealed segments
+    (merge_optimizer);
+  * searches fan out over all segments and merge top-k (the host analogue of
+    segments_searcher.rs:212; cross-device fan-out lives in parallel/).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..storage.segment import SearchParams, Segment
+from ..storage.wal import Wal
+from ..types import (
+    CollectionParams,
+    Filter,
+    HnswConfig,
+    OptimizersConfig,
+    PayloadIndexParams,
+    PointId,
+    SparseVector,
+    normalize_point_id,
+    parse_filter,
+)
+
+
+class ShardUpdateError(Exception):
+    pass
+
+
+class LocalShard:
+    def __init__(
+        self,
+        path: str,
+        params: CollectionParams,
+        optimizers: Optional[OptimizersConfig] = None,
+    ):
+        self.path = path
+        self.params = params
+        self.optimizers = optimizers or OptimizersConfig()
+        os.makedirs(path, exist_ok=True)
+        self.wal = Wal(os.path.join(path, "wal"))
+        self.segments: List[Segment] = []
+        self._segment_dirs: Dict[int, str] = {}  # id(segment) → dir name
+        self._seg_counter = 0
+        self._load_segments()
+        if not any(s.appendable for s in self.segments):
+            self._add_segment(Segment(params, appendable=True))
+        self._replay_wal()
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def _segments_root(self) -> str:
+        return os.path.join(self.path, "segments")
+
+    def _load_segments(self) -> None:
+        root = self._segments_root()
+        if not os.path.isdir(root):
+            os.makedirs(root, exist_ok=True)
+            return
+        for name in sorted(os.listdir(root)):
+            seg_path = os.path.join(root, name)
+            if os.path.isfile(os.path.join(seg_path, "segment.json")):
+                seg = Segment.load(seg_path)
+                self.segments.append(seg)
+                self._segment_dirs[id(seg)] = name
+                num = int(name.split("_")[-1])
+                self._seg_counter = max(self._seg_counter, num + 1)
+
+    def _add_segment(self, seg: Segment) -> None:
+        name = f"seg_{self._seg_counter:06d}"
+        self._seg_counter += 1
+        self.segments.append(seg)
+        self._segment_dirs[id(seg)] = name
+
+    def _replay_wal(self) -> None:
+        from_version = min((s.version for s in self.segments), default=0) + 1
+        for op_num, op in self.wal.read_from(from_version):
+            self._apply(op_num, op)
+
+    @property
+    def appendable_segment(self) -> Segment:
+        for seg in self.segments:
+            if seg.appendable:
+                return seg
+        seg = Segment(self.params, appendable=True)
+        self._add_segment(seg)
+        return seg
+
+    # ------------------------------------------------------------------
+    # update pipeline
+    # ------------------------------------------------------------------
+
+    def update(self, op: Dict[str, Any], wait: bool = True) -> Dict[str, Any]:
+        op_num = self.wal.append(op)
+        self._apply(op_num, op)
+        if wait:
+            self.maybe_optimize()
+        return {"operation_id": op_num, "status": "completed" if wait else "acknowledged"}
+
+    def _find_point(self, external_id: PointId) -> Optional[Segment]:
+        for seg in self.segments:
+            if seg.id_tracker.contains(external_id):
+                return seg
+        return None
+
+    def _resolve_selector(self, op: Dict[str, Any]) -> List[PointId]:
+        """Point selector: explicit ids or a filter (reference PointsSelector)."""
+        if op.get("ids") is not None:
+            return [normalize_point_id(p) for p in op["ids"]]
+        flt = parse_filter(op.get("filter"))
+        out: List[PointId] = []
+        for seg in self.segments:
+            mask = seg.filter_mask(flt)
+            for ext in list(seg.id_tracker.external_ids()):
+                internal = seg.id_tracker.internal_id(ext)
+                if internal is None:
+                    continue
+                if mask is None or (internal < len(mask) and mask[internal]):
+                    out.append(ext)
+        return out
+
+    def _apply(self, op_num: int, op: Dict[str, Any]) -> None:
+        t = op["type"]
+        if t == "upsert":
+            for point in op["points"]:
+                ext = normalize_point_id(point["id"])
+                vectors = _decode_vectors(point.get("vectors") or {})
+                payload = point.get("payload")
+                target = self._find_point(ext)
+                appendable = self.appendable_segment
+                if target is not None and target is not appendable:
+                    # move point into the appendable segment (copy-on-write
+                    # semantics of the reference's proxy segments)
+                    old_payload = target.get_payload(ext)
+                    old_vectors = target.get_vectors(ext) or {}
+                    merged = {**_decode_vectors(old_vectors), **vectors}
+                    target.delete_point(op_num, ext)
+                    appendable.upsert_point(
+                        op_num, ext, merged, payload if payload is not None else old_payload
+                    )
+                else:
+                    appendable.upsert_point(op_num, ext, vectors, payload)
+        elif t == "delete":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.delete_point(op_num, ext)
+        elif t == "update_vectors":
+            for point in op["points"]:
+                ext = normalize_point_id(point["id"])
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.update_vectors(op_num, ext, _decode_vectors(point["vectors"]))
+        elif t == "delete_vectors":
+            names = op["names"]
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.delete_vectors(op_num, ext, names)
+        elif t == "set_payload":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.set_payload(op_num, ext, op["payload"], op.get("key"))
+        elif t == "overwrite_payload":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.overwrite_payload(op_num, ext, op["payload"])
+        elif t == "delete_payload":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    for key in op["keys"]:
+                        seg.delete_payload_key(op_num, ext, key)
+        elif t == "clear_payload":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.clear_payload(op_num, ext)
+        elif t == "create_field_index":
+            params = PayloadIndexParams.from_dict(op["params"])
+            for seg in self.segments:
+                seg.create_field_index(op["field"], params)
+        elif t == "delete_field_index":
+            for seg in self.segments:
+                seg.delete_field_index(op["field"])
+        else:
+            raise ShardUpdateError(f"unknown operation type {t!r}")
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def point_count(self) -> int:
+        return sum(len(s) for s in self.segments)
+
+    def count(self, flt: Optional[Filter]) -> int:
+        if flt is None:
+            return self.point_count()
+        total = 0
+        for seg in self.segments:
+            mask = seg.filter_mask(flt)
+            alive = seg.alive_mask()
+            total += int((alive & mask).sum()) if mask is not None else int(alive.sum())
+        return total
+
+    def retrieve(self, ids: List[PointId]) -> List[Tuple[PointId, Segment, int]]:
+        """→ [(external_id, segment, internal_offset)] for existing points."""
+        out = []
+        for ext in ids:
+            seg = self._find_point(ext)
+            if seg is not None:
+                out.append((ext, seg, seg.id_tracker.internal_id(ext)))
+        return out
+
+    def search_dense(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
+        """→ per query: [(score, external_id, version)] merged over segments."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b = queries.shape[0]
+        merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in range(b)]
+        for seg in self.segments:
+            if name not in seg.dense or len(seg) == 0:
+                continue
+            scores, ids = seg.search_dense(name, queries, k, flt, params)
+            for qi in range(b):
+                for s, off in zip(scores[qi], ids[qi]):
+                    if off < 0 or not np.isfinite(s):
+                        continue
+                    ext = seg.id_tracker.external_id(int(off))
+                    if ext is None:
+                        continue
+                    ver = seg.id_tracker.version(int(off))
+                    prev = merged[qi].get(ext)
+                    if prev is None or ver > prev[1]:
+                        merged[qi][ext] = (float(s), ver)
+        out = []
+        for qi in range(b):
+            items = [(s, ext, ver) for ext, (s, ver) in merged[qi].items()]
+            items.sort(key=lambda t: -t[0])
+            out.append(items[:k])
+        return out
+
+    def search_sparse(
+        self,
+        name: str,
+        queries: List[SparseVector],
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
+        merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in queries]
+        for seg in self.segments:
+            if name not in seg.sparse or len(seg) == 0:
+                continue
+            scores, ids = seg.search_sparse(name, queries, k, flt)
+            for qi in range(len(queries)):
+                for s, off in zip(scores[qi], ids[qi]):
+                    if off < 0 or not np.isfinite(s):
+                        continue
+                    ext = seg.id_tracker.external_id(int(off))
+                    if ext is None:
+                        continue
+                    ver = seg.id_tracker.version(int(off))
+                    prev = merged[qi].get(ext)
+                    if prev is None or ver > prev[1]:
+                        merged[qi][ext] = (float(s), ver)
+        out = []
+        for qi in range(len(queries)):
+            items = [(s, ext, ver) for ext, (s, ver) in merged[qi].items()]
+            items.sort(key=lambda t: -t[0])
+            out.append(items[:k])
+        return out
+
+    def search_multi(
+        self,
+        name: str,
+        query: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> List[Tuple[float, PointId, int]]:
+        merged: Dict[PointId, Tuple[float, int]] = {}
+        for seg in self.segments:
+            if name not in seg.multi or len(seg) == 0:
+                continue
+            scores, ids = seg.search_multi(name, query, k, flt)
+            for s, off in zip(scores[0], ids[0]):
+                if off < 0 or not np.isfinite(s):
+                    continue
+                ext = seg.id_tracker.external_id(int(off))
+                if ext is None:
+                    continue
+                ver = seg.id_tracker.version(int(off))
+                prev = merged.get(ext)
+                if prev is None or ver > prev[1]:
+                    merged[ext] = (float(s), ver)
+        items = [(s, ext, ver) for ext, (s, ver) in merged.items()]
+        items.sort(key=lambda t: -t[0])
+        return items[:k]
+
+    def scroll_ids(
+        self,
+        limit: int,
+        offset_id: Optional[PointId] = None,
+        flt: Optional[Filter] = None,
+    ) -> List[PointId]:
+        """Points ordered by external id (ints first, then UUIDs)."""
+        all_ids: List[PointId] = []
+        for seg in self.segments:
+            mask = seg.filter_mask(flt)
+            for ext in seg.id_tracker.iter_sorted_external():
+                internal = seg.id_tracker.internal_id(ext)
+                if mask is None or (internal is not None and internal < len(mask) and mask[internal]):
+                    all_ids.append(ext)
+        ints = sorted(x for x in all_ids if isinstance(x, int))
+        strs = sorted(x for x in all_ids if isinstance(x, str))
+        ordered = ints + strs
+        if offset_id is not None:
+            key = (0, offset_id, "") if isinstance(offset_id, int) else (1, 0, offset_id)
+
+            def at_least(x):
+                kx = (0, x, "") if isinstance(x, int) else (1, 0, x)
+                return kx >= key
+
+            ordered = [x for x in ordered if at_least(x)]
+        return ordered[:limit]
+
+    # ------------------------------------------------------------------
+    # optimizer (reference: optimizers/segment_optimizer.rs plan/execute)
+    # ------------------------------------------------------------------
+
+    def maybe_optimize(self) -> bool:
+        did = False
+        # indexing: seal a big appendable segment
+        for seg in list(self.segments):
+            if seg.appendable and seg.available_point_count() >= self.optimizers.indexing_threshold:
+                self._seal_segment(seg)
+                did = True
+        # vacuum: rebuild sealed segments with too many deletes
+        for seg in list(self.segments):
+            total = seg.total_offsets
+            if (
+                not seg.appendable
+                and total >= self.optimizers.vacuum_min_vector_number
+                and total > 0
+            ):
+                deleted_frac = 1.0 - (len(seg) / total)
+                if deleted_frac > self.optimizers.deleted_threshold:
+                    self._rebuild_segment(seg)
+                    did = True
+        return did
+
+    def _defragment_into(self, sources: List[Segment], appendable: bool) -> Segment:
+        """New segment from the live points of `sources` (drops deleted rows —
+        the reference SegmentBuilder::update collect phase)."""
+        seg = Segment(self.params, appendable=appendable)
+        for src in sources:
+            for field, p in src.payload_index.indexed_fields().items():
+                if field not in seg.payload_index.indexed_fields():
+                    seg.create_field_index(field, p)
+            for ext in src.id_tracker.iter_sorted_external():
+                internal = src.id_tracker.internal_id(ext)
+                if internal is None:
+                    continue
+                version = src.id_tracker.version(internal)
+                vectors = _decode_vectors(src.get_vectors(ext) or {})
+                payload = src.get_payload(ext)
+                seg.upsert_point(version, ext, vectors, payload)
+        seg.version = max((s.version for s in sources), default=0)
+        return seg
+
+    def _seal_segment(self, seg: Segment) -> None:
+        new_seg = self._defragment_into([seg], appendable=False)
+        new_seg.build_indexes()
+        self._swap([seg], new_seg)
+
+    def _rebuild_segment(self, seg: Segment) -> None:
+        had_index = bool(seg.hnsw)
+        new_seg = self._defragment_into([seg], appendable=not had_index)
+        if had_index:
+            new_seg.build_indexes()
+        self._swap([seg], new_seg)
+
+    def _swap(self, old: List[Segment], new: Segment) -> None:
+        for seg in old:
+            name = self._segment_dirs.pop(id(seg), None)
+            self.segments.remove(seg)
+            if name:
+                full = os.path.join(self._segments_root(), name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+        self._add_segment(new)
+        self.flush()
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def flush(self) -> None:
+        root = self._segments_root()
+        os.makedirs(root, exist_ok=True)
+        for seg in self.segments:
+            name = self._segment_dirs[id(seg)]
+            seg.save(os.path.join(root, name))
+        persisted = min((s.version for s in self.segments), default=0)
+        self.wal.ack(persisted)
+
+    def close(self) -> None:
+        self.flush()
+        self.wal.close()
+
+
+def _decode_vectors(vectors: Dict[str, Any]) -> Dict[str, Any]:
+    """WAL/REST vector payloads → engine types."""
+    out: Dict[str, Any] = {}
+    for name, v in vectors.items():
+        if isinstance(v, dict) and "indices" in v:
+            out[name] = SparseVector.from_dict(v)
+        elif isinstance(v, SparseVector):
+            out[name] = v
+        else:
+            out[name] = v
+    return out

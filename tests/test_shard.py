@@ -1,0 +1,128 @@
+import numpy as np
+
+from qdrant_tpu.collection.shard import LocalShard
+from qdrant_tpu.types import (
+    CollectionParams,
+    Distance,
+    OptimizersConfig,
+    SparseVectorParams,
+    VectorParams,
+)
+
+
+def make_params(dim=16):
+    return CollectionParams(
+        vectors={"": VectorParams(size=dim, distance=Distance.EUCLID)},
+        sparse_vectors={"sp": SparseVectorParams()},
+    )
+
+
+def upsert_op(ids, vectors, payloads=None):
+    points = []
+    for i, pid in enumerate(ids):
+        p = {"id": pid, "vectors": {"": vectors[i].tolist()}}
+        if payloads:
+            p["payload"] = payloads[i]
+        points.append(p)
+    return {"type": "upsert", "points": points}
+
+
+def test_shard_upsert_search_and_wal_replay(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(50, 16)).astype(np.float32)
+    path = str(tmp_path / "shard")
+    shard = LocalShard(path, make_params())
+    shard.update(upsert_op(list(range(50)), data))
+    res = shard.search_dense("", data[:3], k=1)
+    assert [r[0][1] for r in res] == [0, 1, 2]
+    shard.wal.sync()
+    shard.wal.close()
+
+    # reopen WITHOUT flush: WAL replay must restore everything
+    shard2 = LocalShard(path, make_params())
+    assert shard2.point_count() == 50
+    res2 = shard2.search_dense("", data[:3], k=1)
+    assert [r[0][1] for r in res2] == [0, 1, 2]
+
+
+def test_shard_flush_and_reload(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(30, 16)).astype(np.float32)
+    path = str(tmp_path / "shard")
+    shard = LocalShard(path, make_params())
+    shard.update(upsert_op(list(range(30)), data, [{"x": i} for i in range(30)]))
+    shard.update({"type": "delete", "ids": [5, 6]})
+    shard.close()
+
+    shard2 = LocalShard(path, make_params())
+    assert shard2.point_count() == 28
+    seg = shard2._find_point(7)
+    assert seg.get_payload(7) == {"x": 7}
+    assert shard2._find_point(5) is None
+
+
+def test_shard_update_moves_point_from_sealed(tmp_path):
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(60, 16)).astype(np.float32)
+    path = str(tmp_path / "shard")
+    opt = OptimizersConfig(indexing_threshold=50, vacuum_min_vector_number=10**9)
+    shard = LocalShard(path, make_params(), opt)
+    shard.update(upsert_op(list(range(60)), data))
+    # optimizer sealed the appendable segment (60 >= 50)
+    assert any(not s.appendable for s in shard.segments)
+
+    # now upsert an existing point with a new vector: must move to appendable
+    new_vec = rng.normal(size=16).astype(np.float32)
+    shard.update(upsert_op([10], new_vec[None, :]))
+    res = shard.search_dense("", new_vec[None, :], k=1)
+    assert res[0][0][1] == 10
+    assert shard.point_count() == 60
+
+
+def test_shard_optimizer_vacuum(tmp_path):
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(40, 16)).astype(np.float32)
+    opt = OptimizersConfig(
+        indexing_threshold=30, vacuum_min_vector_number=10, deleted_threshold=0.2
+    )
+    shard = LocalShard(str(tmp_path / "s"), make_params(), opt)
+    shard.update(upsert_op(list(range(40)), data))
+    sealed = [s for s in shard.segments if not s.appendable]
+    assert sealed
+    # delete 30% of points → vacuum rebuild
+    shard.update({"type": "delete", "ids": list(range(0, 12))})
+    for seg in shard.segments:
+        assert seg.total_offsets == len(seg)  # defragmented
+    assert shard.point_count() == 28
+
+
+def test_shard_payload_ops_and_filter_selector(tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(20, 16)).astype(np.float32)
+    shard = LocalShard(str(tmp_path / "s"), make_params())
+    shard.update(upsert_op(list(range(20)), data, [{"g": i % 2} for i in range(20)]))
+    shard.update(
+        {
+            "type": "set_payload",
+            "payload": {"marked": True},
+            "filter": {"must": [{"key": "g", "match": {"value": 1}}]},
+        }
+    )
+    seg = shard._find_point(3)
+    assert seg.get_payload(3) == {"g": 1, "marked": True}
+    assert shard._find_point(2) is not None
+    assert shard._find_point(2).get_payload(2) == {"g": 0}
+    from qdrant_tpu.types import parse_filter
+
+    assert shard.count(parse_filter({"must": [{"key": "marked", "match": {"value": True}}]})) == 10
+
+
+def test_shard_scroll(tmp_path):
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(15, 16)).astype(np.float32)
+    shard = LocalShard(str(tmp_path / "s"), make_params())
+    shard.update(upsert_op([i * 2 for i in range(15)], data))
+    page1 = shard.scroll_ids(limit=5)
+    assert page1 == [0, 2, 4, 6, 8]
+    page2 = shard.scroll_ids(limit=5, offset_id=10)
+    assert page2 == [10, 12, 14, 16, 18]
