@@ -1,0 +1,465 @@
+"""Collection: shard routing + point ops façade + info.
+
+Reference: lib/collection/src/collection/ (Collection mod.rs:68, shard
+holder, hash-ring routing in operations/point_ops.rs:63 split_by_shard).
+Each collection owns `shard_number` LocalShards (device-parallel execution
+over a TPU mesh lives in parallel/mesh.py; host-side multi-node replication
+is the cluster layer's job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tarfile
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..storage.segment import SearchParams
+from ..types import (
+    CollectionParams,
+    Filter,
+    HnswConfig,
+    OptimizersConfig,
+    PayloadIndexParams,
+    PointId,
+    SparseVector,
+    WalConfig,
+    normalize_point_id,
+    parse_filter,
+)
+from .hash_ring import HashRing
+from .shard import LocalShard
+
+
+class CollectionError(Exception):
+    status_code = 400
+
+
+class NotFoundError(CollectionError):
+    status_code = 404
+
+
+class Collection:
+    def __init__(
+        self,
+        name: str,
+        path: str,
+        params: CollectionParams,
+        hnsw_config: Optional[HnswConfig] = None,
+        optimizers_config: Optional[OptimizersConfig] = None,
+        wal_config: Optional[WalConfig] = None,
+    ):
+        self.name = name
+        self.path = path
+        self.params = params
+        self.hnsw_config = hnsw_config or HnswConfig()
+        self.optimizers_config = optimizers_config or OptimizersConfig()
+        self.wal_config = wal_config or WalConfig()
+        self.created_at = time.time()
+        os.makedirs(path, exist_ok=True)
+        # default per-vector hnsw config from collection default
+        for vp in self.params.vectors.values():
+            if vp.hnsw_config is None:
+                vp.hnsw_config = self.hnsw_config
+
+        self.shards: Dict[int, LocalShard] = {}
+        self.ring = HashRing()
+        # custom sharding: shard_key → shard ids
+        self.shard_keys: Dict[Any, List[int]] = {}
+        self._next_shard_id = 0
+        if params.sharding_method != "custom":
+            for shard_id in range(params.shard_number):
+                self._create_shard(shard_id)
+                self.ring.add(shard_id)
+            self._next_shard_id = params.shard_number
+        self.save_config()
+
+    # ------------------------------------------------------------------
+    # shards
+    # ------------------------------------------------------------------
+
+    def _shard_path(self, shard_id: int) -> str:
+        return os.path.join(self.path, "shards", str(shard_id))
+
+    def _create_shard(self, shard_id: int) -> LocalShard:
+        shard = LocalShard(
+            self._shard_path(shard_id), self.params, self.optimizers_config
+        )
+        self.shards[shard_id] = shard
+        return shard
+
+    def create_shard_key(self, key: Any, shards_number: int = 1) -> None:
+        if self.params.sharding_method != "custom":
+            raise CollectionError("collection does not use custom sharding")
+        if key in self.shard_keys:
+            raise CollectionError(f"shard key {key!r} already exists")
+        ids = []
+        for _ in range(shards_number):
+            sid = self._next_shard_id
+            self._next_shard_id += 1
+            self._create_shard(sid)
+            ids.append(sid)
+        self.shard_keys[key] = ids
+        self.save_config()
+
+    def delete_shard_key(self, key: Any) -> None:
+        ids = self.shard_keys.pop(key, None)
+        if ids is None:
+            raise NotFoundError(f"shard key {key!r} not found")
+        for sid in ids:
+            shard = self.shards.pop(sid, None)
+            if shard:
+                shard.close()
+                shutil.rmtree(self._shard_path(sid), ignore_errors=True)
+        self.save_config()
+
+    def _shards_for_read(self, shard_key: Any = None) -> List[LocalShard]:
+        if shard_key is None:
+            return list(self.shards.values())
+        keys = shard_key if isinstance(shard_key, list) else [shard_key]
+        out = []
+        for k in keys:
+            if k not in self.shard_keys:
+                raise NotFoundError(f"shard key {k!r} not found")
+            out.extend(self.shards[s] for s in self.shard_keys[k])
+        return out
+
+    def _route_point(self, point_id: PointId, shard_key: Any = None) -> LocalShard:
+        if self.params.sharding_method == "custom":
+            if shard_key is None:
+                raise CollectionError("custom sharding requires shard_key")
+            if shard_key not in self.shard_keys:
+                raise NotFoundError(f"shard key {shard_key!r} not found")
+            ids = self.shard_keys[shard_key]
+            ring = HashRing()
+            for s in ids:
+                ring.add(s)
+            return self.shards[ring.get(point_id)]
+        return self.shards[self.ring.get(point_id)]
+
+    # ------------------------------------------------------------------
+    # updates (split by shard; reference point_ops.rs:63)
+    # ------------------------------------------------------------------
+
+    def upsert(
+        self, points: List[Dict[str, Any]], shard_key: Any = None, wait: bool = True
+    ) -> Dict[str, Any]:
+        by_shard: Dict[int, List[dict]] = {}
+        for p in points:
+            pid = normalize_point_id(p["id"])
+            shard = self._route_point(pid, shard_key or p.get("shard_key"))
+            sid = next(k for k, v in self.shards.items() if v is shard)
+            by_shard.setdefault(sid, []).append(p)
+        result = {}
+        for sid, pts in by_shard.items():
+            result = self.shards[sid].update(
+                {"type": "upsert", "points": pts}, wait=wait
+            )
+        return result
+
+    def update_op(
+        self, op: Dict[str, Any], shard_key: Any = None, wait: bool = True
+    ) -> Dict[str, Any]:
+        """Route a non-upsert update op: by ids when present, else broadcast."""
+        result: Dict[str, Any] = {"operation_id": 0, "status": "completed"}
+        if op.get("ids") is not None and self.params.sharding_method != "custom":
+            by_shard: Dict[int, List[PointId]] = {}
+            for pid in op["ids"]:
+                pid = normalize_point_id(pid)
+                shard = self._route_point(pid, shard_key)
+                sid = next(k for k, v in self.shards.items() if v is shard)
+                by_shard.setdefault(sid, []).append(pid)
+            for sid, ids in by_shard.items():
+                sub = dict(op)
+                sub["ids"] = ids
+                result = self.shards[sid].update(sub, wait=wait)
+        else:
+            for shard in self._shards_for_read(shard_key):
+                result = shard.update(op, wait=wait)
+        return result
+
+    def create_payload_index(
+        self, field: str, params: PayloadIndexParams, wait: bool = True
+    ) -> Dict[str, Any]:
+        return self.update_op(
+            {"type": "create_field_index", "field": field, "params": params.to_dict()},
+            wait=wait,
+        )
+
+    def delete_payload_index(self, field: str, wait: bool = True) -> Dict[str, Any]:
+        return self.update_op(
+            {"type": "delete_field_index", "field": field}, wait=wait
+        )
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def count(self, flt: Optional[Filter] = None, shard_key: Any = None) -> int:
+        return sum(s.count(flt) for s in self._shards_for_read(shard_key))
+
+    def retrieve(
+        self, ids: List[PointId], shard_key: Any = None
+    ) -> List[Tuple[PointId, Any, int]]:
+        out = []
+        for shard in self._shards_for_read(shard_key):
+            out.extend(shard.retrieve([normalize_point_id(i) for i in ids]))
+        return out
+
+    def get_point_vector(self, point_id: PointId, name: str) -> Optional[Any]:
+        for shard in self.shards.values():
+            seg = shard._find_point(normalize_point_id(point_id))
+            if seg is not None:
+                vectors = seg.get_vectors(point_id)
+                if vectors and name in vectors:
+                    return vectors[name]
+        return None
+
+    def get_payload_and_vectors(
+        self, point_id: PointId
+    ) -> Tuple[Optional[dict], Optional[dict]]:
+        for shard in self.shards.values():
+            seg = shard._find_point(point_id)
+            if seg is not None:
+                return seg.get_payload(point_id), seg.get_vectors(point_id)
+        return None, None
+
+    def search_dense(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+        shard_key: Any = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        merged: List[Dict[PointId, Tuple[float, int]]] = [
+            dict() for _ in range(queries.shape[0])
+        ]
+        for shard in self._shards_for_read(shard_key):
+            res = shard.search_dense(name, queries, k, flt, params)
+            for qi, items in enumerate(res):
+                for s, ext, ver in items:
+                    prev = merged[qi].get(ext)
+                    if prev is None or ver > prev[1]:
+                        merged[qi][ext] = (s, ver)
+        out = []
+        for qi in range(queries.shape[0]):
+            items = [(s, ext, ver) for ext, (s, ver) in merged[qi].items()]
+            items.sort(key=lambda t: -t[0])
+            out.append(items[:k])
+        return out
+
+    def search_sparse(
+        self,
+        name: str,
+        queries: List[SparseVector],
+        k: int,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
+        merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in queries]
+        for shard in self._shards_for_read(shard_key):
+            res = shard.search_sparse(name, queries, k, flt)
+            for qi, items in enumerate(res):
+                for s, ext, ver in items:
+                    prev = merged[qi].get(ext)
+                    if prev is None or ver > prev[1]:
+                        merged[qi][ext] = (s, ver)
+        out = []
+        for qi in range(len(queries)):
+            items = [(s, ext, ver) for ext, (s, ver) in merged[qi].items()]
+            items.sort(key=lambda t: -t[0])
+            out.append(items[:k])
+        return out
+
+    def search_multi(
+        self,
+        name: str,
+        query: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[Tuple[float, PointId, int]]:
+        merged: Dict[PointId, Tuple[float, int]] = {}
+        for shard in self._shards_for_read(shard_key):
+            for s, ext, ver in shard.search_multi(name, query, k, flt):
+                prev = merged.get(ext)
+                if prev is None or ver > prev[1]:
+                    merged[ext] = (s, ver)
+        items = [(s, ext, ver) for ext, (s, ver) in merged.items()]
+        items.sort(key=lambda t: -t[0])
+        return items[:k]
+
+    def scroll_ids(
+        self,
+        limit: int,
+        offset_id: Optional[PointId] = None,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[PointId]:
+        all_ids: List[PointId] = []
+        for shard in self._shards_for_read(shard_key):
+            all_ids.extend(shard.scroll_ids(limit * 2 + 64, offset_id, flt))
+        ints = sorted(x for x in all_ids if isinstance(x, int))
+        strs = sorted(x for x in all_ids if isinstance(x, str))
+        return (ints + strs)[:limit]
+
+    def facet(
+        self,
+        key: str,
+        limit: int = 10,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[Tuple[Any, int]]:
+        """Facet value counts over a payload field (reference: facets API)."""
+        from ..utils import json_path
+
+        counts: Dict[Any, int] = {}
+        for shard in self._shards_for_read(shard_key):
+            for seg in shard.segments:
+                mask = seg.filter_mask(flt)
+                alive = seg.alive_mask()
+                for off, payload in seg.payload_storage.iter_items():
+                    if off >= len(alive) or not alive[off]:
+                        continue
+                    if mask is not None and (off >= len(mask) or not mask[off]):
+                        continue
+                    for v in set(
+                        x
+                        for x in json_path.get_leaf_values(payload, key)
+                        if isinstance(x, (str, int, bool))
+                    ):
+                        counts[v] = counts.get(v, 0) + 1
+        items = sorted(counts.items(), key=lambda t: (-t[1], str(t[0])))
+        return items[:limit]
+
+    # ------------------------------------------------------------------
+    # info / persistence
+    # ------------------------------------------------------------------
+
+    def info(self) -> Dict[str, Any]:
+        points = sum(s.point_count() for s in self.shards.values())
+        segments = sum(len(s.segments) for s in self.shards.values())
+        indexed = sum(
+            len(seg)
+            for s in self.shards.values()
+            for seg in s.segments
+            if seg.hnsw
+        )
+        status = "green"
+        return {
+            "status": status,
+            "optimizer_status": "ok",
+            "points_count": points,
+            "indexed_vectors_count": indexed,
+            "segments_count": segments,
+            "config": {
+                "params": self.params.to_dict(),
+                "hnsw_config": self.hnsw_config.to_dict(),
+                "optimizer_config": self.optimizers_config.to_dict(),
+                "wal_config": self.wal_config.to_dict(),
+            },
+            "payload_schema": self._payload_schema(),
+        }
+
+    def _payload_schema(self) -> Dict[str, Any]:
+        schema: Dict[str, Any] = {}
+        for shard in self.shards.values():
+            for seg in shard.segments:
+                for field, params in seg.payload_index.indexed_fields().items():
+                    count = 0
+                    fi = seg.payload_index.field_indexes.get(field)
+                    if fi:
+                        count += fi.points_count()
+                    if field in schema:
+                        schema[field]["points"] += count
+                    else:
+                        schema[field] = {
+                            "data_type": params.type.value,
+                            "points": count,
+                        }
+        return schema
+
+    def save_config(self) -> None:
+        cfg = {
+            "name": self.name,
+            "params": self.params.to_dict(),
+            "hnsw_config": self.hnsw_config.to_dict(),
+            "optimizers_config": self.optimizers_config.to_dict(),
+            "wal_config": self.wal_config.to_dict(),
+            "shard_keys": [[repr(k), k, v] for k, v in self.shard_keys.items()],
+            "next_shard_id": self._next_shard_id,
+            "created_at": self.created_at,
+        }
+        with open(os.path.join(self.path, "collection.json"), "w") as f:
+            json.dump(cfg, f)
+
+    @classmethod
+    def load(cls, name: str, path: str) -> "Collection":
+        with open(os.path.join(path, "collection.json")) as f:
+            cfg = json.load(f)
+        params = CollectionParams.from_dict(cfg["params"])
+        coll = cls.__new__(cls)
+        coll.name = name
+        coll.path = path
+        coll.params = params
+        coll.hnsw_config = HnswConfig.from_dict(cfg.get("hnsw_config"))
+        coll.optimizers_config = OptimizersConfig.from_dict(cfg.get("optimizers_config"))
+        coll.wal_config = WalConfig.from_dict(cfg.get("wal_config"))
+        coll.created_at = cfg.get("created_at", time.time())
+        coll.shards = {}
+        coll.ring = HashRing()
+        coll.shard_keys = {}
+        for _, key, ids in cfg.get("shard_keys", []):
+            coll.shard_keys[key] = ids
+        coll._next_shard_id = cfg.get("next_shard_id", params.shard_number)
+        shards_root = os.path.join(path, "shards")
+        if os.path.isdir(shards_root):
+            for sub in sorted(os.listdir(shards_root), key=lambda x: int(x)):
+                sid = int(sub)
+                coll.shards[sid] = LocalShard(
+                    os.path.join(shards_root, sub), params, coll.optimizers_config
+                )
+        if params.sharding_method != "custom":
+            for sid in coll.shards:
+                coll.ring.add(sid)
+        return coll
+
+    def flush(self) -> None:
+        for shard in self.shards.values():
+            shard.flush()
+
+    def close(self) -> None:
+        for shard in self.shards.values():
+            shard.close()
+
+    def drop(self) -> None:
+        self.close()
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # snapshots (reference: segment/snapshot.rs + collection snapshots)
+    # ------------------------------------------------------------------
+
+    def create_snapshot(self, snapshots_dir: str) -> str:
+        self.flush()
+        os.makedirs(snapshots_dir, exist_ok=True)
+        stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+        fname = f"{self.name}-{stamp}.snapshot"
+        full = os.path.join(snapshots_dir, fname)
+        with tarfile.open(full, "w") as tar:
+            tar.add(self.path, arcname=".")
+        return fname
+
+    @classmethod
+    def restore_snapshot(cls, snapshot_path: str, name: str, target_path: str) -> "Collection":
+        os.makedirs(target_path, exist_ok=True)
+        with tarfile.open(snapshot_path, "r") as tar:
+            tar.extractall(target_path, filter="data")
+        return cls.load(name, target_path)
