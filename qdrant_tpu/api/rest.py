@@ -1,0 +1,937 @@
+"""REST API server (qdrant-compatible surface).
+
+Reference: src/actix/ (route table src/actix/mod.rs:100-175 and the 22
+handler modules under src/actix/api/). Implemented on the stdlib threading
+HTTP server — the host shell is IO-light; all heavy work happens in the
+device kernels behind the collection layer.
+
+Response envelope matches the reference: {"result": ..., "status": "ok",
+"time": seconds} / {"status": {"error": msg}, "time": seconds}.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import traceback
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..collection.collection import CollectionError, NotFoundError
+from ..collection.query import QueryError, QueryExecutor, QueryRequest
+from ..storage.segment import SearchParams
+from ..types import PayloadIndexParams, normalize_point_id, parse_filter
+from .metrics import METRICS
+from .toc import TableOfContent
+
+VERSION = "1.19.0-tpu"
+
+
+class ApiError(Exception):
+    def __init__(self, message: str, status_code: int = 400):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+# ---------------------------------------------------------------------------
+# handlers (each: (toc, match, body, query_params) → result)
+# ---------------------------------------------------------------------------
+
+
+def _points_from_upsert(body: dict) -> List[dict]:
+    if "points" in body and body["points"] is not None:
+        out = []
+        for p in body["points"]:
+            vec = p.get("vector")
+            vectors = p.get("vectors")
+            if vectors is None:
+                if isinstance(vec, dict) and "indices" not in vec:
+                    vectors = vec  # named map
+                elif vec is None:
+                    vectors = {}
+                else:
+                    vectors = {"": vec}
+            out.append(
+                {
+                    "id": p["id"],
+                    "vectors": vectors,
+                    "payload": p.get("payload"),
+                    "shard_key": p.get("shard_key"),
+                }
+            )
+        return out
+    if "batch" in body and body["batch"] is not None:
+        batch = body["batch"]
+        ids = batch["ids"]
+        vecs = batch.get("vectors")
+        payloads = batch.get("payloads") or [None] * len(ids)
+        out = []
+        for i, pid in enumerate(ids):
+            if isinstance(vecs, dict):
+                vectors = {k: v[i] for k, v in vecs.items()}
+            else:
+                vectors = {"": vecs[i]}
+            out.append({"id": pid, "vectors": vectors, "payload": payloads[i]})
+        return out
+    raise ApiError("expected `points` or `batch`")
+
+
+def _selector(body: dict) -> dict:
+    """points/filter selector shared by payload & delete ops."""
+    out: Dict[str, Any] = {}
+    if body.get("points") is not None:
+        out["ids"] = body["points"]
+    elif body.get("filter") is not None:
+        out["filter"] = body["filter"]
+    else:
+        raise ApiError("expected `points` or `filter` selector")
+    return out
+
+
+def h_root(toc, m, body, q):
+    return {"title": "qdrant - vector search engine (TPU-native)", "version": VERSION}
+
+
+def h_list_collections(toc, m, body, q):
+    return {"collections": [{"name": n} for n in toc.list_collections()]}
+
+
+def h_get_collection(toc, m, body, q):
+    return toc.get_collection(m["name"]).info()
+
+
+def h_collection_exists(toc, m, body, q):
+    return {"exists": toc.has_collection(m["name"])}
+
+
+def h_create_collection(toc, m, body, q):
+    return toc.create_collection(m["name"], body or {})
+
+
+def h_update_collection(toc, m, body, q):
+    return toc.update_collection(m["name"], body or {})
+
+
+def h_delete_collection(toc, m, body, q):
+    return toc.delete_collection(m["name"])
+
+
+def h_update_aliases(toc, m, body, q):
+    return toc.update_aliases((body or {}).get("actions", []))
+
+
+def h_collection_aliases(toc, m, body, q):
+    return {"aliases": toc.collection_aliases(m["name"])}
+
+
+def h_all_aliases(toc, m, body, q):
+    return {"aliases": toc.all_aliases()}
+
+
+def h_create_index(toc, m, body, q):
+    body = body or {}
+    field = body.get("field_name")
+    if not field:
+        raise ApiError("field_name required")
+    schema = body.get("field_schema", "keyword")
+    coll = toc.get_collection(m["name"])
+    coll.create_payload_index(field, PayloadIndexParams.from_dict(schema))
+    return {"status": "acknowledged"}
+
+
+def h_delete_index(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    coll.delete_payload_index(m["field"])
+    return {"status": "acknowledged"}
+
+
+def h_upsert_points(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    points = _points_from_upsert(body or {})
+    res = coll.upsert(points, shard_key=(body or {}).get("shard_key"))
+    return res
+
+
+def h_delete_points(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    op = {"type": "delete", **_selector(body or {})}
+    return coll.update_op(op, shard_key=(body or {}).get("shard_key"))
+
+
+def h_update_vectors(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    pts = []
+    for p in (body or {}).get("points", []):
+        vec = p.get("vector")
+        vectors = vec if isinstance(vec, dict) and "indices" not in vec else {"": vec}
+        pts.append({"id": p["id"], "vectors": vectors})
+    return coll.update_op({"type": "update_vectors", "points": pts})
+
+
+def h_delete_vectors(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    names = (body or {}).get("vector") or []
+    op = {"type": "delete_vectors", "names": names, **_selector(body or {})}
+    return coll.update_op(op)
+
+
+def h_set_payload(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    op = {
+        "type": "set_payload",
+        "payload": (body or {}).get("payload") or {},
+        "key": (body or {}).get("key"),
+        **_selector(body or {}),
+    }
+    return coll.update_op(op)
+
+
+def h_overwrite_payload(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    op = {
+        "type": "overwrite_payload",
+        "payload": (body or {}).get("payload") or {},
+        **_selector(body or {}),
+    }
+    return coll.update_op(op)
+
+
+def h_delete_payload(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    op = {
+        "type": "delete_payload",
+        "keys": (body or {}).get("keys") or [],
+        **_selector(body or {}),
+    }
+    return coll.update_op(op)
+
+
+def h_clear_payload(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    op = {"type": "clear_payload", **_selector(body or {})}
+    return coll.update_op(op)
+
+
+def h_batch_update(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    results = []
+    for op_spec in (body or {}).get("operations", []):
+        if "upsert" in op_spec:
+            results.append(coll.upsert(_points_from_upsert(op_spec["upsert"])))
+        elif "delete" in op_spec:
+            results.append(
+                coll.update_op({"type": "delete", **_selector(op_spec["delete"])})
+            )
+        elif "set_payload" in op_spec:
+            s = op_spec["set_payload"]
+            results.append(
+                coll.update_op(
+                    {
+                        "type": "set_payload",
+                        "payload": s.get("payload") or {},
+                        "key": s.get("key"),
+                        **_selector(s),
+                    }
+                )
+            )
+        elif "overwrite_payload" in op_spec:
+            s = op_spec["overwrite_payload"]
+            results.append(
+                coll.update_op(
+                    {
+                        "type": "overwrite_payload",
+                        "payload": s.get("payload") or {},
+                        **_selector(s),
+                    }
+                )
+            )
+        elif "delete_payload" in op_spec:
+            s = op_spec["delete_payload"]
+            results.append(
+                coll.update_op(
+                    {"type": "delete_payload", "keys": s.get("keys") or [], **_selector(s)}
+                )
+            )
+        elif "clear_payload" in op_spec:
+            s = op_spec["clear_payload"]
+            results.append(coll.update_op({"type": "clear_payload", **_selector(s)}))
+        elif "update_vectors" in op_spec:
+            s = op_spec["update_vectors"]
+            pts = []
+            for p in s.get("points", []):
+                vec = p.get("vector")
+                vectors = (
+                    vec if isinstance(vec, dict) and "indices" not in vec else {"": vec}
+                )
+                pts.append({"id": p["id"], "vectors": vectors})
+            results.append(coll.update_op({"type": "update_vectors", "points": pts}))
+        elif "delete_vectors" in op_spec:
+            s = op_spec["delete_vectors"]
+            results.append(
+                coll.update_op(
+                    {
+                        "type": "delete_vectors",
+                        "names": s.get("vector") or [],
+                        **_selector(s),
+                    }
+                )
+            )
+        else:
+            raise ApiError(f"unknown batch operation {list(op_spec.keys())}")
+    return results
+
+
+def _hydrate_records(coll, ids, with_payload, with_vector):
+    from ..collection.query import _select_payload, _select_vectors
+
+    out = []
+    for pid in ids:
+        payload, vectors = coll.get_payload_and_vectors(pid)
+        if payload is None and vectors is None:
+            continue
+        rec: Dict[str, Any] = {"id": pid}
+        p = _select_payload(payload, with_payload)
+        if p is not None:
+            rec["payload"] = p
+        v = _select_vectors(vectors, with_vector)
+        if v is not None:
+            rec["vector"] = v
+        out.append(rec)
+    return out
+
+
+def h_get_point(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    pid = m["id"]
+    try:
+        pid = int(pid)
+    except ValueError:
+        pass
+    pid = normalize_point_id(pid)
+    recs = _hydrate_records(coll, [pid], True, True)
+    if not recs:
+        raise ApiError(f"Point with id {pid} does not exists!", 404)
+    return recs[0]
+
+
+def h_retrieve_points(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    ids = [normalize_point_id(p) for p in body.get("ids", [])]
+    return _hydrate_records(
+        coll, ids, body.get("with_payload", True), body.get("with_vector", False)
+    )
+
+
+def h_scroll(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    limit = int(body.get("limit", 10))
+    flt = parse_filter(body.get("filter"))
+    offset = body.get("offset")
+    if offset is not None:
+        offset = normalize_point_id(offset)
+    order_by = body.get("order_by")
+    if order_by:
+        ex = QueryExecutor(coll, toc)
+        req = QueryRequest(
+            {
+                "query": {"order_by": order_by},
+                "filter": body.get("filter"),
+                "limit": limit,
+                "with_payload": body.get("with_payload", True),
+                "with_vector": body.get("with_vector", False),
+                "shard_key": body.get("shard_key"),
+            }
+        )
+        points = ex.query(req)
+        for p in points:
+            p.pop("score", None)
+            p.pop("version", None)
+        return {"points": points, "next_page_offset": None}
+    ids = coll.scroll_ids(limit + 1, offset, flt, shard_key=body.get("shard_key"))
+    next_offset = None
+    if len(ids) > limit:
+        next_offset = ids[limit]
+        ids = ids[:limit]
+    points = _hydrate_records(
+        coll, ids, body.get("with_payload", True), body.get("with_vector", False)
+    )
+    return {"points": points, "next_page_offset": next_offset}
+
+
+def h_count(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    return {"count": coll.count(parse_filter(body.get("filter")), body.get("shard_key"))}
+
+
+def h_facet(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    key = body.get("key")
+    if not key:
+        raise ApiError("key required")
+    hits = coll.facet(
+        key,
+        int(body.get("limit", 10)),
+        parse_filter(body.get("filter")),
+        body.get("shard_key"),
+    )
+    return {"hits": [{"value": v, "count": c} for v, c in hits]}
+
+
+def _legacy_search_to_query(body: dict) -> dict:
+    """Map legacy /points/search body → universal query request."""
+    body = dict(body or {})
+    vec = body.pop("vector", None)
+    using = ""
+    query: Any = vec
+    if isinstance(vec, dict):
+        if "name" in vec:
+            using = vec["name"]
+            query = vec.get("vector")
+        elif "indices" in vec:
+            query = vec
+    d = {
+        "query": query if query is not None else None,
+        "using": using,
+        "filter": body.get("filter"),
+        "params": body.get("params"),
+        "limit": body.get("limit", 10),
+        "offset": body.get("offset", 0),
+        "with_payload": body.get("with_payload", False),
+        "with_vector": body.get("with_vector", False),
+        "score_threshold": body.get("score_threshold"),
+        "shard_key": body.get("shard_key"),
+    }
+    return d
+
+
+def h_search(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return ex.query(QueryRequest(_legacy_search_to_query(body)))
+
+
+def h_search_batch(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return [
+        ex.query(QueryRequest(_legacy_search_to_query(sub)))
+        for sub in (body or {}).get("searches", [])
+    ]
+
+
+def _legacy_recommend_to_query(body: dict) -> dict:
+    body = dict(body or {})
+    using = body.get("using") or ""
+    return {
+        "query": {
+            "recommend": {
+                "positive": body.get("positive") or [],
+                "negative": body.get("negative") or [],
+                "strategy": body.get("strategy", "average_vector"),
+            }
+        },
+        "using": using,
+        "filter": body.get("filter"),
+        "params": body.get("params"),
+        "limit": body.get("limit", 10),
+        "offset": body.get("offset", 0),
+        "with_payload": body.get("with_payload", False),
+        "with_vector": body.get("with_vector", False),
+        "score_threshold": body.get("score_threshold"),
+        "lookup_from": body.get("lookup_from"),
+        "shard_key": body.get("shard_key"),
+    }
+
+
+def h_recommend(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return ex.query(QueryRequest(_legacy_recommend_to_query(body)))
+
+
+def h_recommend_batch(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return [
+        ex.query(QueryRequest(_legacy_recommend_to_query(sub)))
+        for sub in (body or {}).get("searches", [])
+    ]
+
+
+def h_discover(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = dict(body or {})
+    spec: Dict[str, Any] = {}
+    if body.get("target") is not None:
+        spec = {
+            "discover": {"target": body["target"], "context": body.get("context") or []}
+        }
+    else:
+        spec = {"context": body.get("context") or []}
+    ex = QueryExecutor(coll, toc)
+    return ex.query(
+        QueryRequest(
+            {
+                "query": spec,
+                "using": body.get("using") or "",
+                "filter": body.get("filter"),
+                "params": body.get("params"),
+                "limit": body.get("limit", 10),
+                "offset": body.get("offset", 0),
+                "with_payload": body.get("with_payload", False),
+                "with_vector": body.get("with_vector", False),
+                "shard_key": body.get("shard_key"),
+            }
+        )
+    )
+
+
+def h_discover_batch(toc, m, body, q):
+    out = []
+    for sub in (body or {}).get("searches", []):
+        out.append(h_discover(toc, m, sub, q))
+    return out
+
+
+def h_query(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return {"points": ex.query(QueryRequest(body or {}))}
+
+
+def h_query_batch(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return [
+        {"points": ex.query(QueryRequest(sub))}
+        for sub in (body or {}).get("searches", [])
+    ]
+
+
+def h_query_groups(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    ex = QueryExecutor(coll, toc)
+    return {"groups": ex.query_groups(QueryRequest(body or {}))}
+
+
+def h_search_groups(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = dict(body or {})
+    d = _legacy_search_to_query(body)
+    d["group_by"] = body.get("group_by")
+    d["group_size"] = body.get("group_size", 3)
+    ex = QueryExecutor(coll, toc)
+    return {"groups": ex.query_groups(QueryRequest(d))}
+
+
+def h_recommend_groups(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = dict(body or {})
+    d = _legacy_recommend_to_query(body)
+    d["group_by"] = body.get("group_by")
+    d["group_size"] = body.get("group_size", 3)
+    ex = QueryExecutor(coll, toc)
+    return {"groups": ex.query_groups(QueryRequest(d))}
+
+
+def _matrix_common(toc, m, body):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    sample = int(body.get("sample", 10))
+    limit = int(body.get("limit", 3))
+    using = body.get("using") or ""
+    flt = parse_filter(body.get("filter"))
+    ids = coll.scroll_ids(sample, flt=flt)
+    vecs = []
+    kept = []
+    for pid in ids:
+        v = coll.get_point_vector(pid, using)
+        if v is not None and not isinstance(v, dict):
+            vecs.append(np.asarray(v, dtype=np.float32))
+            kept.append(pid)
+    if not kept:
+        return [], np.zeros((0, 0)), limit
+    from ..collection.query import score_np
+
+    vp = coll.params.vectors[using]
+    arr = np.stack(vecs)
+    scores = np.stack([score_np(v, arr, vp.distance) for v in vecs])
+    np.fill_diagonal(scores, -np.inf)
+    return kept, scores, limit
+
+
+def h_matrix_pairs(toc, m, body, q):
+    ids, scores, limit = _matrix_common(toc, m, body)
+    pairs = []
+    for i, pid in enumerate(ids):
+        order = np.argsort(-scores[i])[:limit]
+        for j in order:
+            if np.isfinite(scores[i][j]):
+                pairs.append({"a": pid, "b": ids[int(j)], "score": float(scores[i][j])})
+    return {"pairs": pairs}
+
+
+def h_matrix_offsets(toc, m, body, q):
+    ids, scores, limit = _matrix_common(toc, m, body)
+    rows, cols, vals = [], [], []
+    for i in range(len(ids)):
+        order = np.argsort(-scores[i])[:limit]
+        for j in order:
+            if np.isfinite(scores[i][j]):
+                rows.append(i)
+                cols.append(int(j))
+                vals.append(float(scores[i][j]))
+    return {
+        "offsets_row": rows,
+        "offsets_col": cols,
+        "scores": vals,
+        "ids": ids,
+    }
+
+
+def h_create_snapshot(toc, m, body, q):
+    return toc.create_snapshot(m["name"])
+
+
+def h_list_snapshots(toc, m, body, q):
+    return toc.list_snapshots(m["name"])
+
+
+def h_delete_snapshot(toc, m, body, q):
+    return toc.delete_snapshot(m["name"], m["snap"])
+
+
+def h_recover_snapshot(toc, m, body, q):
+    location = (body or {}).get("location")
+    if not location:
+        raise ApiError("location required")
+    if location.startswith("file://"):
+        location = location[len("file://") :]
+    return toc.recover_snapshot(m["name"], location)
+
+
+def h_cluster(toc, m, body, q):
+    return {
+        "status": "disabled",
+        "peer_id": 0,
+        "peers": {},
+        "raft_info": {
+            "term": 0,
+            "commit": 0,
+            "pending_operations": 0,
+            "leader": None,
+            "role": None,
+            "is_voter": True,
+        },
+    }
+
+
+def h_collection_cluster(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    local = []
+    for sid, shard in coll.shards.items():
+        local.append(
+            {
+                "shard_id": sid,
+                "points_count": shard.point_count(),
+                "state": "Active",
+            }
+        )
+    return {
+        "peer_id": 0,
+        "shard_count": len(coll.shards),
+        "local_shards": local,
+        "remote_shards": [],
+        "shard_transfers": [],
+    }
+
+
+def h_create_shard_key(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    coll.create_shard_key(body.get("shard_key"), int(body.get("shards_number", 1)))
+    return True
+
+
+def h_delete_shard_key(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    coll.delete_shard_key((body or {}).get("shard_key"))
+    return True
+
+
+def h_healthz(toc, m, body, q):
+    return "healthz check passed"
+
+
+def h_telemetry(toc, m, body, q):
+    collections = []
+    for name in toc.list_collections():
+        coll = toc.get_collection(name)
+        collections.append({"id": name, **coll.info()})
+    return {
+        "id": "qdrant-tpu",
+        "app": {"name": "qdrant-tpu", "version": VERSION},
+        "collections": {
+            "number_of_collections": len(collections),
+            "collections": collections,
+        },
+        "requests": METRICS.telemetry(),
+    }
+
+
+def h_metrics(toc, m, body, q):
+    points = sum(
+        toc.get_collection(n).info()["points_count"] for n in toc.list_collections()
+    )
+    return METRICS.render_prometheus(
+        extra={
+            "collections_total": len(toc.list_collections()),
+            "points_total": points,
+        }
+    )
+
+
+ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
+    ("GET", re.compile(r"^/$"), h_root),
+    ("GET", re.compile(r"^/healthz$"), h_healthz),
+    ("GET", re.compile(r"^/livez$"), h_healthz),
+    ("GET", re.compile(r"^/readyz$"), h_healthz),
+    ("GET", re.compile(r"^/telemetry$"), h_telemetry),
+    ("GET", re.compile(r"^/metrics$"), h_metrics),
+    ("GET", re.compile(r"^/cluster$"), h_cluster),
+    ("GET", re.compile(r"^/aliases$"), h_all_aliases),
+    ("POST", re.compile(r"^/collections/aliases$"), h_update_aliases),
+    ("GET", re.compile(r"^/collections$"), h_list_collections),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)$"), h_get_collection),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)$"), h_create_collection),
+    ("PATCH", re.compile(r"^/collections/(?P<name>[^/]+)$"), h_update_collection),
+    ("DELETE", re.compile(r"^/collections/(?P<name>[^/]+)$"), h_delete_collection),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/exists$"), h_collection_exists),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/aliases$"), h_collection_aliases),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/cluster$"), h_collection_cluster),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/shards$"), h_create_shard_key),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/shards/delete$"), h_delete_shard_key),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/index$"), h_create_index),
+    (
+        "DELETE",
+        re.compile(r"^/collections/(?P<name>[^/]+)/index/(?P<field>[^/]+)$"),
+        h_delete_index,
+    ),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/points$"), h_upsert_points),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points$"), h_retrieve_points),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/delete$"), h_delete_points),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/points/vectors$"), h_update_vectors),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/vectors/delete$"),
+        h_delete_vectors,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/payload$"), h_set_payload),
+    ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/points/payload$"), h_overwrite_payload),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/payload/delete$"),
+        h_delete_payload,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/payload/clear$"),
+        h_clear_payload,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/batch$"), h_batch_update),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/scroll$"), h_scroll),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/count$"), h_count),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/facet$"), h_facet),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/search$"), h_search),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/search/batch$"),
+        h_search_batch,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/search/groups$"),
+        h_search_groups,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/search/matrix/pairs$"),
+        h_matrix_pairs,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/search/matrix/offsets$"),
+        h_matrix_offsets,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/recommend$"), h_recommend),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/recommend/batch$"),
+        h_recommend_batch,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/recommend/groups$"),
+        h_recommend_groups,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/discover$"), h_discover),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/discover/batch$"),
+        h_discover_batch,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/query$"), h_query),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/query/batch$"),
+        h_query_batch,
+    ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/points/query/groups$"),
+        h_query_groups,
+    ),
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/snapshots$"), h_create_snapshot),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/snapshots$"), h_list_snapshots),
+    (
+        "DELETE",
+        re.compile(r"^/collections/(?P<name>[^/]+)/snapshots/(?P<snap>[^/]+)$"),
+        h_delete_snapshot,
+    ),
+    (
+        "PUT",
+        re.compile(r"^/collections/(?P<name>[^/]+)/snapshots/recover$"),
+        h_recover_snapshot,
+    ),
+    ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/points/(?P<id>[^/]+)$"), h_get_point),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    toc: TableOfContent = None  # injected
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _dispatch(self, method: str) -> None:
+        started = time.monotonic()
+        parsed = urllib.parse.urlparse(self.path)
+        path = parsed.path.rstrip("/") or "/"
+        qparams = dict(urllib.parse.parse_qsl(parsed.query))
+        body = None
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            raw = self.rfile.read(length)
+            if raw:
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError as e:
+                    self._reply(400, {"status": {"error": f"bad json: {e}"}, "time": 0.0})
+                    return
+        for route_method, pattern, handler in ROUTES:
+            if route_method != method:
+                continue
+            m = pattern.match(path)
+            if not m:
+                continue
+            try:
+                result = handler(self.toc, m.groupdict(), body, qparams)
+                elapsed = time.monotonic() - started
+                METRICS.observe(method, pattern.pattern, 200, elapsed)
+                if path == "/metrics":
+                    self._reply_text(200, result)
+                else:
+                    self._reply(
+                        200, {"result": result, "status": "ok", "time": elapsed}
+                    )
+            except (ApiError, CollectionError, NotFoundError, QueryError) as e:
+                status = getattr(e, "status_code", 400)
+                elapsed = time.monotonic() - started
+                METRICS.observe(method, pattern.pattern, status, elapsed)
+                self._reply(
+                    status, {"status": {"error": str(e)}, "time": elapsed}
+                )
+            except Exception as e:  # internal error
+                elapsed = time.monotonic() - started
+                METRICS.observe(method, pattern.pattern, 500, elapsed)
+                traceback.print_exc()
+                self._reply(
+                    500,
+                    {
+                        "status": {"error": f"internal error: {e}"},
+                        "time": elapsed,
+                    },
+                )
+            return
+        self._reply(404, {"status": {"error": "not found"}, "time": 0.0})
+
+    def _reply(self, code: int, payload: dict) -> None:
+        data = json.dumps(payload, default=_json_default).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _reply_text(self, code: int, text: str) -> None:
+        data = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_PUT(self):
+        self._dispatch("PUT")
+
+    def do_PATCH(self):
+        self._dispatch("PATCH")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not serializable: {type(o)}")
+
+
+class RestServer:
+    def __init__(self, toc: TableOfContent, host: str = "127.0.0.1", port: int = 6333):
+        handler = type("BoundHandler", (_Handler,), {"toc": toc})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,228 @@
+"""TableOfContent: the storage root owning all collections + aliases.
+
+Reference: lib/storage/src/content_manager/toc/ (TableOfContent mod.rs:70,
+collection_meta_ops.rs, alias mapping). Single-node dispatcher semantics
+(reference: dispatcher.rs routes directly to ToC when no consensus is
+configured); the cluster layer wraps this for distributed deployments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from typing import Any, Dict, List, Optional
+
+from ..collection.collection import Collection, CollectionError, NotFoundError
+from ..types import (
+    CollectionParams,
+    HnswConfig,
+    OptimizersConfig,
+    WalConfig,
+    parse_vectors_config,
+    SparseVectorParams,
+)
+
+
+class TableOfContent:
+    def __init__(self, storage_path: str):
+        self.storage_path = storage_path
+        self.collections_path = os.path.join(storage_path, "collections")
+        self.snapshots_path = os.path.join(storage_path, "snapshots")
+        os.makedirs(self.collections_path, exist_ok=True)
+        os.makedirs(self.snapshots_path, exist_ok=True)
+        self.collections: Dict[str, Collection] = {}
+        self.aliases: Dict[str, str] = {}  # alias → collection name
+        self._lock = threading.RLock()
+        self._load()
+
+    # -- persistence of toc state -------------------------------------------
+
+    def _aliases_file(self) -> str:
+        return os.path.join(self.storage_path, "aliases.json")
+
+    def _load(self) -> None:
+        for name in sorted(os.listdir(self.collections_path)):
+            path = os.path.join(self.collections_path, name)
+            if os.path.isfile(os.path.join(path, "collection.json")):
+                self.collections[name] = Collection.load(name, path)
+        if os.path.exists(self._aliases_file()):
+            with open(self._aliases_file()) as f:
+                self.aliases = json.load(f)
+
+    def _save_aliases(self) -> None:
+        with open(self._aliases_file(), "w") as f:
+            json.dump(self.aliases, f)
+
+    # -- collection management ----------------------------------------------
+
+    def list_collections(self) -> List[str]:
+        with self._lock:
+            return sorted(self.collections.keys())
+
+    def resolve_name(self, name: str) -> str:
+        return self.aliases.get(name, name)
+
+    def has_collection(self, name: str) -> bool:
+        with self._lock:
+            return self.resolve_name(name) in self.collections
+
+    def get_collection(self, name: str) -> Collection:
+        with self._lock:
+            real = self.resolve_name(name)
+            coll = self.collections.get(real)
+            if coll is None:
+                raise NotFoundError(f"Collection `{name}` doesn't exist!")
+            return coll
+
+    def create_collection(self, name: str, spec: Dict[str, Any]) -> bool:
+        with self._lock:
+            if name in self.collections or name in self.aliases:
+                raise CollectionError(f"Collection `{name}` already exists!")
+            params = CollectionParams(
+                vectors=parse_vectors_config(spec.get("vectors")),
+                sparse_vectors={
+                    k: SparseVectorParams.from_dict(v or {})
+                    for k, v in (spec.get("sparse_vectors") or {}).items()
+                },
+                shard_number=int(spec.get("shard_number", 1)),
+                sharding_method=spec.get("sharding_method"),
+                replication_factor=int(spec.get("replication_factor", 1)),
+                write_consistency_factor=int(spec.get("write_consistency_factor", 1)),
+                on_disk_payload=bool(spec.get("on_disk_payload", False)),
+            )
+            if not params.vectors and not params.sparse_vectors:
+                raise CollectionError("collection must define vectors or sparse_vectors")
+            coll = Collection(
+                name,
+                os.path.join(self.collections_path, name),
+                params,
+                hnsw_config=HnswConfig.from_dict(spec.get("hnsw_config")),
+                optimizers_config=OptimizersConfig.from_dict(spec.get("optimizers_config")),
+                wal_config=WalConfig.from_dict(spec.get("wal_config")),
+            )
+            self.collections[name] = coll
+            return True
+
+    def update_collection(self, name: str, spec: Dict[str, Any]) -> bool:
+        with self._lock:
+            coll = self.get_collection(name)
+            if spec.get("optimizers_config"):
+                new = OptimizersConfig.from_dict(spec["optimizers_config"])
+                coll.optimizers_config = new
+                for shard in coll.shards.values():
+                    shard.optimizers = new
+            if spec.get("hnsw_config"):
+                coll.hnsw_config = HnswConfig.from_dict(spec["hnsw_config"])
+            coll.save_config()
+            return True
+
+    def delete_collection(self, name: str) -> bool:
+        with self._lock:
+            real = self.resolve_name(name)
+            coll = self.collections.pop(real, None)
+            if coll is None:
+                return False
+            coll.drop()
+            self.aliases = {a: c for a, c in self.aliases.items() if c != real}
+            self._save_aliases()
+            return True
+
+    # -- aliases -------------------------------------------------------------
+
+    def update_aliases(self, actions: List[Dict[str, Any]]) -> bool:
+        with self._lock:
+            for action in actions:
+                if "create_alias" in action:
+                    spec = action["create_alias"]
+                    cname = spec["collection_name"]
+                    if cname not in self.collections:
+                        raise NotFoundError(f"Collection `{cname}` doesn't exist!")
+                    self.aliases[spec["alias_name"]] = cname
+                elif "delete_alias" in action:
+                    self.aliases.pop(action["delete_alias"]["alias_name"], None)
+                elif "rename_alias" in action:
+                    spec = action["rename_alias"]
+                    old = spec["old_alias_name"]
+                    if old not in self.aliases:
+                        raise NotFoundError(f"Alias `{old}` doesn't exist!")
+                    self.aliases[spec["new_alias_name"]] = self.aliases.pop(old)
+                else:
+                    raise CollectionError(f"unknown alias action: {action}")
+            self._save_aliases()
+            return True
+
+    def collection_aliases(self, name: str) -> List[Dict[str, str]]:
+        with self._lock:
+            return [
+                {"alias_name": a, "collection_name": c}
+                for a, c in self.aliases.items()
+                if c == name
+            ]
+
+    def all_aliases(self) -> List[Dict[str, str]]:
+        with self._lock:
+            return [
+                {"alias_name": a, "collection_name": c} for a, c in self.aliases.items()
+            ]
+
+    # -- snapshots ------------------------------------------------------------
+
+    def create_snapshot(self, name: str) -> Dict[str, Any]:
+        coll = self.get_collection(name)
+        target = os.path.join(self.snapshots_path, coll.name)
+        fname = coll.create_snapshot(target)
+        full = os.path.join(target, fname)
+        return {
+            "name": fname,
+            "size": os.path.getsize(full),
+            "creation_time": None,
+        }
+
+    def list_snapshots(self, name: str) -> List[Dict[str, Any]]:
+        coll = self.get_collection(name)
+        target = os.path.join(self.snapshots_path, coll.name)
+        out = []
+        if os.path.isdir(target):
+            for f in sorted(os.listdir(target)):
+                if f.endswith(".snapshot"):
+                    out.append(
+                        {
+                            "name": f,
+                            "size": os.path.getsize(os.path.join(target, f)),
+                            "creation_time": None,
+                        }
+                    )
+        return out
+
+    def delete_snapshot(self, name: str, snapshot: str) -> bool:
+        coll = self.get_collection(name)
+        full = os.path.join(self.snapshots_path, coll.name, snapshot)
+        if not os.path.isfile(full):
+            raise NotFoundError(f"snapshot {snapshot} not found")
+        os.remove(full)
+        return True
+
+    def recover_snapshot(self, name: str, snapshot_path: str) -> bool:
+        with self._lock:
+            if name in self.collections:
+                self.collections.pop(name).drop()
+            target = os.path.join(self.collections_path, name)
+            shutil.rmtree(target, ignore_errors=True)
+            self.collections[name] = Collection.restore_snapshot(
+                snapshot_path, name, target
+            )
+            return True
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def flush_all(self) -> None:
+        with self._lock:
+            for coll in self.collections.values():
+                coll.flush()
+
+    def close(self) -> None:
+        with self._lock:
+            for coll in self.collections.values():
+                coll.close()
