@@ -4,18 +4,20 @@ Reference behavior: lib/segment/src/index/hnsw_index/ (hnsw.rs, graph_layers.rs,
 graph_layers_builder.rs) and the GPU batched builder
 (gpu/gpu_graph_builder.rs:19-60). Re-architected for TPU:
 
-  * Fixed-degree adjacency tables per level (`[count_l, M]` int32, -1-padded)
-    live in HBM; level membership via a single `rank` permutation (points
-    sorted by level, so "first count_l ranks" = "on level l"), the dense
+  * Fixed-degree adjacency tables in HBM: level 0 is `[N, M0]` int32
+    (-1-padded); all upper levels live in ONE stacked `[L, R, M]` array
+    sharing the level-sort `rank` permutation as row index — the dense
     equivalent of the reference's level-sorted CSR reindex
-    (graph_links/mod.rs:45-80).
-  * Build follows the GPU builder's scheme: geometric level assignment,
-    a brute-force-linked seed set, then batches of points inserted in
+    (graph_links/mod.rs:45-80). The stack lets a whole upper-level greedy
+    descent run as a single compiled program (ops/hnsw.py
+    greedy_descend_stack), minimizing host↔device round trips.
+  * Build follows the GPU builder's scheme: geometric level assignment, a
+    brute-force-linked seed set, then fixed-size batches inserted in
     lockstep — batched beam search for candidates, heuristic selection and
-    reverse-link pruning all run on device; the host only computes scatter
-    indices.
-  * Queries: batched greedy descent on upper levels, batched beam search on
-    level 0, filter masks fused in (see ops/hnsw.py).
+    reverse-link pruning on device with shape-stable kernels (compile once,
+    reuse for every batch); the host only computes scatter indices.
+  * Queries: one fused greedy-descent call + one beam-search call; filter
+    masks fused in.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ from ..ops import hnsw as hnsw_ops
 from ..ops.distances import preprocess_vectors
 from ..storage.vectors import DenseVectorStore
 from ..types import Distance, HnswConfig
+
+INC_CAP = 64  # max reverse-link insertions routed to one node per round
 
 
 def _pow2_at_least(x: int, minimum: int = 8) -> int:
@@ -56,14 +60,18 @@ class HnswIndex:
         self.distance: Distance = store.distance
         # graph state (populated by build/load)
         self.levels: Optional[np.ndarray] = None  # [n] int32, -1 = not in graph
-        self.rank: Optional[np.ndarray] = None  # [n] int32 level-sort permutation rank
+        self.rank: Optional[np.ndarray] = None  # [n] level-sort permutation rank
         self.entry: int = -1
         self.max_level: int = -1
         self.level_counts: Dict[int, int] = {}
-        self.links_host: Dict[int, np.ndarray] = {}  # level → [rows, M_l] int32
-        self.link_counts: Dict[int, np.ndarray] = {}  # level → [rows] int32
-        self._links_dev: Dict[int, jax.Array] = {}
+        self.links0: Optional[np.ndarray] = None  # [rows0, M0]
+        self.links_upper: Optional[np.ndarray] = None  # [L, R, M] levels max..1
+        self.counts0: Optional[np.ndarray] = None  # link counts per row
+        self.counts_upper: Optional[np.ndarray] = None  # [L, R]
+        self._links0_dev: Optional[jax.Array] = None
+        self._upper_dev: Optional[jax.Array] = None
         self._rank_dev: Optional[jax.Array] = None
+        self._stack_counts_dev: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     # helpers
@@ -72,32 +80,77 @@ class HnswIndex:
     def _m_at(self, level: int) -> int:
         return self.config.m0 if level == 0 else self.config.m
 
-    def _links_dev_at(self, level: int) -> jax.Array:
-        if level not in self._links_dev:
-            self._links_dev[level] = jnp.asarray(self.links_host[level])
-        return self._links_dev[level]
+    def _stack_index(self, level: int) -> int:
+        """Stack rows are ordered top level → level 1."""
+        return self.max_level - level
+
+    def _links0_device(self) -> jax.Array:
+        if self._links0_dev is None:
+            self._links0_dev = jnp.asarray(self.links0)
+        return self._links0_dev
+
+    def _upper_device(self) -> Optional[jax.Array]:
+        if self.links_upper is None or self.links_upper.shape[0] == 0:
+            return None
+        if self._upper_dev is None:
+            self._upper_dev = jnp.asarray(self.links_upper)
+        return self._upper_dev
 
     def _rank_device(self) -> jax.Array:
         if self._rank_dev is None:
             cap = self.store.device_block()[0].shape[0]
-            rank = _pad_rows(self.rank, cap, -1)
-            self._rank_dev = jnp.asarray(rank)
+            self._rank_dev = jnp.asarray(_pad_rows(self.rank, cap, -1))
         return self._rank_dev
 
-    def _scatter(self, level: int, rows: np.ndarray, values: np.ndarray) -> None:
-        """Write full link rows on host mirror + device."""
-        self.links_host[level][rows] = values
-        self.link_counts[level][rows] = (values >= 0).sum(axis=1).astype(np.int32)
-        if level in self._links_dev:
-            self._links_dev[level] = hnsw_ops.scatter_link_rows(
-                self._links_dev[level], rows, values
+    def _stack_counts(self) -> jax.Array:
+        if self._stack_counts_dev is None:
+            counts = np.asarray(
+                [self.level_counts.get(l, 0) for l in range(self.max_level, 0, -1)],
+                dtype=np.int32,
             )
+            self._stack_counts_dev = jnp.asarray(counts)
+        return self._stack_counts_dev
 
     def _row_of(self, level: int, ids: np.ndarray) -> np.ndarray:
         """Global ids → link-table rows at `level` (level 0 = identity)."""
         if level == 0:
             return ids
         return self.rank[ids]
+
+    def _scatter(self, level: int, rows: np.ndarray, values: np.ndarray) -> None:
+        """Write full link rows (host mirror + device)."""
+        counts = (values >= 0).sum(axis=1).astype(np.int32)
+        if level == 0:
+            self.links0[rows] = values
+            self.counts0[rows] = counts
+            if self._links0_dev is not None:
+                self._links0_dev = hnsw_ops.scatter_link_rows(
+                    self._links0_dev, rows, values
+                )
+        else:
+            i = self._stack_index(level)
+            self.links_upper[i, rows] = values
+            self.counts_upper[i, rows] = counts
+            if self._upper_dev is not None:
+                self._upper_dev = _scatter_stack(
+                    self._upper_dev, i, jnp.asarray(rows), jnp.asarray(values)
+                )
+
+    def _link_counts(self, level: int, rows: np.ndarray) -> np.ndarray:
+        if level == 0:
+            return self.counts0[rows]
+        return self.counts_upper[self._stack_index(level), rows]
+
+    def _links_host(self, level: int, rows: np.ndarray) -> np.ndarray:
+        if level == 0:
+            return self.links0[rows]
+        return self.links_upper[self._stack_index(level), rows]
+
+    def _add_link_counts(self, level: int, rows: np.ndarray, inc: np.ndarray) -> None:
+        if level == 0:
+            self.counts0[rows] += inc
+        else:
+            self.counts_upper[self._stack_index(level), rows] += inc
 
     # ------------------------------------------------------------------
     # build
@@ -132,125 +185,120 @@ class HnswIndex:
             self.entry = -1
             self.max_level = -1
             self.level_counts = {}
-            self.links_host = {}
-            self.link_counts = {}
             return
 
-        # sort by level desc with random tiebreak
         tiebreak = rng.random(n_alive)
         order = alive_ids[np.lexsort((tiebreak, -levels_alive))]
         self.rank = np.full(n, -1, dtype=np.int32)
         self.rank[order] = np.arange(len(order), dtype=np.int32)
         self.entry = int(order[0])
         self.max_level = int(self.levels[self.entry])
-
         self.level_counts = {
             l: int((levels_alive >= l).sum()) for l in range(self.max_level + 1)
         }
-        self.links_host = {}
-        self.link_counts = {}
-        for l in range(self.max_level + 1):
-            rows = n if l == 0 else self.level_counts[l]
-            rows_pad = _pow2_at_least(max(rows, 1))
-            self.links_host[l] = np.full((rows_pad, self._m_at(l)), -1, dtype=np.int32)
-            self.link_counts[l] = np.zeros(rows_pad, dtype=np.int32)
-        self._links_dev = {}
+
+        rows0 = _pow2_at_least(max(n, 1))
+        self.links0 = np.full((rows0, self.config.m0), -1, dtype=np.int32)
+        self.counts0 = np.zeros(rows0, dtype=np.int32)
+        n_upper_levels = self.max_level
+        upper_rows = _pow2_at_least(max(self.level_counts.get(1, 1), 1), 16)
+        self.links_upper = np.full(
+            (max(n_upper_levels, 0), upper_rows, m), -1, dtype=np.int32
+        )
+        self.counts_upper = np.zeros((max(n_upper_levels, 0), upper_rows), dtype=np.int32)
+        self._links0_dev = None
+        self._upper_dev = None
         self._rank_dev = None
+        self._stack_counts_dev = None
 
         vectors, _ = self.store.device_block()
         dist = self.distance.value
 
         # ---- seed graph: brute-force link the first points --------------
-        n_seed = min(n_alive, max(2 * efc, 128))
+        n_seed = min(n_alive, max(2 * efc, 256), 512)
         seed_ids = order[:n_seed]
         self._build_seed_graph(seed_ids, vectors, dist)
 
-        # ---- batched insertion ------------------------------------------
+        # ---- batched insertion (fixed shapes → compile once) ------------
         inserted = n_seed
-        cur_batch = 128
+        warm = 256
         while inserted < n_alive:
+            cur_batch = warm if inserted < n_seed + 4 * warm else batch_size
             bsz = min(cur_batch, n_alive - inserted)
             batch = order[inserted : inserted + bsz]
-            self._insert_batch(batch, vectors, efc, dist)
+            self._insert_batch(batch, vectors, efc, dist, pad_to=cur_batch)
             inserted += bsz
-            cur_batch = min(cur_batch * 2, batch_size)
             if progress_fn:
                 progress_fn(inserted, n_alive)
 
     def _build_seed_graph(self, seed_ids: np.ndarray, vectors, dist: str) -> None:
         """All-pairs heuristic linking of the seed set on device."""
-        from ..ops.distances import pairwise_scores
-
         s = len(seed_ids)
-        seed_dev = jnp.asarray(seed_ids)
-        seed_vecs = jnp.take(vectors, seed_dev, axis=0)[None]  # [1, S, D]
-        pair = pairwise_scores(seed_vecs, seed_vecs, dist)[0]  # [S, S]
-        pair_np = np.array(pair, dtype=np.float32)  # writable copy
-        np.fill_diagonal(pair_np, -np.inf)
-
         seed_levels = self.levels[seed_ids]
         for l in range(0, int(seed_levels.max()) + 1):
             members = np.nonzero(seed_levels >= l)[0]
             if len(members) == 0:
                 continue
             m_l = self._m_at(l)
-            sub = pair_np[np.ix_(members, members)]  # [K, K]
-            order_idx = np.argsort(-sub, axis=1)
             k = len(members)
-            cand_ids = seed_ids[members[order_idx]].astype(np.int32)  # [K, K] global
-            cand_ids[~np.isfinite(np.take_along_axis(sub, order_idx, axis=1))] = -1
+            ids = seed_ids[members]
+            # candidates for each member: all other members
+            cand = np.broadcast_to(ids[None, :], (k, k)).copy()
+            np.fill_diagonal(cand, -1)
             c_pad = _pow2_at_least(k, 16)
-            cand_pad = _pad_rows(cand_ids.T, c_pad, -1).T  # pad candidate axis
-            scores_pad = _pad_rows(
-                np.take_along_axis(sub, order_idx, axis=1).T, c_pad, -np.inf
-            ).T
-            sel = hnsw_ops.reprune_rows(
-                jnp.asarray(seed_ids[members]),
-                jnp.asarray(cand_pad),
-                vectors,
-                m_l,
-                dist,
-            )
-            sel_np = np.asarray(sel, dtype=np.int32)
-            rows = self._row_of(l, seed_ids[members])
-            self._scatter(l, rows, sel_np)
+            k_pad = _pow2_at_least(k, 8)
+            cand_p = np.full((k_pad, c_pad), -1, dtype=np.int32)
+            cand_p[:k, :k] = cand
+            ids_p = np.zeros(k_pad, dtype=np.int32)
+            ids_p[:k] = ids
+            sel = np.asarray(
+                hnsw_ops.reprune_rows(
+                    jnp.asarray(ids_p), jnp.asarray(cand_p), vectors, m_l, dist
+                ),
+                dtype=np.int32,
+            )[:k]
+            self._scatter(l, self._row_of(l, ids), sel)
 
-    def _insert_batch(self, batch: np.ndarray, vectors, efc: int, dist: str) -> None:
+    def _insert_batch(
+        self, batch: np.ndarray, vectors, efc: int, dist: str, pad_to: int
+    ) -> None:
         b = len(batch)
-        b_pad = _pow2_at_least(b, 8)
-        qs = self.store.get_batch(batch).astype(np.float32)  # already preprocessed
-        qs = _pad_rows(qs, b_pad, 0.0)
+        b_pad = _pow2_at_least(pad_to, 8)
+        qs = _pad_rows(self.store.get_batch(batch).astype(np.float32), b_pad, 0.0)
         q_dev = jnp.asarray(qs)
         batch_levels = self.levels[batch]  # desc sorted
         batch_max = int(batch_levels[0])
         rank_dev = self._rank_device()
 
-        # entry state
-        ents = np.full((b_pad, 1), -1, dtype=np.int32)
-        ents[:b, 0] = self.entry
-        ent_is_beam = False
-        ent_dev = jnp.asarray(ents)
+        cur = jnp.full((b_pad,), self.entry, dtype=jnp.int32)
+        cur_scores = hnsw_ops.score_ids_batch(q_dev, vectors, cur[:, None], dist)[:, 0]
 
-        for l in range(self.max_level, -1, -1):
+        # 1) fused greedy descent through levels above any insertion
+        upper = self._upper_device()
+        if upper is not None and self.max_level > batch_max:
+            n_desc = self.max_level - batch_max  # stack indices [0, n_desc)
+            cur, cur_scores = hnsw_ops.greedy_descend_stack(
+                q_dev,
+                vectors,
+                upper[:n_desc],
+                rank_dev,
+                self._stack_counts()[:n_desc],
+                cur,
+                cur_scores,
+                dist,
+            )
+
+        # 2) per-level insertion from batch_max down to 0
+        ent_dev = cur[:, None]
+        max_iters = int(efc * 1.2) + 16
+        for l in range(batch_max, -1, -1):
             kl = int((batch_levels >= l).sum())
-            links_l = self._links_dev_at(l)
-            compact = None if l == 0 else rank_dev
-            if kl == 0:
-                # pure descent level: greedy from current single entry
-                cur = ent_dev[:, 0]
-                cur_scores = hnsw_ops.score_ids_batch(
-                    q_dev, vectors, cur[:, None], dist
-                )[:, 0]
-                if l > 0:
-                    cur, _ = hnsw_ops.greedy_descend_level(
-                        q_dev, vectors, links_l, rank_dev, cur, cur_scores, dist
-                    )
-                ent_dev = cur[:, None]
-                ent_is_beam = False
-                continue
-
-            # beam-search this level for candidate neighbors
-            max_iters = int(efc * 1.2) + 16
+            if l == 0:
+                links_l = self._links0_device()
+                compact = None
+            else:
+                links_l = self._upper_device()[self._stack_index(l)]
+                compact = rank_dev
             beam_scores, beam_ids = hnsw_ops.beam_search_level(
                 q_dev,
                 vectors,
@@ -266,91 +314,86 @@ class HnswIndex:
             sel = hnsw_ops.select_neighbors(beam_ids, beam_scores, vectors, m_l, dist)
             sel_np = np.asarray(sel, dtype=np.int32)[:kl]
 
-            # forward links
             rows = self._row_of(l, batch[:kl])
             self._scatter(l, rows, sel_np)
-            # reverse links
             self._apply_reverse_links(l, batch[:kl], sel_np, vectors, dist)
-
             ent_dev = beam_ids
-            ent_is_beam = True
 
     def _apply_reverse_links(
         self, level: int, points: np.ndarray, sel: np.ndarray, vectors, dist: str
     ) -> None:
         """Add `points` to their selected neighbors' link rows, repruning
-        overflowed rows with the device heuristic."""
+        overflowed rows with the device heuristic. Shape-stable: candidate
+        arrays are always [k_pow2, cap + INC_CAP]."""
         cap = self._m_at(level)
         nb_flat = sel.reshape(-1)
         p_flat = np.repeat(points.astype(np.int32), sel.shape[1])
         ok = nb_flat >= 0
         nb_flat, p_flat = nb_flat[ok], p_flat[ok]
-        if len(nb_flat) == 0:
-            return
 
-        max_inc_per_round = 2 * cap
         while len(nb_flat) > 0:
             sort_idx = np.argsort(nb_flat, kind="stable")
             nb_s, p_s = nb_flat[sort_idx], p_flat[sort_idx]
             uniq, starts, counts = np.unique(nb_s, return_index=True, return_counts=True)
             within = np.arange(len(nb_s)) - np.repeat(starts, counts)
-            # defer pairs beyond the per-round cap to the next round
-            defer = within >= max_inc_per_round
+            defer = within >= INC_CAP
             next_nb, next_p = nb_s[defer], p_s[defer]
             nb_s, p_s, within = nb_s[~defer], p_s[~defer], within[~defer]
             uniq, starts, counts = np.unique(nb_s, return_index=True, return_counts=True)
 
             rows_u = self._row_of(level, uniq)
-            cur_counts = self.link_counts[level][rows_u]
-            free = cap - cur_counts
-            fits = counts <= free
+            cur_counts = self._link_counts(level, rows_u)
+            fits = counts <= (cap - cur_counts)
 
             # --- direct placement (no overflow) ---
-            fit_mask_pairs = np.repeat(fits, counts)
-            if fit_mask_pairs.any():
-                nb_fit = nb_s[fit_mask_pairs]
-                p_fit = p_s[fit_mask_pairs]
-                within_fit = within[fit_mask_pairs]
+            fit_pairs = np.repeat(fits, counts)
+            if fit_pairs.any():
+                nb_fit = nb_s[fit_pairs]
+                p_fit = p_s[fit_pairs]
+                w_fit = within[fit_pairs]
                 rows_fit = self._row_of(level, nb_fit)
-                slots = self.link_counts[level][rows_fit] + within_fit
-                self.links_host[level][rows_fit, slots] = p_fit
-                # update counts per unique nb
-                u_fit = uniq[fits]
-                self.link_counts[level][self._row_of(level, u_fit)] += counts[fits].astype(
-                    np.int32
-                )
-                if level in self._links_dev:
-                    upd_rows = self._row_of(level, u_fit)
-                    self._links_dev[level] = hnsw_ops.scatter_link_rows(
-                        self._links_dev[level], upd_rows, self.links_host[level][upd_rows]
-                    )
+                slots = self._link_counts(level, rows_fit) + w_fit
+                if level == 0:
+                    self.links0[rows_fit, slots] = p_fit
+                else:
+                    self.links_upper[self._stack_index(level), rows_fit, slots] = p_fit
+                u_fit_rows = self._row_of(level, uniq[fits])
+                self._add_link_counts(level, u_fit_rows, counts[fits].astype(np.int32))
+                new_rows = self._links_host(level, u_fit_rows)
+                if level == 0:
+                    if self._links0_dev is not None:
+                        self._links0_dev = hnsw_ops.scatter_link_rows(
+                            self._links0_dev, u_fit_rows, new_rows
+                        )
+                else:
+                    if self._upper_dev is not None:
+                        self._upper_dev = _scatter_stack(
+                            self._upper_dev,
+                            self._stack_index(level),
+                            jnp.asarray(u_fit_rows),
+                            jnp.asarray(new_rows),
+                        )
 
-            # --- overflow: device reprune ---
+            # --- overflow: device reprune with fixed candidate shape ---
             over = ~fits
             if over.any():
                 u_over = uniq[over]
                 k = len(u_over)
                 rows_over = self._row_of(level, u_over)
-                inc_max = int(counts[over].max())
-                c_total = cap + inc_max
-                cands = np.full((k, c_total), -1, dtype=np.int32)
-                cands[:, :cap] = self.links_host[level][rows_over]
-                # place incoming
-                over_pair = np.repeat(over, counts)
-                nb_o, p_o, w_o = nb_s[over_pair], p_s[over_pair], within[over_pair]
+                c_total = cap + INC_CAP
+                k_pad = _pow2_at_least(k, 8)
+                cands = np.full((k_pad, c_total), -1, dtype=np.int32)
+                cands[:k, :cap] = self._links_host(level, rows_over)
+                over_pairs = np.repeat(over, counts)
+                nb_o, p_o, w_o = nb_s[over_pairs], p_s[over_pairs], within[over_pairs]
                 nb_to_k = {int(v): i for i, v in enumerate(u_over)}
                 k_idx = np.fromiter((nb_to_k[int(v)] for v in nb_o), dtype=np.int64)
                 cands[k_idx, cap + w_o] = p_o
-
-                k_pad = _pow2_at_least(k, 8)
-                c_pad = _pow2_at_least(c_total, 16)
-                cands_p = np.full((k_pad, c_pad), -1, dtype=np.int32)
-                cands_p[:k, :c_total] = cands
                 nb_p = np.zeros(k_pad, dtype=np.int32)
                 nb_p[:k] = u_over
                 new_rows = np.asarray(
                     hnsw_ops.reprune_rows(
-                        jnp.asarray(nb_p), jnp.asarray(cands_p), vectors, cap, dist
+                        jnp.asarray(nb_p), jnp.asarray(cands), vectors, cap, dist
                     ),
                     dtype=np.int32,
                 )[:k]
@@ -370,13 +413,13 @@ class HnswIndex:
         filter_mask: Optional[np.ndarray] = None,  # [n] bool
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k], offsets [B, k]), -1 padded."""
-        if self.entry < 0:
-            return (
-                np.full((len(np.atleast_2d(queries)), k), -np.inf, dtype=np.float32),
-                np.full((len(np.atleast_2d(queries)), k), -1, dtype=np.int32),
-            )
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b = queries.shape[0]
+        if self.entry < 0:
+            return (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int32),
+            )
         b_pad = _pow2_at_least(b, 8)
         q = _pad_rows(preprocess_vectors(queries, self.distance), b_pad, 0.0)
         q_dev = jnp.asarray(q)
@@ -384,12 +427,19 @@ class HnswIndex:
         dist = self.distance.value
         ef_eff = max(ef or self.config.ef_construct, k)
 
-        rank_dev = self._rank_device()
         cur = jnp.full((b_pad,), self.entry, dtype=jnp.int32)
         cur_scores = hnsw_ops.score_ids_batch(q_dev, vectors, cur[:, None], dist)[:, 0]
-        for l in range(self.max_level, 0, -1):
-            cur, cur_scores = hnsw_ops.greedy_descend_level(
-                q_dev, vectors, self._links_dev_at(l), rank_dev, cur, cur_scores, dist
+        upper = self._upper_device()
+        if upper is not None:
+            cur, cur_scores = hnsw_ops.greedy_descend_stack(
+                q_dev,
+                vectors,
+                upper,
+                self._rank_device(),
+                self._stack_counts(),
+                cur,
+                cur_scores,
+                dist,
             )
 
         mask_dev = None
@@ -403,7 +453,7 @@ class HnswIndex:
         beam_scores, beam_ids = hnsw_ops.beam_search_level(
             q_dev,
             vectors,
-            self._links_dev_at(0),
+            self._links0_device(),
             cur[:, None],
             mask_dev,
             ef_eff,
@@ -435,11 +485,15 @@ class HnswIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        arrays = {"levels": self.levels, "rank": self.rank}
-        for l, links in self.links_host.items():
-            arrays[f"links_{l}"] = links
-            arrays[f"counts_{l}"] = self.link_counts[l]
-        np.savez_compressed(os.path.join(path, "hnsw_graph.npz"), **arrays)
+        np.savez_compressed(
+            os.path.join(path, "hnsw_graph.npz"),
+            levels=self.levels,
+            rank=self.rank,
+            links0=self.links0,
+            counts0=self.counts0,
+            links_upper=self.links_upper,
+            counts_upper=self.counts_upper,
+        )
         with open(os.path.join(path, "hnsw_meta.json"), "w") as f:
             json.dump(
                 {
@@ -463,7 +517,19 @@ class HnswIndex:
         data = np.load(os.path.join(path, "hnsw_graph.npz"))
         idx.levels = data["levels"]
         idx.rank = data["rank"]
-        for l in range(idx.max_level + 1):
-            idx.links_host[l] = data[f"links_{l}"]
-            idx.link_counts[l] = data[f"counts_{l}"]
+        idx.links0 = data["links0"]
+        idx.counts0 = data["counts0"]
+        idx.links_upper = data["links_upper"]
+        idx.counts_upper = data["counts_upper"]
         return idx
+
+
+_scatter_stack_jit = jax.jit(
+    lambda stack, rows, vals, i: stack.at[i, rows].set(vals),
+    donate_argnums=0,
+    static_argnums=3,
+)
+
+
+def _scatter_stack(stack: jax.Array, i: int, rows: jax.Array, vals: jax.Array):
+    return _scatter_stack_jit(stack, rows, vals, int(i))

@@ -70,6 +70,57 @@ def greedy_descend_level(
     return ids, scores
 
 
+@functools.partial(jax.jit, static_argnames=("distance", "max_steps"))
+def greedy_descend_stack(
+    queries: jax.Array,  # [B, D] f32
+    vectors: jax.Array,  # [N, D]
+    links_stack: jax.Array,  # [L, R, M] int32 — levels top..1, same row space
+    compact_of: jax.Array,  # [N] int32 global id → row (level-sort rank)
+    level_counts: jax.Array,  # [L] int32 — nodes on each stacked level
+    cur_ids: jax.Array,  # [B] int32
+    cur_scores: jax.Array,  # [B] f32
+    distance: str,
+    max_steps: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy descent through ALL upper levels in one compiled program.
+
+    The per-level loop is unrolled (L is small and static); each level runs
+    the same while_loop as `greedy_descend_level`. Fusing levels removes
+    L-1 host→device round trips per query batch — significant when the
+    host↔TPU link has millisecond latency.
+    """
+    n_levels = links_stack.shape[0]
+    for i in range(n_levels):
+        links = links_stack[i]
+        count = level_counts[i]
+
+        def cond(state):
+            _, _, improved, step = state
+            return jnp.logical_and(jnp.any(improved), step < max_steps)
+
+        def body(state):
+            ids, scores, _, step = state
+            row = jnp.take(compact_of, ids)
+            ok = jnp.logical_and(row >= 0, row < count)
+            neigh = jnp.take(links, jnp.maximum(row, 0), axis=0)
+            neigh = jnp.where(ok[:, None], neigh, -1)
+            n_scores = score_ids_batch(queries, vectors, neigh, distance)
+            best = jnp.argmax(n_scores, axis=1)
+            best_score = jnp.take_along_axis(n_scores, best[:, None], axis=1)[:, 0]
+            best_id = jnp.take_along_axis(neigh, best[:, None], axis=1)[:, 0]
+            improved = best_score > scores
+            return (
+                jnp.where(improved, best_id, ids),
+                jnp.where(improved, best_score, scores),
+                improved,
+                step + 1,
+            )
+
+        init = (cur_ids, cur_scores, jnp.ones_like(cur_ids, dtype=bool), jnp.int32(0))
+        cur_ids, cur_scores, _, _ = jax.lax.while_loop(cond, body, init)
+    return cur_ids, cur_scores
+
+
 @functools.partial(
     jax.jit, static_argnames=("ef", "max_iters", "distance")
 )

@@ -1,0 +1,179 @@
+"""Device-mesh parallel search: shard scatter-gather as XLA collectives.
+
+Reference equivalence: qdrant fans a query out over segments/shards on
+threadpools and merges top-k on the coordinator
+(lib/collection/src/collection_manager/segments_searcher.rs:212-306 and
+collection/query.rs shard fan-out). On TPU the same axes map to a
+`jax.sharding.Mesh` over ICI: each device holds one data shard (vectors +
+HNSW adjacency); a replicated query batch scores locally, local top-k are
+all-gathered and merged — one compiled SPMD program instead of a scatter-
+gather RPC tree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import hnsw as hnsw_ops
+from ..ops.distances import score_dense
+from ..types import Distance
+
+SHARD_AXIS = "shard"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (SHARD_AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# sharded exact search
+# ---------------------------------------------------------------------------
+
+
+def sharded_exact_search(
+    mesh: Mesh,
+    queries: jax.Array,  # [B, D] (replicated)
+    vectors: jax.Array,  # [S * Np, D] (sharded on axis 0)
+    valid: jax.Array,  # [S * Np] bool (sharded)
+    distance: str,
+    k: int,
+):
+    """Data-parallel full scan: local MXU scoring + local top-k, then an
+    all-gather of [k] candidates per device and a global merge. Returns
+    (scores [B, k], global_ids [B, k])."""
+
+    def local(queries, vectors, valid):
+        # shapes here are per-device: vectors [Np, D]
+        np_local = vectors.shape[0]
+        scores = score_dense(queries, vectors, distance, valid)
+        s, ids = jax.lax.top_k(scores, k)  # local ids
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        gids = ids + shard * np_local
+        # gather all shards' candidates: [S, B, k]
+        all_s = jax.lax.all_gather(s, SHARD_AXIS)
+        all_g = jax.lax.all_gather(gids, SHARD_AXIS)
+        b = queries.shape[0]
+        flat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
+        flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
+        ms, midx = jax.lax.top_k(flat_s, k)
+        mg = jnp.take_along_axis(flat_g, midx, axis=1)
+        return ms, mg
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, vectors, valid)
+
+
+# ---------------------------------------------------------------------------
+# sharded HNSW search
+# ---------------------------------------------------------------------------
+
+
+def sharded_hnsw_search(
+    mesh: Mesh,
+    queries: jax.Array,  # [B, D] replicated
+    vectors: jax.Array,  # [S * Np, D] sharded
+    links: jax.Array,  # [S * Np, M0] sharded (local-offset adjacency)
+    entries: jax.Array,  # [S] int32 per-shard entry point (local offset), sharded
+    filter_mask: jax.Array,  # [S * Np] bool sharded
+    distance: str,
+    ef: int,
+    k: int,
+):
+    """Each device runs batched beam search over its local graph; per-shard
+    top-k are all-gathered and merged — the ICI-collective analogue of
+    qdrant's segment fan-out."""
+    max_iters = 2 * ef + 16
+
+    def local(queries, vectors, links, entry, filter_mask):
+        np_local = vectors.shape[0]
+        beam_scores, beam_ids = hnsw_ops.beam_search_level(
+            queries,
+            vectors,
+            links,
+            jnp.broadcast_to(entry.reshape(1, 1), (queries.shape[0], 1)),
+            filter_mask,
+            ef,
+            max_iters,
+            distance,
+        )
+        s, idx = jax.lax.top_k(beam_scores, k)
+        ids = jnp.take_along_axis(beam_ids, idx, axis=1)
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        gids = jnp.where(ids >= 0, ids + shard * np_local, -1)
+        all_s = jax.lax.all_gather(s, SHARD_AXIS)  # [S, B, k]
+        all_g = jax.lax.all_gather(gids, SHARD_AXIS)
+        b = queries.shape[0]
+        flat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
+        flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
+        ms, midx = jax.lax.top_k(flat_s, k)
+        mg = jnp.take_along_axis(flat_g, midx, axis=1)
+        return ms, mg
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, vectors, links, entries, filter_mask)
+
+
+# ---------------------------------------------------------------------------
+# sharded build step (one batched-insert search round on every shard)
+# ---------------------------------------------------------------------------
+
+
+def sharded_build_step(
+    mesh: Mesh,
+    batch_queries: jax.Array,  # [S * Bb, D] sharded — each shard inserts its own batch
+    vectors: jax.Array,  # [S * Np, D] sharded
+    links: jax.Array,  # [S * Np, M0] sharded
+    entries: jax.Array,  # [S] sharded
+    distance: str,
+    ef_construct: int,
+    m: int,
+):
+    """One device-parallel graph-build round: per-shard candidate beam search
+    + heuristic neighbor selection for a batch of new points. Returns the
+    selected neighbor rows [S * Bb, m] (sharded), which the host applies to
+    each shard's adjacency (reverse links + scatter)."""
+    max_iters = int(ef_construct * 1.2) + 16
+
+    def local(qs, vectors, links, entry):
+        beam_scores, beam_ids = hnsw_ops.beam_search_level(
+            qs,
+            vectors,
+            links,
+            jnp.broadcast_to(entry.reshape(1, 1), (qs.shape[0], 1)),
+            None,
+            ef_construct,
+            max_iters,
+            distance,
+        )
+        sel = hnsw_ops.select_neighbors(beam_ids, beam_scores, vectors, m, distance)
+        return sel
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(SHARD_AXIS),
+        check_vma=False,
+    )
+    return fn(batch_queries, vectors, links, entries)

@@ -67,6 +67,8 @@ class DenseVectorStore:
         # device mirror
         self._dev: Optional[jax.Array] = None
         self._dev_mask: Optional[jax.Array] = None
+        self._scan = None
+        self._scan_version = None
         self._dirty = True
 
     # -- host mutation ------------------------------------------------------
@@ -165,7 +167,29 @@ class DenseVectorStore:
     def drop_device(self) -> None:
         self._dev = None
         self._dev_mask = None
+        self._scan = None
         self._dirty = True
+
+    def scan_index(self):
+        """Cached blocked-scan searcher (ops/scan.py) over this store's
+        current contents — rebuilt lazily after mutations."""
+        from ..ops.scan import ScanIndex
+        from ..types import Distance
+
+        if getattr(self, "_scan", None) is None or self._scan_version != (
+            self._count,
+            self._deleted_count,
+        ):
+            valid = np.zeros(self._count, dtype=bool)
+            valid[:] = ~self._deleted[: self._count]
+            self._scan = ScanIndex(
+                self.host_array,
+                valid_mask=valid,
+                euclid=self.distance
+                in (Distance.EUCLID, Distance.MANHATTAN),
+            )
+            self._scan_version = (self._count, self._deleted_count)
+        return self._scan
 
     # -- persistence --------------------------------------------------------
 
