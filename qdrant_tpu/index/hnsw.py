@@ -53,10 +53,19 @@ def _pad_rows(arr: np.ndarray, rows: int, fill) -> np.ndarray:
 
 
 class HnswIndex:
-    def __init__(self, store: DenseVectorStore, config: HnswConfig, seed: int = 42):
+    def __init__(
+        self,
+        store: DenseVectorStore,
+        config: HnswConfig,
+        seed: int = 42,
+        subset: Optional[np.ndarray] = None,
+    ):
         self.store = store
         self.config = config
         self.seed = seed
+        # optional subset of global offsets — used for payload-block
+        # subgraphs (reference: hnsw/build.rs:364-530 filterable HNSW)
+        self.subset = None if subset is None else np.asarray(subset, dtype=np.int32)
         self.distance: Distance = store.distance
         # graph state (populated by build/load)
         self.levels: Optional[np.ndarray] = None  # [n] int32, -1 = not in graph
@@ -112,9 +121,7 @@ class HnswIndex:
         return self._stack_counts_dev
 
     def _row_of(self, level: int, ids: np.ndarray) -> np.ndarray:
-        """Global ids → link-table rows at `level` (level 0 = identity)."""
-        if level == 0:
-            return ids
+        """Global ids → link-table rows (all levels are rank-compact)."""
         return self.rank[ids]
 
     def _scatter(self, level: int, rows: np.ndarray, values: np.ndarray) -> None:
@@ -169,6 +176,10 @@ class HnswIndex:
         rng = np.random.default_rng(self.seed)
 
         alive = ~self.store.deleted_mask
+        if self.subset is not None:
+            member = np.zeros(n, dtype=bool)
+            member[self.subset[self.subset < n]] = True
+            alive = alive & member
         alive_ids = np.nonzero(alive)[0].astype(np.int32)
         n_alive = len(alive_ids)
 
@@ -197,7 +208,7 @@ class HnswIndex:
             l: int((levels_alive >= l).sum()) for l in range(self.max_level + 1)
         }
 
-        rows0 = _pow2_at_least(max(n, 1))
+        rows0 = _pow2_at_least(max(n_alive, 1))
         self.links0 = np.full((rows0, self.config.m0), -1, dtype=np.int32)
         self.counts0 = np.zeros(rows0, dtype=np.int32)
         n_upper_levels = self.max_level
@@ -295,7 +306,7 @@ class HnswIndex:
             kl = int((batch_levels >= l).sum())
             if l == 0:
                 links_l = self._links0_device()
-                compact = None
+                compact = rank_dev
             else:
                 links_l = self._upper_device()[self._stack_index(l)]
                 compact = rank_dev
@@ -459,6 +470,7 @@ class HnswIndex:
             ef_eff,
             max_iters,
             dist,
+            compact_of=self._rank_device(),
         )
         scores = np.asarray(beam_scores, dtype=np.float32)[:b]
         ids = np.asarray(beam_ids, dtype=np.int32)[:b]

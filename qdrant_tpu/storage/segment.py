@@ -92,6 +92,10 @@ class Segment:
         self.multi: Dict[str, MultiVectorStore] = {}
         self.sparse: Dict[str, SparseVectorStore] = {}
         self.hnsw: Dict[str, HnswIndex] = {}
+        # filterable-HNSW payload-block subgraphs:
+        # vector name → {(field, value_repr): HnswIndex over that block}
+        # (reference: hnsw/build.rs:364-530 additional payload-block graphs)
+        self.hnsw_blocks: Dict[str, Dict[Tuple[str, str], HnswIndex]] = {}
         self.quantized: Dict[str, Any] = {}
         self.sparse_index: Dict[str, SparseIndex] = {}
         for name, vp in params.vectors.items():
@@ -400,6 +404,16 @@ class Segment:
 
         vp = self.params.vectors[name]
         hnsw = self.hnsw.get(name)
+        ef = params.hnsw_ef or max(k, 64)
+
+        # filterable HNSW: a match-value filter covered by a payload-block
+        # subgraph searches that block's graph directly
+        if hnsw is not None and not params.exact and flt is not None:
+            for field, vkey in _block_conditions(flt):
+                sub = self.hnsw_blocks.get(name, {}).get((field, vkey))
+                if sub is not None:
+                    return sub.search(queries, k, ef=ef, filter_mask=combined)
+
         use_graph = (
             hnsw is not None
             and not params.exact
@@ -408,7 +422,6 @@ class Segment:
         quant = None if params.quantization_ignore else self.quantized.get(name)
 
         if use_graph:
-            ef = params.hnsw_ef or max(k, 64)
             scores, ids = hnsw.search(queries, k, ef=ef, filter_mask=combined)
             return scores, ids
         if quant is not None and not params.exact:
@@ -571,6 +584,21 @@ class Segment:
                 idx = HnswIndex(store, cfg)
                 idx.build()
                 self.hnsw[name] = idx
+                # payload-block subgraphs for filterable search
+                blocks = self.payload_index.payload_blocks(cfg.full_scan_threshold)
+                if blocks:
+                    sub_m = cfg.payload_m or cfg.m
+                    sub_cfg = HnswConfig(
+                        m=sub_m,
+                        ef_construct=cfg.ef_construct,
+                        full_scan_threshold=cfg.full_scan_threshold,
+                    )
+                    for field, value, offsets in blocks:
+                        sub = HnswIndex(store, sub_cfg, subset=offsets)
+                        sub.build()
+                        self.hnsw_blocks.setdefault(name, {})[
+                            (field, repr(value))
+                        ] = sub
             qc = vp.quantization_config
             if qc is not None and len(store) > 0:
                 data = store.host_array
@@ -600,6 +628,13 @@ class Segment:
                 k: v.to_dict() for k, v in self.payload_index.indexed_fields().items()
             },
             "hnsw": list(self.hnsw.keys()),
+            "hnsw_blocks": {
+                name: [
+                    [field, vkey, f"hnsw_block_{_safe(name)}_{i}"]
+                    for i, (field, vkey) in enumerate(blocks.keys())
+                ]
+                for name, blocks in self.hnsw_blocks.items()
+            },
             "quantized": {
                 name: type(q).__name__ for name, q in self.quantized.items()
             },
@@ -616,6 +651,9 @@ class Segment:
             store.save(os.path.join(path, f"sparse_{_safe(name)}"))
         for name, idx in self.hnsw.items():
             idx.save(os.path.join(path, f"hnsw_{_safe(name)}"))
+        for name, blocks in self.hnsw_blocks.items():
+            for i, sub in enumerate(blocks.values()):
+                sub.save(os.path.join(path, f"hnsw_block_{_safe(name)}_{i}"))
         for name, q in self.quantized.items():
             q.save(os.path.join(path, f"quant_{_safe(name)}"))
 
@@ -655,6 +693,18 @@ class Segment:
             seg.hnsw[name] = HnswIndex.load(
                 os.path.join(path, f"hnsw_{_safe(name)}"), seg.dense[name], cfg
             )
+        for name, blocks in meta.get("hnsw_blocks", {}).items():
+            vp = params.vectors[name]
+            cfg = vp.hnsw_config or HnswConfig()
+            sub_cfg = HnswConfig(
+                m=cfg.payload_m or cfg.m,
+                ef_construct=cfg.ef_construct,
+                full_scan_threshold=cfg.full_scan_threshold,
+            )
+            for field, vkey, dirname in blocks:
+                seg.hnsw_blocks.setdefault(name, {})[(field, vkey)] = HnswIndex.load(
+                    os.path.join(path, dirname), seg.dense[name], sub_cfg
+                )
         for name, qtype in meta.get("quantized", {}).items():
             qpath = os.path.join(path, f"quant_{_safe(name)}")
             if qtype == "ScalarQuantized":
@@ -668,3 +718,23 @@ class Segment:
 
 def _safe(name: str) -> str:
     return name if name else "_default"
+
+
+def _block_conditions(flt: Filter):
+    """Yield (field, value_repr) for plain match-value must conditions —
+    candidates for payload-block subgraph dispatch."""
+    if flt is None:
+        return
+    from ..types import FieldCondition, MatchValue
+
+    for cond in flt.must:
+        if (
+            isinstance(cond, FieldCondition)
+            and isinstance(cond.match, MatchValue)
+            and cond.range is None
+            and cond.geo_bounding_box is None
+            and cond.geo_radius is None
+            and cond.geo_polygon is None
+            and cond.values_count is None
+        ):
+            yield cond.key, repr(cond.match.value)
