@@ -26,7 +26,7 @@ from typing import Any, Dict, Iterable, List, Optional, Tuple
 import numpy as np
 
 from ..storage.segment import SearchParams, Segment
-from ..storage.wal import Wal
+from ..storage.wal import open_wal
 from ..types import (
     CollectionParams,
     Filter,
@@ -55,7 +55,7 @@ class LocalShard:
         self.params = params
         self.optimizers = optimizers or OptimizersConfig()
         os.makedirs(path, exist_ok=True)
-        self.wal = Wal(os.path.join(path, "wal"))
+        self.wal = open_wal(os.path.join(path, "wal"))
         self.segments: List[Segment] = []
         self._segment_dirs: Dict[int, str] = {}  # id(segment) → dir name
         self._seg_counter = 0

@@ -153,3 +153,70 @@ class Wal:
         if self._open_file is not None:
             self._open_file.close()
             self._open_file = None
+
+
+class NativeWal:
+    """ctypes wrapper over the C++ WAL engine (native/wal.cpp) — same
+    interface and on-disk format as `Wal`."""
+
+    def __init__(self, path: str, segment_capacity: int = 32 * 1024 * 1024):
+        from ..native import load
+
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._h = self._lib.wal_open(path.encode(), segment_capacity)
+        if not self._h:
+            raise RuntimeError("wal_open failed")
+
+    @property
+    def next_op_num(self) -> int:
+        return int(self._lib.wal_next_op(self._h))
+
+    def append(self, operation: Any) -> int:
+        payload = msgpack.packb(operation, use_bin_type=True)
+        op = int(self._lib.wal_append(self._h, payload, len(payload)))
+        if op == 0:
+            raise IOError("wal_append failed")
+        return op
+
+    def sync(self) -> None:
+        self._lib.wal_sync(self._h)
+
+    def read_from(self, from_op_num: int = 1) -> Iterator[Tuple[int, Any]]:
+        import ctypes
+
+        cursor = self._lib.wal_read_from(self._h, from_op_num)
+        try:
+            op = ctypes.c_uint64()
+            while True:
+                ln = self._lib.wal_cursor_next(cursor, ctypes.byref(op))
+                if ln < 0:
+                    break
+                buf = ctypes.string_at(self._lib.wal_cursor_payload(cursor), ln)
+                yield int(op.value), msgpack.unpackb(
+                    buf, raw=False, strict_map_key=False
+                )
+        finally:
+            self._lib.wal_cursor_close(cursor)
+
+    def ack(self, op_num: int) -> None:
+        self._lib.wal_ack(self._h, op_num)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.wal_close(self._h)
+            self._h = None
+
+
+def open_wal(path: str, segment_capacity: int = 32 * 1024 * 1024):
+    """WAL factory: native C++ engine when the toolchain is available,
+    pure-Python otherwise (identical format — interchangeable on disk)."""
+    if os.environ.get("QDRANT_TPU_NO_NATIVE") != "1":
+        try:
+            return NativeWal(path, segment_capacity)
+        except (RuntimeError, OSError):
+            pass
+    return Wal(path, segment_capacity)
