@@ -1,0 +1,69 @@
+"""Process entry point: `python -m qdrant_tpu [--config-path ...]`.
+
+Reference: src/main.rs — loads settings, initializes the storage root
+(TableOfContent), and serves the REST API (gRPC arrives with the cluster
+layer). Ctrl-C flushes all collections before exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import signal
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="qdrant_tpu", description="TPU-native vector search engine")
+    parser.add_argument("--config-path", help="path to a config yaml overriding the cascade")
+    parser.add_argument("--storage-dir", help="override storage.storage_path")
+    parser.add_argument("--http-port", type=int, help="override service.http_port")
+    parser.add_argument("--host", help="override service.host")
+    args = parser.parse_args(argv)
+
+    if args.config_path:
+        os.environ["QDRANT_CONFIG_PATH"] = args.config_path
+
+    from .settings import Settings
+
+    settings = Settings.load()
+    if args.storage_dir:
+        settings["storage"]["storage_path"] = args.storage_dir
+    if args.http_port:
+        settings["service"]["http_port"] = args.http_port
+    if args.host:
+        settings["service"]["host"] = args.host
+
+    logging.basicConfig(
+        level=getattr(logging, str(settings.get("log_level", "INFO")).upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("qdrant_tpu")
+
+    from .api.rest import RestServer
+    from .api.toc import TableOfContent
+
+    storage_path = settings.get_path("storage.storage_path", "./storage")
+    toc = TableOfContent(storage_path)
+    host = settings.get_path("service.host", "127.0.0.1")
+    port = int(settings.get_path("service.http_port", 6333))
+    server = RestServer(toc, host=host, port=port)
+    log.info("qdrant-tpu listening on http://%s:%d (storage: %s)", host, server.port, storage_path)
+
+    def shutdown(signum, frame):
+        log.info("shutting down; flushing collections")
+        toc.close()
+        server.httpd.shutdown()
+
+    signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
+    try:
+        server.serve_forever()
+    finally:
+        toc.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
