@@ -48,7 +48,13 @@ def main(argv=None) -> int:
     toc = TableOfContent(storage_path)
     host = settings.get_path("service.host", "127.0.0.1")
     port = int(settings.get_path("service.http_port", 6333))
-    server = RestServer(toc, host=host, port=port)
+    server = RestServer(
+        toc,
+        host=host,
+        port=port,
+        api_key=settings.get_path("service.api_key"),
+        read_only_api_key=settings.get_path("service.read_only_api_key"),
+    )
     log.info("qdrant-tpu listening on http://%s:%d (storage: %s)", host, server.port, storage_path)
 
     def shutdown(signum, frame):

@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..collection.collection import CollectionError, NotFoundError
+from .auth import AuthError, Authenticator
 from ..collection.query import QueryError, QueryExecutor, QueryRequest
 from ..storage.segment import SearchParams
 from ..types import PayloadIndexParams, normalize_point_id, parse_filter
@@ -816,8 +817,35 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
 ]
 
 
+# access level per handler: "read" (default), "write" (collection-scoped
+# mutation), "manage" (global/meta operations). Reference: rbac/ops_checks.rs.
+ACCESS_LEVELS = {
+    h_create_collection: "manage",
+    h_update_collection: "manage",
+    h_delete_collection: "manage",
+    h_update_aliases: "manage",
+    h_create_shard_key: "manage",
+    h_delete_shard_key: "manage",
+    h_recover_snapshot: "manage",
+    h_create_index: "write",
+    h_delete_index: "write",
+    h_upsert_points: "write",
+    h_delete_points: "write",
+    h_update_vectors: "write",
+    h_delete_vectors: "write",
+    h_set_payload: "write",
+    h_overwrite_payload: "write",
+    h_delete_payload: "write",
+    h_clear_payload: "write",
+    h_batch_update: "write",
+    h_create_snapshot: "write",
+    h_delete_snapshot: "write",
+}
+
+
 class _Handler(BaseHTTPRequestHandler):
     toc: TableOfContent = None  # injected
+    authenticator = None  # injected (api.auth.Authenticator)
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet
@@ -845,7 +873,21 @@ class _Handler(BaseHTTPRequestHandler):
             if not m:
                 continue
             try:
-                result = handler(self.toc, m.groupdict(), body, qparams)
+                groups = m.groupdict()
+                if self.authenticator is not None and self.authenticator.enabled:
+                    if path not in ("/healthz", "/livez", "/readyz"):
+                        access = self.authenticator.authenticate(self.headers)
+                        level = ACCESS_LEVELS.get(handler, "read")
+                        if level == "manage":
+                            access.check_manage()
+                        elif "name" in groups:
+                            access.check_collection(
+                                self.toc.resolve_name(groups["name"]),
+                                write=(level == "write"),
+                            )
+                        elif level == "write" and not access.write:
+                            raise AuthError("write access denied")
+                result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 200, elapsed)
                 if path == "/metrics":
@@ -854,6 +896,10 @@ class _Handler(BaseHTTPRequestHandler):
                     self._reply(
                         200, {"result": result, "status": "ok", "time": elapsed}
                     )
+            except AuthError as e:
+                elapsed = time.monotonic() - started
+                METRICS.observe(method, pattern.pattern, 401, elapsed)
+                self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
             except (ApiError, CollectionError, NotFoundError, QueryError) as e:
                 status = getattr(e, "status_code", 400)
                 elapsed = time.monotonic() - started
@@ -918,8 +964,22 @@ def _json_default(o):
 
 
 class RestServer:
-    def __init__(self, toc: TableOfContent, host: str = "127.0.0.1", port: int = 6333):
-        handler = type("BoundHandler", (_Handler,), {"toc": toc})
+    def __init__(
+        self,
+        toc: TableOfContent,
+        host: str = "127.0.0.1",
+        port: int = 6333,
+        api_key: Optional[str] = None,
+        read_only_api_key: Optional[str] = None,
+    ):
+        handler = type(
+            "BoundHandler",
+            (_Handler,),
+            {
+                "toc": toc,
+                "authenticator": Authenticator(api_key, read_only_api_key),
+            },
+        )
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
