@@ -26,7 +26,7 @@ from ..collection.collection import CollectionError, NotFoundError
 from .auth import AuthError, Authenticator
 from ..collection.query import QueryError, QueryExecutor, QueryRequest
 from ..storage.segment import SearchParams
-from ..types import PayloadIndexParams, normalize_point_id, parse_filter
+from ..types import PayloadIndexParams, StrictModeError, normalize_point_id, parse_filter
 from .metrics import METRICS
 from .toc import TableOfContent
 
@@ -900,7 +900,7 @@ class _Handler(BaseHTTPRequestHandler):
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 401, elapsed)
                 self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
-            except (ApiError, CollectionError, NotFoundError, QueryError) as e:
+            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError) as e:
                 status = getattr(e, "status_code", 400)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, status, elapsed)

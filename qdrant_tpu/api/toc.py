@@ -19,6 +19,7 @@ from ..types import (
     CollectionParams,
     HnswConfig,
     OptimizersConfig,
+    StrictModeConfig,
     WalConfig,
     parse_vectors_config,
     SparseVectorParams,
@@ -101,6 +102,9 @@ class TableOfContent:
                 hnsw_config=HnswConfig.from_dict(spec.get("hnsw_config")),
                 optimizers_config=OptimizersConfig.from_dict(spec.get("optimizers_config")),
                 wal_config=WalConfig.from_dict(spec.get("wal_config")),
+                strict_mode_config=StrictModeConfig.from_dict(
+                    spec.get("strict_mode_config")
+                ),
             )
             self.collections[name] = coll
             return True
@@ -115,6 +119,12 @@ class TableOfContent:
                     shard.optimizers = new
             if spec.get("hnsw_config"):
                 coll.hnsw_config = HnswConfig.from_dict(spec["hnsw_config"])
+            if spec.get("strict_mode_config") is not None:
+                import dataclasses as _dc
+
+                cur = coll.strict_mode_config.to_dict()
+                cur.update(spec["strict_mode_config"])
+                coll.strict_mode_config = StrictModeConfig.from_dict(cur)
             coll.save_config()
             return True
 

@@ -21,12 +21,18 @@ import numpy as np
 from ..storage.segment import SearchParams
 from ..types import (
     CollectionParams,
+    FieldCondition,
     Filter,
     HnswConfig,
+    IsEmptyCondition,
+    IsNullCondition,
+    NestedCondition,
     OptimizersConfig,
     PayloadIndexParams,
     PointId,
     SparseVector,
+    StrictModeConfig,
+    StrictModeError,
     WalConfig,
     normalize_point_id,
     parse_filter,
@@ -52,6 +58,7 @@ class Collection:
         hnsw_config: Optional[HnswConfig] = None,
         optimizers_config: Optional[OptimizersConfig] = None,
         wal_config: Optional[WalConfig] = None,
+        strict_mode_config: Optional[StrictModeConfig] = None,
     ):
         self.name = name
         self.path = path
@@ -59,6 +66,7 @@ class Collection:
         self.hnsw_config = hnsw_config or HnswConfig()
         self.optimizers_config = optimizers_config or OptimizersConfig()
         self.wal_config = wal_config or WalConfig()
+        self.strict_mode_config = strict_mode_config or StrictModeConfig()
         self.created_at = time.time()
         os.makedirs(path, exist_ok=True)
         # default per-vector hnsw config from collection default
@@ -145,9 +153,96 @@ class Collection:
     # updates (split by shard; reference point_ops.rs:63)
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # strict mode enforcement (reference: StrictModeConfig checks in toc)
+    # ------------------------------------------------------------------
+
+    def _indexed_fields(self) -> set:
+        fields = set()
+        for shard in self.shards.values():
+            for seg in shard.segments:
+                fields.update(seg.payload_index.indexed_fields().keys())
+        return fields
+
+    def check_strict_filter(self, flt: Optional[Filter], for_update: bool = False) -> None:
+        sm = self.strict_mode_config
+        if not sm.enabled or flt is None:
+            return
+        conds: List[Any] = []
+
+        def walk(f: Filter):
+            for c in list(f.must) + list(f.should) + list(f.must_not) + (
+                f.min_should[0] if f.min_should else []
+            ):
+                if isinstance(c, Filter):
+                    walk(c)
+                else:
+                    conds.append(c)
+
+        walk(flt)
+        if sm.filter_max_conditions and len(conds) > sm.filter_max_conditions:
+            raise StrictModeError(
+                f"filter has {len(conds)} conditions, limit is {sm.filter_max_conditions}"
+            )
+        flag = (
+            sm.unindexed_filtering_update if for_update else sm.unindexed_filtering_retrieve
+        )
+        if flag is False:
+            indexed = self._indexed_fields()
+            for c in conds:
+                key = None
+                if isinstance(c, FieldCondition):
+                    key = c.key
+                elif isinstance(c, (IsEmptyCondition,)):
+                    key = c.is_empty_key
+                elif isinstance(c, (IsNullCondition,)):
+                    key = c.is_null_key
+                elif isinstance(c, NestedCondition):
+                    key = c.key
+                if key is not None and key not in indexed:
+                    raise StrictModeError(
+                        f"Index required but not found for \"{key}\""
+                    )
+
+    def check_strict_query(
+        self, limit: int, hnsw_ef: Optional[int], exact: bool, flt: Optional[Filter]
+    ) -> None:
+        sm = self.strict_mode_config
+        if not sm.enabled:
+            return
+        if sm.max_query_limit and limit > sm.max_query_limit:
+            raise StrictModeError(
+                f"limit {limit} exceeds strict mode max_query_limit {sm.max_query_limit}"
+            )
+        if sm.search_max_hnsw_ef and hnsw_ef and hnsw_ef > sm.search_max_hnsw_ef:
+            raise StrictModeError(
+                f"hnsw_ef {hnsw_ef} exceeds strict mode limit {sm.search_max_hnsw_ef}"
+            )
+        if sm.search_allow_exact is False and exact:
+            raise StrictModeError("exact search is disabled by strict mode")
+        self.check_strict_filter(flt)
+
+    def check_strict_upsert(self, n_points: int) -> None:
+        sm = self.strict_mode_config
+        if not sm.enabled:
+            return
+        if sm.upsert_max_batchsize and n_points > sm.upsert_max_batchsize:
+            raise StrictModeError(
+                f"batch of {n_points} exceeds strict mode upsert_max_batchsize "
+                f"{sm.upsert_max_batchsize}"
+            )
+        if sm.max_points_count:
+            total = sum(s.point_count() for s in self.shards.values())
+            if total + n_points > sm.max_points_count:
+                raise StrictModeError(
+                    f"collection would exceed strict mode max_points_count "
+                    f"{sm.max_points_count}"
+                )
+
     def upsert(
         self, points: List[Dict[str, Any]], shard_key: Any = None, wait: bool = True
     ) -> Dict[str, Any]:
+        self.check_strict_upsert(len(points))
         by_shard: Dict[int, List[dict]] = {}
         for p in points:
             pid = normalize_point_id(p["id"])
@@ -364,6 +459,7 @@ class Collection:
                 "hnsw_config": self.hnsw_config.to_dict(),
                 "optimizer_config": self.optimizers_config.to_dict(),
                 "wal_config": self.wal_config.to_dict(),
+                "strict_mode_config": self.strict_mode_config.to_dict(),
             },
             "payload_schema": self._payload_schema(),
         }
@@ -393,6 +489,7 @@ class Collection:
             "hnsw_config": self.hnsw_config.to_dict(),
             "optimizers_config": self.optimizers_config.to_dict(),
             "wal_config": self.wal_config.to_dict(),
+            "strict_mode_config": self.strict_mode_config.to_dict(),
             "shard_keys": [[repr(k), k, v] for k, v in self.shard_keys.items()],
             "next_shard_id": self._next_shard_id,
             "created_at": self.created_at,
@@ -412,6 +509,9 @@ class Collection:
         coll.hnsw_config = HnswConfig.from_dict(cfg.get("hnsw_config"))
         coll.optimizers_config = OptimizersConfig.from_dict(cfg.get("optimizers_config"))
         coll.wal_config = WalConfig.from_dict(cfg.get("wal_config"))
+        coll.strict_mode_config = StrictModeConfig.from_dict(
+            cfg.get("strict_mode_config")
+        )
         coll.created_at = cfg.get("created_at", time.time())
         coll.shards = {}
         coll.ring = HashRing()

@@ -248,6 +248,9 @@ class QueryExecutor:
     def _leaf(
         self, req: QueryRequest, limit: int, candidate_pool: Optional[int] = None
     ) -> List[Tuple[float, PointId]]:
+        check = getattr(self.collection, "check_strict_query", None)
+        if check is not None:
+            check(limit, req.params.hnsw_ef, req.params.exact, req.filter)
         q = req.query
         if q is None:
             # scroll-by-id order, no scores

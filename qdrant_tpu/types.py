@@ -665,6 +665,38 @@ class WalConfig:
 
 
 @dataclass
+class StrictModeConfig:
+    """Per-collection request limits (reference: types.rs:1323
+    StrictModeConfig). Only checks relevant to this engine are enforced."""
+
+    enabled: bool = False
+    max_query_limit: Optional[int] = None
+    max_timeout: Optional[int] = None
+    unindexed_filtering_retrieve: Optional[bool] = None
+    unindexed_filtering_update: Optional[bool] = None
+    search_max_hnsw_ef: Optional[int] = None
+    search_allow_exact: Optional[bool] = None
+    search_max_oversampling: Optional[float] = None
+    upsert_max_batchsize: Optional[int] = None
+    max_points_count: Optional[int] = None
+    filter_max_conditions: Optional[int] = None
+    condition_max_size: Optional[int] = None
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: Optional[dict]) -> "StrictModeConfig":
+        d = d or {}
+        fields = {f.name for f in dataclasses.fields(StrictModeConfig)}
+        return StrictModeConfig(**{k: v for k, v in d.items() if k in fields})
+
+
+class StrictModeError(Exception):
+    status_code = 400
+
+
+@dataclass
 class CollectionParams:
     vectors: Dict[str, VectorParams] = field(default_factory=dict)
     sparse_vectors: Dict[str, SparseVectorParams] = field(default_factory=dict)
