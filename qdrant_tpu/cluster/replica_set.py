@@ -1,0 +1,272 @@
+"""Shard replica set: replicated writes with clock tags + consistent reads.
+
+Reference: lib/collection/src/shards/replica_set/ — ShardReplicaSet
+(mod.rs:97-132), the ReplicaState machine (replica_set_state.rs:100-133),
+parallel write fan-out with clock tags and failure-driven deactivation
+(update.rs:254-430, locally_disabled_peers.rs), and read fallback across
+replicas (execute_read_operation.rs).
+
+Transport abstraction: a replica is anything implementing ShardOperations —
+a LocalShard (in-process) or a RemoteReplica stub (HTTP to a peer's internal
+API). Location transparency mirrors the reference's RemoteShard design
+(shards/remote_shard.rs).
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from ..types import Filter, PointId
+from .clock import ClockMap, ClockSet, ClockTag
+
+
+class ReplicaState(str, enum.Enum):
+    # reference: replica_set_state.rs:100-133
+    ACTIVE = "Active"
+    DEAD = "Dead"
+    PARTIAL = "Partial"
+    INITIALIZING = "Initializing"
+    LISTENER = "Listener"
+    RECOVERY = "Recovery"
+    RESHARDING = "Resharding"
+    RESHARDING_SCALE_DOWN = "ReshardingScaleDown"
+    ACTIVE_READ = "ActiveRead"
+
+    @property
+    def is_updatable(self) -> bool:
+        """States that must receive writes (even if not readable)."""
+        return self in (
+            ReplicaState.ACTIVE,
+            ReplicaState.PARTIAL,
+            ReplicaState.INITIALIZING,
+            ReplicaState.LISTENER,
+            ReplicaState.RESHARDING,
+            ReplicaState.RESHARDING_SCALE_DOWN,
+        )
+
+    @property
+    def is_readable(self) -> bool:
+        return self in (ReplicaState.ACTIVE, ReplicaState.ACTIVE_READ, ReplicaState.LISTENER)
+
+
+class ReplicaError(Exception):
+    pass
+
+
+class WriteOrdering(str, enum.Enum):
+    WEAK = "weak"
+    MEDIUM = "medium"
+    STRONG = "strong"
+
+
+class ShardOperations:
+    """Interface every replica implements (local or remote)."""
+
+    def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
+        raise NotImplementedError
+
+    def search_dense(self, name, queries, k, flt=None, params=None):
+        raise NotImplementedError
+
+    def search_sparse(self, name, queries, k, flt=None):
+        raise NotImplementedError
+
+    def count(self, flt):
+        raise NotImplementedError
+
+    def scroll_ids(self, limit, offset_id=None, flt=None):
+        raise NotImplementedError
+
+
+class LocalReplica(ShardOperations):
+    """In-process replica wrapping a LocalShard + its ClockMap."""
+
+    def __init__(self, shard):
+        self.shard = shard
+        self.clock_map = ClockMap()
+
+    def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
+        tag = ClockTag.from_dict(clock_tag)
+        if not self.clock_map.advance(tag):
+            return {"status": "stale", "operation_id": 0}
+        return self.shard.update(op)
+
+    def search_dense(self, name, queries, k, flt=None, params=None):
+        return self.shard.search_dense(name, queries, k, flt, params)
+
+    def search_sparse(self, name, queries, k, flt=None):
+        return self.shard.search_sparse(name, queries, k, flt)
+
+    def count(self, flt):
+        return self.shard.count(flt)
+
+    def scroll_ids(self, limit, offset_id=None, flt=None):
+        return self.shard.scroll_ids(limit, offset_id, flt)
+
+
+class ShardReplicaSet:
+    """One shard's replicas across peers, with this peer's view of states.
+
+    Writes: lease a clock, tag the op, fan out to every updatable replica;
+    a replica failure marks it locally disabled (→ Dead) and the write
+    succeeds if ≥ write_consistency_factor replicas applied it.
+    Reads: first readable replica in preference order (local first), with
+    fallback on failure.
+    """
+
+    def __init__(
+        self,
+        shard_id: int,
+        this_peer_id: int,
+        local: Optional[ShardOperations] = None,
+        write_consistency_factor: int = 1,
+        on_replica_failure: Optional[Callable[[int, int], None]] = None,
+    ):
+        self.shard_id = shard_id
+        self.this_peer_id = this_peer_id
+        self.replicas: Dict[int, ShardOperations] = {}
+        self.states: Dict[int, ReplicaState] = {}
+        if local is not None:
+            self.replicas[this_peer_id] = local
+            self.states[this_peer_id] = ReplicaState.ACTIVE
+        self.write_consistency_factor = write_consistency_factor
+        self.clock_set = ClockSet(this_peer_id)
+        self.locally_disabled: set = set()
+        self.on_replica_failure = on_replica_failure
+        self._lock = threading.RLock()
+
+    # -- membership -----------------------------------------------------
+
+    def add_replica(
+        self,
+        peer_id: int,
+        replica: ShardOperations,
+        state: ReplicaState = ReplicaState.INITIALIZING,
+    ) -> None:
+        with self._lock:
+            self.replicas[peer_id] = replica
+            self.states[peer_id] = state
+
+    def remove_replica(self, peer_id: int) -> None:
+        with self._lock:
+            self.replicas.pop(peer_id, None)
+            self.states.pop(peer_id, None)
+            self.locally_disabled.discard(peer_id)
+
+    def set_replica_state(self, peer_id: int, state: ReplicaState) -> None:
+        with self._lock:
+            if peer_id in self.states:
+                self.states[peer_id] = state
+                if state is ReplicaState.ACTIVE:
+                    self.locally_disabled.discard(peer_id)
+
+    def active_replicas(self) -> List[int]:
+        with self._lock:
+            return [
+                p
+                for p, s in self.states.items()
+                if s.is_readable and p not in self.locally_disabled
+            ]
+
+    # -- writes ----------------------------------------------------------
+
+    def update(self, op: dict, max_retries: int = 3) -> dict:
+        """Clock-tagged fan-out write (reference: update.rs:254-430,
+        including the stale-tick retry loop)."""
+        clock_id, clock = self.clock_set.lease()
+        try:
+            for attempt in range(max_retries):
+                tag = self.clock_set.tag_for(clock_id)
+                if attempt == max_retries - 1:
+                    tag.force = True
+                results, stale = self._fan_out(op, tag)
+                if not stale:
+                    successes = [r for r in results.values() if r is not None]
+                    if len(successes) < self.write_consistency_factor:
+                        raise ReplicaError(
+                            f"write applied on {len(successes)} replicas, "
+                            f"need {self.write_consistency_factor}"
+                        )
+                    return successes[0] if successes else {"status": "completed"}
+                # a replica saw a newer tick: advance and retry with a fresh tag
+            raise ReplicaError("write kept being rejected as stale")
+        finally:
+            self.clock_set.release(clock_id)
+
+    def _fan_out(self, op: dict, tag: ClockTag) -> Tuple[Dict[int, Optional[dict]], bool]:
+        with self._lock:
+            targets = [
+                (p, r)
+                for p, r in self.replicas.items()
+                if self.states[p].is_updatable and p not in self.locally_disabled
+            ]
+        if not targets:
+            raise ReplicaError(f"no updatable replicas for shard {self.shard_id}")
+        results: Dict[int, Optional[dict]] = {}
+        stale = False
+        for peer_id, replica in targets:
+            try:
+                res = replica.update_with_clock(op, tag.to_dict())
+                if res.get("status") == "stale":
+                    stale = True
+                    results[peer_id] = None
+                else:
+                    results[peer_id] = res
+            except Exception:
+                results[peer_id] = None
+                self._handle_failure(peer_id)
+        return results, stale
+
+    def _handle_failure(self, peer_id: int) -> None:
+        """Failed write → locally disable; consensus later confirms Dead
+        (reference: locally_disabled_peers.rs)."""
+        if peer_id == self.this_peer_id:
+            return  # local failures are fatal, not a replica-health issue
+        with self._lock:
+            self.locally_disabled.add(peer_id)
+        if self.on_replica_failure:
+            self.on_replica_failure(self.shard_id, peer_id)
+
+    # -- reads -----------------------------------------------------------
+
+    def _read_order(self) -> List[Tuple[int, ShardOperations]]:
+        with self._lock:
+            order = []
+            if self.this_peer_id in self.replicas and self.states.get(
+                self.this_peer_id, ReplicaState.DEAD
+            ).is_readable:
+                order.append((self.this_peer_id, self.replicas[self.this_peer_id]))
+            for p, r in self.replicas.items():
+                if p == self.this_peer_id:
+                    continue
+                if self.states[p].is_readable and p not in self.locally_disabled:
+                    order.append((p, r))
+            return order
+
+    def execute_read(self, fn: Callable[[ShardOperations], Any]) -> Any:
+        last_err: Optional[Exception] = None
+        for peer_id, replica in self._read_order():
+            try:
+                return fn(replica)
+            except Exception as e:  # fall back to the next replica
+                last_err = e
+                self._handle_failure(peer_id)
+        raise ReplicaError(
+            f"no readable replica for shard {self.shard_id}: {last_err}"
+        )
+
+    def search_dense(self, name, queries, k, flt=None, params=None):
+        return self.execute_read(
+            lambda r: r.search_dense(name, queries, k, flt, params)
+        )
+
+    def search_sparse(self, name, queries, k, flt=None):
+        return self.execute_read(lambda r: r.search_sparse(name, queries, k, flt))
+
+    def count(self, flt=None):
+        return self.execute_read(lambda r: r.count(flt))
+
+    def scroll_ids(self, limit, offset_id=None, flt=None):
+        return self.execute_read(lambda r: r.scroll_ids(limit, offset_id, flt))

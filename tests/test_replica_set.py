@@ -1,0 +1,145 @@
+import numpy as np
+import pytest
+
+from qdrant_tpu.cluster.clock import ClockMap, ClockSet, ClockTag, missing_clocks
+from qdrant_tpu.cluster.replica_set import (
+    LocalReplica,
+    ReplicaError,
+    ReplicaState,
+    ShardOperations,
+    ShardReplicaSet,
+)
+from qdrant_tpu.collection.shard import LocalShard
+from qdrant_tpu.types import CollectionParams, Distance, VectorParams
+
+
+def make_shard(tmp_path, name):
+    params = CollectionParams(
+        vectors={"": VectorParams(size=8, distance=Distance.EUCLID)}
+    )
+    return LocalShard(str(tmp_path / name), params)
+
+
+def upsert_op(i, vec):
+    return {"type": "upsert", "points": [{"id": i, "vectors": {"": vec}}]}
+
+
+def test_clock_map_stale_rejection():
+    cm = ClockMap()
+    assert cm.advance(ClockTag(1, 0, 1))
+    assert cm.advance(ClockTag(1, 0, 2))
+    assert not cm.advance(ClockTag(1, 0, 2))  # same tick → stale
+    assert not cm.advance(ClockTag(1, 0, 1))  # older → stale
+    assert cm.advance(ClockTag(1, 0, 1, force=True))  # force overrides
+    assert cm.advance(ClockTag(2, 0, 1))  # different peer independent
+    rp = cm.recovery_point()
+    assert rp[(1, 0)] == 2 and rp[(2, 0)] == 1
+
+
+def test_clock_set_leases_independent_clocks():
+    cs = ClockSet(peer_id=7)
+    id1, c1 = cs.lease()
+    id2, c2 = cs.lease()
+    assert id1 != id2
+    t1 = cs.tag_for(id1)
+    t2 = cs.tag_for(id2)
+    assert t1.clock_id != t2.clock_id
+    cs.release(id1)
+    id3, _ = cs.lease()
+    assert id3 == id1  # reused
+
+
+def test_missing_clocks():
+    src = {(1, 0): 5, (2, 0): 3}
+    dst = {(1, 0): 5, (2, 0): 1}
+    assert missing_clocks(src, dst) == {(2, 0): 1}
+
+
+def test_replicated_write_lands_on_all(tmp_path):
+    s1 = make_shard(tmp_path, "a")
+    s2 = make_shard(tmp_path, "b")
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(s1))
+    rs.add_replica(2, LocalReplica(s2), ReplicaState.ACTIVE)
+
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        rs.update(upsert_op(i, rng.normal(size=8).tolist()))
+    assert s1.point_count() == 5
+    assert s2.point_count() == 5
+
+
+class FailingReplica(ShardOperations):
+    def update_with_clock(self, op, tag):
+        raise ConnectionError("peer down")
+
+    def search_dense(self, *a, **k):
+        raise ConnectionError("peer down")
+
+    def count(self, flt):
+        raise ConnectionError("peer down")
+
+
+def test_failed_replica_disabled_and_write_succeeds(tmp_path):
+    s1 = make_shard(tmp_path, "a")
+    failures = []
+    rs = ShardReplicaSet(
+        0,
+        this_peer_id=1,
+        local=LocalReplica(s1),
+        on_replica_failure=lambda shard, peer: failures.append((shard, peer)),
+    )
+    rs.add_replica(2, FailingReplica(), ReplicaState.ACTIVE)
+    rs.update(upsert_op(1, [0.0] * 8))
+    assert s1.point_count() == 1
+    assert 2 in rs.locally_disabled
+    assert failures == [(0, 2)]
+    # subsequent writes skip the dead peer without error
+    rs.update(upsert_op(2, [0.0] * 8))
+    assert s1.point_count() == 2
+
+
+def test_write_consistency_factor(tmp_path):
+    s1 = make_shard(tmp_path, "a")
+    rs = ShardReplicaSet(
+        0, this_peer_id=1, local=LocalReplica(s1), write_consistency_factor=2
+    )
+    rs.add_replica(2, FailingReplica(), ReplicaState.ACTIVE)
+    with pytest.raises(ReplicaError):
+        rs.update(upsert_op(1, [0.0] * 8))
+
+
+def test_read_fallback(tmp_path):
+    s2 = make_shard(tmp_path, "b")
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(3, 8)).astype(np.float32)
+    for i in range(3):
+        s2.update(upsert_op(i, data[i].tolist()))
+
+    rs = ShardReplicaSet(0, this_peer_id=1)  # no local replica
+    rs.add_replica(2, FailingReplica(), ReplicaState.ACTIVE)
+    rs.add_replica(3, LocalReplica(s2), ReplicaState.ACTIVE)
+    res = rs.search_dense("", data[:1], 1)
+    assert res[0][0][1] == 0
+    assert 2 in rs.locally_disabled
+    assert rs.count(None) == 3
+
+
+def test_stale_clock_write_skipped(tmp_path):
+    s1 = make_shard(tmp_path, "a")
+    replica = LocalReplica(s1)
+    tag = ClockTag(peer_id=9, clock_id=0, clock_tick=5)
+    replica.update_with_clock(upsert_op(1, [1.0] * 8), tag.to_dict())
+    assert s1.point_count() == 1
+    # replay with the same tick: rejected, no duplicate application
+    res = replica.update_with_clock(upsert_op(1, [2.0] * 8), tag.to_dict())
+    assert res["status"] == "stale"
+    seg = s1._find_point(1)
+    vec = seg.get_vectors(1)[""]
+    assert vec[0] == 1.0  # old value kept
+
+
+def test_replica_states():
+    assert ReplicaState.ACTIVE.is_updatable and ReplicaState.ACTIVE.is_readable
+    assert ReplicaState.PARTIAL.is_updatable and not ReplicaState.PARTIAL.is_readable
+    assert not ReplicaState.DEAD.is_updatable
+    assert ReplicaState.LISTENER.is_updatable
