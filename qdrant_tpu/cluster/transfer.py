@@ -1,0 +1,120 @@
+"""Shard transfer: populate a new replica while serving writes.
+
+Reference: lib/collection/src/shards/transfer/ (ShardTransferMethod
+StreamRecords, transfer/driver.rs) + the proxy shards that capture
+concurrent writes (shards/forward_proxy_shard.rs).
+
+StreamRecords flow implemented here:
+  1. target replica enters PARTIAL (receives live writes but serves no reads),
+  2. the local replica is wrapped in a ForwardProxyReplica so every update
+     applies locally AND forwards to the target,
+  3. existing points stream to the target in scroll-ordered batches,
+  4. target is promoted ACTIVE, the proxy unwraps.
+Idempotent per-point versions make the overlap between streamed batches and
+forwarded live writes safe (same guarantee the reference relies on).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .replica_set import (
+    LocalReplica,
+    ReplicaState,
+    ShardOperations,
+    ShardReplicaSet,
+)
+
+
+class TransferError(Exception):
+    pass
+
+
+class ForwardProxyReplica(ShardOperations):
+    """Applies updates locally, then forwards them to the transfer target
+    (reference: ForwardProxyShard)."""
+
+    def __init__(self, inner: ShardOperations, target: ShardOperations):
+        self.inner = inner
+        self.target = target
+
+    def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
+        res = self.inner.update_with_clock(op, clock_tag)
+        # forward even stale-rejected ops — target keeps its own clock map
+        self.target.update_with_clock(op, clock_tag)
+        return res
+
+    def search_dense(self, *a, **k):
+        return self.inner.search_dense(*a, **k)
+
+    def search_sparse(self, *a, **k):
+        return self.inner.search_sparse(*a, **k)
+
+    def count(self, flt):
+        return self.inner.count(flt)
+
+    def scroll_ids(self, *a, **k):
+        return self.inner.scroll_ids(*a, **k)
+
+
+def stream_records(source_shard, target: ShardOperations, batch_size: int = 100) -> int:
+    """Scroll the source shard and upsert every live point into the target.
+    → number of transferred points."""
+    transferred = 0
+    offset = None
+    while True:
+        ids = source_shard.scroll_ids(batch_size + 1, offset)
+        if not ids:
+            break
+        page = ids[:batch_size]
+        offset = ids[batch_size] if len(ids) > batch_size else None
+        points = []
+        for pid in page:
+            seg = source_shard._find_point(pid)
+            if seg is None:
+                continue
+            internal = seg.id_tracker.internal_id(pid)
+            version = seg.id_tracker.version(internal)
+            points.append(
+                {
+                    "id": pid,
+                    "vectors": seg.get_vectors(pid) or {},
+                    "payload": seg.get_payload(pid),
+                    "_version": version,
+                }
+            )
+        if points:
+            target.update_with_clock({"type": "upsert", "points": points}, None)
+            transferred += len(points)
+        if offset is None:
+            break
+    return transferred
+
+
+def transfer_shard_stream_records(
+    replica_set: ShardReplicaSet,
+    target_peer: int,
+    target: ShardOperations,
+    batch_size: int = 100,
+) -> int:
+    """Full StreamRecords transfer into `target`, registered as a replica of
+    `replica_set`. Live writes during the copy reach the target both via the
+    PARTIAL replica state (normal fan-out) and the forward proxy."""
+    local_peer = replica_set.this_peer_id
+    local = replica_set.replicas.get(local_peer)
+    if local is None:
+        raise TransferError("transfer source must hold a local replica")
+
+    replica_set.add_replica(target_peer, target, ReplicaState.PARTIAL)
+    proxy = ForwardProxyReplica(local, target)
+    replica_set.replicas[local_peer] = proxy
+    try:
+        n = stream_records(
+            proxy.inner.shard if isinstance(proxy.inner, LocalReplica) else None,
+            target,
+            batch_size,
+        )
+    finally:
+        replica_set.replicas[local_peer] = local
+    replica_set.set_replica_state(target_peer, ReplicaState.ACTIVE)
+    return n
