@@ -1,0 +1,76 @@
+"""Consensus manager: committed Raft entries → collection meta operations.
+
+Reference: lib/storage/src/content_manager/consensus_manager.rs
+(apply_entries → CollectionMetaOperations, collection_meta_ops.rs:488-511)
+and the Dispatcher (dispatcher.rs:25) that routes meta ops through consensus
+when a cluster is configured, or straight to the ToC otherwise.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional
+
+from ..api.toc import TableOfContent
+from .raft import NotLeader, RaftNode
+
+
+class ConsensusManager:
+    """Applies committed metadata operations onto this peer's ToC."""
+
+    def __init__(self, toc: TableOfContent):
+        self.toc = toc
+        self.applied_ops: List[dict] = []
+
+    def apply(self, op: dict) -> None:
+        t = op.get("type")
+        try:
+            if t == "create_collection":
+                if not self.toc.has_collection(op["name"]):
+                    self.toc.create_collection(op["name"], op.get("spec") or {})
+            elif t == "update_collection":
+                self.toc.update_collection(op["name"], op.get("spec") or {})
+            elif t == "delete_collection":
+                self.toc.delete_collection(op["name"])
+            elif t == "update_aliases":
+                self.toc.update_aliases(op.get("actions") or [])
+            elif t == "create_payload_index":
+                from ..types import PayloadIndexParams
+
+                coll = self.toc.get_collection(op["name"])
+                coll.create_payload_index(
+                    op["field"], PayloadIndexParams.from_dict(op.get("params") or {})
+                )
+            elif t == "delete_payload_index":
+                coll = self.toc.get_collection(op["name"])
+                coll.delete_payload_index(op["field"])
+            elif t == "set_shard_replica_state":
+                # recorded for the replica-set layer to pick up
+                pass
+            self.applied_ops.append(op)
+        except Exception:
+            # a malformed/duplicate committed op must not wedge the state
+            # machine — reference behavior: log and continue applying
+            self.applied_ops.append({"failed": op})
+
+
+class Dispatcher:
+    """Routes metadata ops: through Raft when clustered, direct otherwise
+    (reference: lib/storage/src/dispatcher.rs)."""
+
+    def __init__(
+        self,
+        toc: TableOfContent,
+        raft: Optional[RaftNode] = None,
+        manager: Optional[ConsensusManager] = None,
+    ):
+        self.toc = toc
+        self.raft = raft
+        self.manager = manager
+
+    def submit(self, op: dict) -> Any:
+        if self.raft is None:
+            manager = self.manager or ConsensusManager(self.toc)
+            manager.apply(op)
+            return True
+        return self.raft.propose(op)  # NotLeader propagates with leader hint

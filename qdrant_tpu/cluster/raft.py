@@ -1,0 +1,405 @@
+"""Raft consensus for cluster METADATA (not point data).
+
+Reference: src/consensus.rs (Consensus thread over raft-rs) +
+lib/storage/src/content_manager/consensus_manager.rs and
+consensus/persistent.rs. As in the reference, only collection-meta
+operations (create/drop collection, shard moves, replica-state changes)
+go through consensus — point upserts take the WAL + replica fan-out path.
+
+This is a compact, tick-driven Raft: leader election with randomized
+timeouts, log replication with commit on majority match, persistent
+(term, voted_for, log) state, and a pluggable transport (in-process queues
+for tests — the pattern the reference's consensus tests use with real
+processes; an HTTP transport slots in for multi-node deployments).
+Single-node clusters bypass elections and commit immediately (reference:
+src/main.rs:672-683 single-node mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import msgpack
+
+FOLLOWER = "follower"
+CANDIDATE = "candidate"
+LEADER = "leader"
+
+ELECTION_TIMEOUT_TICKS = (10, 20)  # randomized range
+HEARTBEAT_TICKS = 3
+
+
+@dataclass
+class LogEntry:
+    term: int
+    index: int
+    operation: Any  # metadata operation (dict)
+
+    def to_wire(self) -> dict:
+        return {"term": self.term, "index": self.index, "operation": self.operation}
+
+    @staticmethod
+    def from_wire(d: dict) -> "LogEntry":
+        return LogEntry(d["term"], d["index"], d["operation"])
+
+
+class RaftNode:
+    """One consensus participant.
+
+    transport: send(peer_id, message_dict) — fire and forget.
+    apply_fn: called with each committed operation, in log order.
+    """
+
+    def __init__(
+        self,
+        node_id: int,
+        peers: List[int],
+        transport: Callable[[int, dict], None],
+        apply_fn: Callable[[Any], None],
+        storage_path: Optional[str] = None,
+        seed: Optional[int] = None,
+    ):
+        self.node_id = node_id
+        self.peers = [p for p in peers if p != node_id]
+        self.transport = transport
+        self.apply_fn = apply_fn
+        self.storage_path = storage_path
+        self._rng = random.Random(seed if seed is not None else node_id * 7919)
+
+        # persistent state
+        self.term = 0
+        self.voted_for: Optional[int] = None
+        self.log: List[LogEntry] = []
+
+        # volatile
+        self.role = FOLLOWER
+        self.leader_id: Optional[int] = None
+        self.commit_index = 0
+        self.last_applied = 0
+        self.next_index: Dict[int, int] = {}
+        self.match_index: Dict[int, int] = {}
+        self.votes: set = set()
+        self._ticks_since_heard = 0
+        self._ticks_since_heartbeat = 0
+        self._election_timeout = self._rng.randint(*ELECTION_TIMEOUT_TICKS)
+        self._lock = threading.RLock()
+
+        if storage_path:
+            self._load()
+        if not self.peers:
+            self.role = LEADER
+            self.leader_id = node_id
+
+    # ------------------------------------------------------------------
+    # persistence (reference: consensus/persistent.rs + consensus_wal.rs)
+    # ------------------------------------------------------------------
+
+    def _state_file(self) -> str:
+        return os.path.join(self.storage_path, "raft_state.json")
+
+    def _log_file(self) -> str:
+        return os.path.join(self.storage_path, "raft_log.msgpack")
+
+    def _persist(self) -> None:
+        if not self.storage_path:
+            return
+        os.makedirs(self.storage_path, exist_ok=True)
+        with open(self._state_file(), "w") as f:
+            json.dump(
+                {
+                    "term": self.term,
+                    "voted_for": self.voted_for,
+                    "commit_index": self.commit_index,
+                },
+                f,
+            )
+        with open(self._log_file(), "wb") as f:
+            f.write(
+                msgpack.packb([e.to_wire() for e in self.log], use_bin_type=True)
+            )
+
+    def _load(self) -> None:
+        try:
+            with open(self._state_file()) as f:
+                st = json.load(f)
+            self.term = st["term"]
+            self.voted_for = st.get("voted_for")
+            self.commit_index = st.get("commit_index", 0)
+        except (OSError, json.JSONDecodeError, KeyError):
+            return
+        try:
+            with open(self._log_file(), "rb") as f:
+                self.log = [
+                    LogEntry.from_wire(e)
+                    for e in msgpack.unpackb(f.read(), raw=False)
+                ]
+        except OSError:
+            self.log = []
+        # re-apply committed entries on restart
+        for entry in self.log:
+            if entry.index <= self.commit_index:
+                self.apply_fn(entry.operation)
+                self.last_applied = entry.index
+
+    # ------------------------------------------------------------------
+    # log helpers
+    # ------------------------------------------------------------------
+
+    def _last_log_index(self) -> int:
+        return self.log[-1].index if self.log else 0
+
+    def _last_log_term(self) -> int:
+        return self.log[-1].term if self.log else 0
+
+    def _entry_at(self, index: int) -> Optional[LogEntry]:
+        if 1 <= index <= len(self.log):
+            return self.log[index - 1]
+        return None
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def propose(self, operation: Any) -> int:
+        """Propose a metadata op; → assigned log index. Must be the leader
+        (callers route to leader_id otherwise)."""
+        with self._lock:
+            if self.role != LEADER:
+                raise NotLeader(self.leader_id)
+            entry = LogEntry(self.term, self._last_log_index() + 1, operation)
+            self.log.append(entry)
+            self._persist()
+            if not self.peers:  # single-node: commit immediately
+                self._advance_commit(entry.index)
+            else:
+                self._broadcast_append()
+            return entry.index
+
+    def tick(self) -> None:
+        """Advance timers: candidates/followers count toward election
+        timeout; leaders emit heartbeats."""
+        with self._lock:
+            if self.role == LEADER:
+                self._ticks_since_heartbeat += 1
+                if self._ticks_since_heartbeat >= HEARTBEAT_TICKS:
+                    self._broadcast_append()
+            else:
+                self._ticks_since_heard += 1
+                if self._ticks_since_heard >= self._election_timeout:
+                    self._start_election()
+
+    def receive(self, message: dict) -> None:
+        with self._lock:
+            t = message["type"]
+            if message["term"] > self.term:
+                self.term = message["term"]
+                self.voted_for = None
+                self.role = FOLLOWER
+                self._persist()
+            handler = {
+                "request_vote": self._on_request_vote,
+                "request_vote_response": self._on_vote_response,
+                "append_entries": self._on_append_entries,
+                "append_entries_response": self._on_append_response,
+            }.get(t)
+            if handler:
+                handler(message)
+
+    # ------------------------------------------------------------------
+    # election
+    # ------------------------------------------------------------------
+
+    def _start_election(self) -> None:
+        self.role = CANDIDATE
+        self.term += 1
+        self.voted_for = self.node_id
+        self.votes = {self.node_id}
+        self._ticks_since_heard = 0
+        self._election_timeout = self._rng.randint(*ELECTION_TIMEOUT_TICKS)
+        self._persist()
+        for peer in self.peers:
+            self.transport(
+                peer,
+                {
+                    "type": "request_vote",
+                    "term": self.term,
+                    "candidate": self.node_id,
+                    "last_log_index": self._last_log_index(),
+                    "last_log_term": self._last_log_term(),
+                },
+            )
+        if len(self.votes) >= self._majority():
+            self._become_leader()
+
+    def _majority(self) -> int:
+        return (len(self.peers) + 1) // 2 + 1
+
+    def _on_request_vote(self, msg: dict) -> None:
+        grant = False
+        if msg["term"] >= self.term and self.voted_for in (None, msg["candidate"]):
+            up_to_date = (msg["last_log_term"], msg["last_log_index"]) >= (
+                self._last_log_term(),
+                self._last_log_index(),
+            )
+            if up_to_date:
+                grant = True
+                self.voted_for = msg["candidate"]
+                self._ticks_since_heard = 0
+                self._persist()
+        self.transport(
+            msg["candidate"],
+            {
+                "type": "request_vote_response",
+                "term": self.term,
+                "voter": self.node_id,
+                "granted": grant,
+            },
+        )
+
+    def _on_vote_response(self, msg: dict) -> None:
+        if self.role != CANDIDATE or msg["term"] != self.term:
+            return
+        if msg["granted"]:
+            self.votes.add(msg["voter"])
+            if len(self.votes) >= self._majority():
+                self._become_leader()
+
+    def _become_leader(self) -> None:
+        self.role = LEADER
+        self.leader_id = self.node_id
+        self.next_index = {p: self._last_log_index() + 1 for p in self.peers}
+        self.match_index = {p: 0 for p in self.peers}
+        self._ticks_since_heartbeat = 0
+        self._broadcast_append()
+
+    # ------------------------------------------------------------------
+    # replication
+    # ------------------------------------------------------------------
+
+    def _broadcast_append(self) -> None:
+        self._ticks_since_heartbeat = 0
+        for peer in self.peers:
+            self._send_append(peer)
+
+    def _send_append(self, peer: int) -> None:
+        nxt = self.next_index.get(peer, self._last_log_index() + 1)
+        prev_index = nxt - 1
+        prev_entry = self._entry_at(prev_index)
+        prev_term = prev_entry.term if prev_entry else 0
+        entries = [e.to_wire() for e in self.log[prev_index:]]
+        self.transport(
+            peer,
+            {
+                "type": "append_entries",
+                "term": self.term,
+                "leader": self.node_id,
+                "prev_log_index": prev_index,
+                "prev_log_term": prev_term,
+                "entries": entries,
+                "leader_commit": self.commit_index,
+            },
+        )
+
+    def _on_append_entries(self, msg: dict) -> None:
+        if msg["term"] < self.term:
+            self.transport(
+                msg["leader"],
+                {
+                    "type": "append_entries_response",
+                    "term": self.term,
+                    "follower": self.node_id,
+                    "success": False,
+                    "match_index": 0,
+                },
+            )
+            return
+        self.role = FOLLOWER
+        self.leader_id = msg["leader"]
+        self._ticks_since_heard = 0
+
+        prev_index = msg["prev_log_index"]
+        if prev_index > 0:
+            prev = self._entry_at(prev_index)
+            if prev is None or prev.term != msg["prev_log_term"]:
+                self.transport(
+                    msg["leader"],
+                    {
+                        "type": "append_entries_response",
+                        "term": self.term,
+                        "follower": self.node_id,
+                        "success": False,
+                        "match_index": 0,
+                    },
+                )
+                return
+        # append / overwrite conflicting suffix
+        for wire in msg["entries"]:
+            entry = LogEntry.from_wire(wire)
+            existing = self._entry_at(entry.index)
+            if existing is not None and existing.term != entry.term:
+                del self.log[entry.index - 1 :]
+                existing = None
+            if existing is None:
+                self.log.append(entry)
+        if msg["entries"]:
+            self._persist()
+        if msg["leader_commit"] > self.commit_index:
+            self._apply_up_to(min(msg["leader_commit"], self._last_log_index()))
+        self.transport(
+            msg["leader"],
+            {
+                "type": "append_entries_response",
+                "term": self.term,
+                "follower": self.node_id,
+                "success": True,
+                "match_index": self._last_log_index(),
+            },
+        )
+
+    def _on_append_response(self, msg: dict) -> None:
+        if self.role != LEADER or msg["term"] != self.term:
+            return
+        peer = msg["follower"]
+        if msg["success"]:
+            self.match_index[peer] = max(self.match_index.get(peer, 0), msg["match_index"])
+            self.next_index[peer] = self.match_index[peer] + 1
+            # commit the highest index replicated on a majority within this term
+            for idx in range(self._last_log_index(), self.commit_index, -1):
+                entry = self._entry_at(idx)
+                if entry is None or entry.term != self.term:
+                    continue
+                replicated = 1 + sum(
+                    1 for p in self.peers if self.match_index.get(p, 0) >= idx
+                )
+                if replicated >= self._majority():
+                    self._advance_commit(idx)
+                    break
+        else:
+            self.next_index[peer] = max(1, self.next_index.get(peer, 1) - 1)
+            self._send_append(peer)
+
+    def _advance_commit(self, index: int) -> None:
+        self.commit_index = max(self.commit_index, index)
+        self._apply_up_to(self.commit_index)
+        self._persist()
+
+    def _apply_up_to(self, index: int) -> None:
+        self.commit_index = max(self.commit_index, min(index, self._last_log_index()))
+        while self.last_applied < self.commit_index:
+            self.last_applied += 1
+            entry = self._entry_at(self.last_applied)
+            if entry is not None:
+                self.apply_fn(entry.operation)
+        if self.storage_path:
+            self._persist()
+
+
+class NotLeader(Exception):
+    def __init__(self, leader_id: Optional[int]):
+        super().__init__(f"not the leader; leader is {leader_id}")
+        self.leader_id = leader_id
