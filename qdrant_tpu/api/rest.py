@@ -900,7 +900,7 @@ class _Handler(BaseHTTPRequestHandler):
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 401, elapsed)
                 self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
-            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError) as e:
+            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, ValueError) as e:
                 status = getattr(e, "status_code", 400)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, status, elapsed)

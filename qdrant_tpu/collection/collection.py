@@ -333,6 +333,17 @@ class Collection:
         shard_key: Any = None,
     ) -> List[List[Tuple[float, PointId, int]]]:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        vp = self.params.vectors.get(name)
+        if vp is None:
+            raise CollectionError(
+                f"Wrong input: vector {name!r} does not exist in collection "
+                f"{self.name!r}"
+            )
+        if queries.shape[1] != vp.size:
+            raise CollectionError(
+                f"Wrong input: vector dimension {queries.shape[1]} does not "
+                f"match the collection dimensionality {vp.size}"
+            )
         merged: List[Dict[PointId, Tuple[float, int]]] = [
             dict() for _ in range(queries.shape[0])
         ]

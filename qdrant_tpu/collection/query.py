@@ -137,29 +137,48 @@ class QueryExecutor:
             return SparseVector.from_dict(vec)
         return np.asarray(vec, dtype=np.float32)
 
+    @staticmethod
+    def _ids_from_ref(ref: Any) -> List[PointId]:
+        """Point-id from a SINGLE vector reference position (scalar = id;
+        a list is a vector literal, a dict is a sparse vector — no ids)."""
+        if isinstance(ref, bool) or not isinstance(ref, (int, str)):
+            return []
+        try:
+            return [normalize_point_id(ref)]
+        except ValueError:
+            return []
+
+    @classmethod
+    def _ids_from_ref_list(cls, refs: Any) -> List[PointId]:
+        """Ids from a LIST of references (recommend positive/negative):
+        scalar elements are ids; list/dict elements are vector literals."""
+        out: List[PointId] = []
+        for r in _as_list(refs):
+            out.extend(cls._ids_from_ref(r))
+        return out
+
     def _exclude_ids(self, query_dict: Any) -> List[PointId]:
         """Point-id references used in the query are excluded from results
-        (reference recommend semantics)."""
+        (reference recommend semantics). Only reference POSITIONS are
+        inspected — numeric components of vector literals are never ids."""
         out: List[PointId] = []
-
-        def walk(x):
-            if isinstance(x, (int,)) and not isinstance(x, bool):
-                out.append(x)
-            elif isinstance(x, str):
-                try:
-                    out.append(normalize_point_id(x))
-                except ValueError:
-                    pass
-            elif isinstance(x, list):
-                for e in x:
-                    walk(e)
-            elif isinstance(x, dict):
-                if "indices" in x:
-                    return
-                for v in x.values():
-                    walk(v)
-
-        walk(query_dict)
+        q = query_dict
+        out.extend(self._ids_from_ref(q))
+        if isinstance(q, dict):
+            if "nearest" in q:
+                out.extend(self._ids_from_ref(q["nearest"]))
+            if "target" in q:
+                out.extend(self._ids_from_ref(q["target"]))
+            for key in ("positive", "negative"):
+                if key in q:
+                    out.extend(self._ids_from_ref_list(q[key]))
+            for pair in _as_list(q.get("context")):
+                if isinstance(pair, dict):
+                    out.extend(self._ids_from_ref(pair.get("positive")))
+                    out.extend(self._ids_from_ref(pair.get("negative")))
+            for key in ("recommend", "discover"):
+                if isinstance(q.get(key), dict):
+                    out.extend(self._exclude_ids(q[key]))
         return out
 
     # -- main entry ----------------------------------------------------------
@@ -324,7 +343,8 @@ class QueryExecutor:
             raise QueryError("recommend requires at least one example")
         strategy = spec.get("strategy", "average_vector")
         exclude = set(
-            self._exclude_ids(spec.get("positive")) + self._exclude_ids(spec.get("negative"))
+            self._ids_from_ref_list(spec.get("positive"))
+            + self._ids_from_ref_list(spec.get("negative"))
         )
         if isinstance(positives[0] if positives else negatives[0], SparseVector):
             return self._recommend_sparse(positives, negatives, req, limit, exclude, strategy)

