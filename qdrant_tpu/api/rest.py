@@ -27,6 +27,7 @@ from .auth import AuthError, Authenticator
 from ..collection.query import QueryError, QueryExecutor, QueryRequest
 from ..storage.segment import SearchParams
 from ..types import PayloadIndexParams, StrictModeError, normalize_point_id, parse_filter
+from .issues import ISSUES
 from .metrics import METRICS
 from .toc import TableOfContent
 
@@ -673,6 +674,29 @@ def h_healthz(toc, m, body, q):
     return "healthz check passed"
 
 
+def h_get_issues(toc, m, body, q):
+    return {"issues": ISSUES.list()}
+
+
+def h_clear_issues(toc, m, body, q):
+    ISSUES.clear()
+    return True
+
+
+def h_get_locks(toc, m, body, q):
+    return dict(getattr(toc, "locks", {"write": False, "error_message": None}))
+
+
+def h_set_locks(toc, m, body, q):
+    prev = dict(getattr(toc, "locks", {"write": False, "error_message": None}))
+    body = body or {}
+    toc.locks = {
+        "write": bool(body.get("write", False)),
+        "error_message": body.get("error_message"),
+    }
+    return prev
+
+
 def h_telemetry(toc, m, body, q):
     collections = []
     for name in toc.list_collections():
@@ -709,6 +733,10 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/telemetry$"), h_telemetry),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
+    ("GET", re.compile(r"^/issues$"), h_get_issues),
+    ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
+    ("GET", re.compile(r"^/locks$"), h_get_locks),
+    ("POST", re.compile(r"^/locks$"), h_set_locks),
     ("GET", re.compile(r"^/aliases$"), h_all_aliases),
     ("POST", re.compile(r"^/collections/aliases$"), h_update_aliases),
     ("GET", re.compile(r"^/collections$"), h_list_collections),
@@ -840,6 +868,7 @@ ACCESS_LEVELS = {
     h_batch_update: "write",
     h_create_snapshot: "write",
     h_delete_snapshot: "write",
+    h_set_locks: "manage",
 }
 
 
@@ -887,6 +916,15 @@ class _Handler(BaseHTTPRequestHandler):
                             )
                         elif level == "write" and not access.write:
                             raise AuthError("write access denied")
+                if ACCESS_LEVELS.get(handler) in ("write", "manage") and handler not in (
+                    h_set_locks,
+                ):
+                    locks = getattr(self.toc, "locks", None)
+                    if locks and locks.get("write"):
+                        raise ApiError(
+                            locks.get("error_message") or "Write operations are forbidden",
+                            403,
+                        )
                 result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 200, elapsed)

@@ -270,6 +270,7 @@ class QueryExecutor:
         check = getattr(self.collection, "check_strict_query", None)
         if check is not None:
             check(limit, req.params.hnsw_ef, req.params.exact, req.filter)
+        self._report_unindexed(req.filter)
         q = req.query
         if q is None:
             # scroll-by-id order, no scores
@@ -324,6 +325,27 @@ class QueryExecutor:
         out = [(s, pid) for s, pid, _ in res if pid not in exclude]
         out = _apply_threshold(out, req.score_threshold, self._distance(req.using))
         return out[:limit]
+
+    def _report_unindexed(self, flt: Optional[Filter]) -> None:
+        """Filtered query over an unindexed field → issues dashboard
+        (reference: problems/unindexed_field.rs)."""
+        if flt is None:
+            return
+        from ..api.issues import ISSUES
+        from ..types import FieldCondition
+
+        indexed = getattr(self.collection, "_indexed_fields", lambda: set())()
+
+        def walk(f: Filter):
+            for c in list(f.must) + list(f.should) + list(f.must_not) + (
+                f.min_should[0] if f.min_should else []
+            ):
+                if isinstance(c, Filter):
+                    walk(c)
+                elif isinstance(c, FieldCondition) and c.key not in indexed:
+                    ISSUES.unindexed_field(self.collection.name, c.key)
+
+        walk(flt)
 
     def _distance(self, using: str) -> Distance:
         vp = self.collection.params.vectors.get(using)

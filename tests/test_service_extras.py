@@ -1,0 +1,104 @@
+import json
+import subprocess
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qdrant_tpu.api.issues import ISSUES
+from qdrant_tpu.api.rest import RestServer
+from qdrant_tpu.api.toc import TableOfContent
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    toc = TableOfContent(str(tmp_path_factory.mktemp("storage")))
+    srv = RestServer(toc, port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+    toc.close()
+
+
+def call(server, method, path, body=None, expect=200):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == expect
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        assert e.code == expect, e.read()
+        return json.loads(e.read() or b"{}")
+
+
+def test_issues_reported_for_unindexed_filter(server):
+    ISSUES.clear()
+    call(server, "PUT", "/collections/iss", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(
+        server,
+        "PUT",
+        "/collections/iss/points",
+        {"points": [{"id": 1, "vector": [1, 2, 3, 4], "payload": {"color": "red"}}]},
+    )
+    call(
+        server,
+        "POST",
+        "/collections/iss/points/query",
+        {
+            "query": [1.0, 0.0, 0.0, 0.0],
+            "filter": {"must": [{"key": "color", "match": {"value": "red"}}]},
+            "limit": 3,
+        },
+    )
+    issues = call(server, "GET", "/issues")["result"]["issues"]
+    assert any("UNINDEXED_FIELD/iss/color" == i["id"] for i in issues)
+    sol = next(i for i in issues if i["id"].startswith("UNINDEXED_FIELD/iss"))["solution"]
+    assert sol["immediate"]["uri"] == "/collections/iss/index"
+    call(server, "DELETE", "/issues")
+    assert call(server, "GET", "/issues")["result"]["issues"] == []
+
+
+def test_write_lock(server):
+    call(server, "PUT", "/collections/lk", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(server, "POST", "/locks", {"write": True, "error_message": "maintenance"})
+    out = call(
+        server,
+        "PUT",
+        "/collections/lk/points",
+        {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]},
+        expect=403,
+    )
+    assert "maintenance" in out["status"]["error"]
+    # reads still work
+    call(server, "POST", "/collections/lk/points/count", {})
+    call(server, "POST", "/locks", {"write": False})
+    call(
+        server,
+        "PUT",
+        "/collections/lk/points",
+        {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]},
+    )
+
+
+def test_wal_inspect_cli(tmp_path):
+    from qdrant_tpu.storage.wal import Wal
+
+    path = str(tmp_path / "wal")
+    wal = Wal(path)
+    wal.append({"type": "upsert", "points": [{"id": 1}]})
+    wal.append({"type": "delete", "ids": [2]})
+    wal.close()
+    out = subprocess.run(
+        [sys.executable, "-m", "qdrant_tpu.tools.wal_inspect", path],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert [l["op_num"] for l in lines] == [1, 2]
+    assert lines[1]["operation"]["type"] == "delete"
+    assert "2 records" in out.stderr
