@@ -57,8 +57,21 @@ def main(argv=None) -> int:
     )
     log.info("qdrant-tpu listening on http://%s:%d (storage: %s)", host, server.port, storage_path)
 
+    grpc_server = None
+    try:
+        from .api.grpc_server import make_server
+
+        grpc_port = int(settings.get_path("service.grpc_port", 6334))
+        grpc_server, bound = make_server(toc, host=host, port=grpc_port)
+        grpc_server.start()
+        log.info("qdrant-tpu gRPC listening on %s:%d", host, bound)
+    except Exception as e:  # grpc runtime optional
+        log.warning("gRPC server not started: %s", e)
+
     def shutdown(signum, frame):
         log.info("shutting down; flushing collections")
+        if grpc_server is not None:
+            grpc_server.stop(2)
         toc.close()
         server.httpd.shutdown()
 

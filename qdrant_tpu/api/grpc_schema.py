@@ -1,0 +1,603 @@
+"""qdrant-compatible gRPC message schema, built from runtime descriptors.
+
+The image has no `grpc_python_plugin` and a protoc/runtime version mismatch,
+so instead of generated *_pb2 modules we construct FileDescriptorProtos at
+runtime (protobuf's dynamic message factory). Field numbers and message
+shapes follow the reference wire contract (lib/api/src/grpc/proto/
+{qdrant_common,json_with_int,points,points_service,collections,
+collections_service,health_check}.proto) for the implemented subset —
+hand-derived from the API spec, not generated.
+
+Exposes `MESSAGES`: dict full_name → message class.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+F = descriptor_pb2.FieldDescriptorProto
+
+_TYPES = {
+    "double": F.TYPE_DOUBLE,
+    "float": F.TYPE_FLOAT,
+    "int64": F.TYPE_INT64,
+    "uint64": F.TYPE_UINT64,
+    "int32": F.TYPE_INT32,
+    "uint32": F.TYPE_UINT32,
+    "bool": F.TYPE_BOOL,
+    "string": F.TYPE_STRING,
+    "bytes": F.TYPE_BYTES,
+}
+
+PKG = "qdrant"
+
+
+class _Builder:
+    def __init__(self, file_name: str):
+        self.file = descriptor_pb2.FileDescriptorProto()
+        self.file.name = file_name
+        self.file.package = PKG
+        self.file.syntax = "proto3"
+
+    def enum(self, name: str, values: List[Tuple[str, int]]):
+        e = self.file.enum_type.add()
+        e.name = name
+        for vname, num in values:
+            v = e.value.add()
+            v.name = vname
+            v.number = num
+
+    def message(
+        self,
+        name: str,
+        fields: List[tuple],
+        oneofs: Optional[Dict[str, List[str]]] = None,
+    ):
+        """fields: (name, number, type, label) where type is a scalar name,
+        "msg:Name", "enum:Name", or "map:KeyType,ValueType"; label in
+        {"optional", "repeated", "proto3opt"}."""
+        m = self.file.message_type.add()
+        m.name = name
+        oneof_index: Dict[str, int] = {}
+        for oname in (oneofs or {}):
+            oneof_index[oname] = len(m.oneof_decl)
+            m.oneof_decl.add().name = oname
+        field_oneof = {
+            fname: oname for oname, fnames in (oneofs or {}).items() for fname in fnames
+        }
+        for fname, number, ftype, label in fields:
+            fld = m.field.add()
+            fld.name = fname
+            fld.number = number
+            if ftype.startswith("map:"):
+                ktype, vtype = ftype[4:].split(",")
+                entry = m.nested_type.add()
+                entry.name = _camel(fname) + "Entry"
+                entry.options.map_entry = True
+                k = entry.field.add()
+                k.name = "key"
+                k.number = 1
+                k.type = _TYPES[ktype]
+                k.label = F.LABEL_OPTIONAL
+                v = entry.field.add()
+                v.name = "value"
+                v.number = 2
+                v.label = F.LABEL_OPTIONAL
+                if vtype in _TYPES:
+                    v.type = _TYPES[vtype]
+                else:
+                    v.type = F.TYPE_MESSAGE
+                    v.type_name = f".{PKG}.{vtype}"
+                fld.type = F.TYPE_MESSAGE
+                fld.type_name = f".{PKG}.{name}.{entry.name}"
+                fld.label = F.LABEL_REPEATED
+                continue
+            if ftype.startswith("msg:"):
+                fld.type = F.TYPE_MESSAGE
+                fld.type_name = f".{PKG}.{ftype[4:]}"
+            elif ftype.startswith("enum:"):
+                fld.type = F.TYPE_ENUM
+                fld.type_name = f".{PKG}.{ftype[5:]}"
+            else:
+                fld.type = _TYPES[ftype]
+            fld.label = F.LABEL_REPEATED if label == "repeated" else F.LABEL_OPTIONAL
+            if fname in field_oneof:
+                fld.oneof_index = oneof_index[field_oneof[fname]]
+            elif label == "proto3opt":
+                # proto3 optional = synthetic oneof
+                idx = len(m.oneof_decl)
+                m.oneof_decl.add().name = f"_{fname}"
+                fld.oneof_index = idx
+                fld.proto3_optional = True
+
+
+def _camel(s: str) -> str:
+    return "".join(p.capitalize() for p in s.split("_"))
+
+
+def _build_pool():
+    b = _Builder("qdrant_tpu_dynamic.proto")
+
+    # ---- enums ----
+    b.enum("NullValue", [("NULL_VALUE", 0)])
+    b.enum(
+        "Distance",
+        [
+            ("UnknownDistance", 0),
+            ("Cosine", 1),
+            ("Euclid", 2),
+            ("Dot", 3),
+            ("Manhattan", 4),
+        ],
+    )
+    b.enum(
+        "UpdateStatus",
+        [
+            ("UnknownUpdateStatus", 0),
+            ("Acknowledged", 1),
+            ("Completed", 2),
+            ("ClockRejected", 3),
+        ],
+    )
+    b.enum(
+        "CollectionStatus",
+        [
+            ("UnknownCollectionStatus", 0),
+            ("Green", 1),
+            ("Yellow", 2),
+            ("Red", 3),
+            ("Grey", 4),
+        ],
+    )
+
+    # ---- json values (json_with_int.proto) ----
+    b.message("Struct", [("fields", 1, "map:string,Value", "repeated")])
+    b.message(
+        "Value",
+        [
+            ("null_value", 1, "enum:NullValue", "optional"),
+            ("double_value", 2, "double", "optional"),
+            ("integer_value", 3, "int64", "optional"),
+            ("string_value", 4, "string", "optional"),
+            ("bool_value", 5, "bool", "optional"),
+            ("struct_value", 6, "msg:Struct", "optional"),
+            ("list_value", 7, "msg:ListValue", "optional"),
+        ],
+        oneofs={
+            "kind": [
+                "null_value",
+                "double_value",
+                "integer_value",
+                "string_value",
+                "bool_value",
+                "struct_value",
+                "list_value",
+            ]
+        },
+    )
+    b.message("ListValue", [("values", 1, "msg:Value", "repeated")])
+
+    # ---- common (qdrant_common.proto) ----
+    b.message(
+        "PointId",
+        [("num", 1, "uint64", "optional"), ("uuid", 2, "string", "optional")],
+        oneofs={"point_id_options": ["num", "uuid"]},
+    )
+    b.message("GeoPoint", [("lon", 1, "double", "optional"), ("lat", 2, "double", "optional")])
+    b.message(
+        "Filter",
+        [
+            ("should", 1, "msg:Condition", "repeated"),
+            ("must", 2, "msg:Condition", "repeated"),
+            ("must_not", 3, "msg:Condition", "repeated"),
+            ("min_should", 4, "msg:MinShould", "proto3opt"),
+        ],
+    )
+    b.message(
+        "MinShould",
+        [("conditions", 1, "msg:Condition", "repeated"), ("min_count", 2, "uint64", "optional")],
+    )
+    b.message(
+        "Condition",
+        [
+            ("field", 1, "msg:FieldCondition", "optional"),
+            ("is_empty", 2, "msg:IsEmptyCondition", "optional"),
+            ("has_id", 3, "msg:HasIdCondition", "optional"),
+            ("filter", 4, "msg:Filter", "optional"),
+            ("is_null", 5, "msg:IsNullCondition", "optional"),
+            ("nested", 6, "msg:NestedCondition", "optional"),
+            ("has_vector", 7, "msg:HasVectorCondition", "optional"),
+        ],
+        oneofs={
+            "condition_one_of": [
+                "field",
+                "is_empty",
+                "has_id",
+                "filter",
+                "is_null",
+                "nested",
+                "has_vector",
+            ]
+        },
+    )
+    b.message("IsEmptyCondition", [("key", 1, "string", "optional")])
+    b.message("IsNullCondition", [("key", 1, "string", "optional")])
+    b.message("HasIdCondition", [("has_id", 1, "msg:PointId", "repeated")])
+    b.message("HasVectorCondition", [("has_vector", 1, "string", "optional")])
+    b.message(
+        "NestedCondition",
+        [("key", 1, "string", "optional"), ("filter", 2, "msg:Filter", "optional")],
+    )
+    b.message(
+        "FieldCondition",
+        [
+            ("key", 1, "string", "optional"),
+            ("match", 2, "msg:Match", "optional"),
+            ("range", 3, "msg:Range", "optional"),
+            ("geo_bounding_box", 4, "msg:GeoBoundingBox", "optional"),
+            ("geo_radius", 5, "msg:GeoRadius", "optional"),
+            ("values_count", 6, "msg:ValuesCount", "optional"),
+            ("geo_polygon", 7, "msg:GeoPolygon", "optional"),
+            ("is_empty", 9, "bool", "proto3opt"),
+            ("is_null", 10, "bool", "proto3opt"),
+        ],
+    )
+    b.message(
+        "Match",
+        [
+            ("keyword", 1, "string", "optional"),
+            ("integer", 2, "int64", "optional"),
+            ("boolean", 3, "bool", "optional"),
+            ("text", 4, "string", "optional"),
+            ("keywords", 5, "msg:RepeatedStrings", "optional"),
+            ("integers", 6, "msg:RepeatedIntegers", "optional"),
+            ("except_integers", 7, "msg:RepeatedIntegers", "optional"),
+            ("except_keywords", 8, "msg:RepeatedStrings", "optional"),
+            ("phrase", 9, "string", "optional"),
+        ],
+        oneofs={
+            "match_value": [
+                "keyword",
+                "integer",
+                "boolean",
+                "text",
+                "keywords",
+                "integers",
+                "except_integers",
+                "except_keywords",
+                "phrase",
+            ]
+        },
+    )
+    b.message("RepeatedStrings", [("strings", 1, "string", "repeated")])
+    b.message("RepeatedIntegers", [("integers", 1, "int64", "repeated")])
+    b.message(
+        "Range",
+        [
+            ("lt", 1, "double", "proto3opt"),
+            ("gt", 2, "double", "proto3opt"),
+            ("gte", 3, "double", "proto3opt"),
+            ("lte", 4, "double", "proto3opt"),
+        ],
+    )
+    b.message(
+        "GeoBoundingBox",
+        [("top_left", 1, "msg:GeoPoint", "optional"), ("bottom_right", 2, "msg:GeoPoint", "optional")],
+    )
+    b.message(
+        "GeoRadius",
+        [("center", 1, "msg:GeoPoint", "optional"), ("radius", 2, "float", "optional")],
+    )
+    b.message("GeoLineString", [("points", 1, "msg:GeoPoint", "repeated")])
+    b.message(
+        "GeoPolygon",
+        [
+            ("exterior", 1, "msg:GeoLineString", "optional"),
+            ("interiors", 2, "msg:GeoLineString", "repeated"),
+        ],
+    )
+    b.message(
+        "ValuesCount",
+        [
+            ("lt", 1, "uint64", "proto3opt"),
+            ("gt", 2, "uint64", "proto3opt"),
+            ("gte", 3, "uint64", "proto3opt"),
+            ("lte", 4, "uint64", "proto3opt"),
+        ],
+    )
+
+    # ---- vectors (points.proto) ----
+    b.message("DenseVector", [("data", 1, "float", "repeated")])
+    b.message(
+        "SparseVector",
+        [("values", 1, "float", "repeated"), ("indices", 2, "uint32", "repeated")],
+    )
+    b.message("MultiDenseVector", [("vectors", 1, "msg:DenseVector", "repeated")])
+    b.message("SparseIndices", [("data", 1, "uint32", "repeated")])
+    for out in ("Vector", "VectorOutput"):
+        b.message(
+            out,
+            [
+                ("data", 1, "float", "repeated"),
+                ("indices", 2, "msg:SparseIndices", "proto3opt"),
+                ("vectors_count", 3, "uint32", "proto3opt"),
+                ("dense", 101, "msg:DenseVector", "optional"),
+                ("sparse", 102, "msg:SparseVector", "optional"),
+                ("multi_dense", 103, "msg:MultiDenseVector", "optional"),
+            ],
+            oneofs={"vector": ["dense", "sparse", "multi_dense"]},
+        )
+    b.message("NamedVectors", [("vectors", 1, "map:string,Vector", "repeated")])
+    b.message(
+        "NamedVectorsOutput", [("vectors", 1, "map:string,VectorOutput", "repeated")]
+    )
+    b.message(
+        "Vectors",
+        [("vector", 1, "msg:Vector", "optional"), ("vectors", 2, "msg:NamedVectors", "optional")],
+        oneofs={"vectors_options": ["vector", "vectors"]},
+    )
+    b.message(
+        "VectorsOutput",
+        [
+            ("vector", 1, "msg:VectorOutput", "optional"),
+            ("vectors", 2, "msg:NamedVectorsOutput", "optional"),
+        ],
+        oneofs={"vectors_options": ["vector", "vectors"]},
+    )
+
+    # ---- point structures ----
+    b.message(
+        "PointStruct",
+        [
+            ("id", 1, "msg:PointId", "optional"),
+            ("payload", 3, "map:string,Value", "repeated"),
+            ("vectors", 4, "msg:Vectors", "proto3opt"),
+        ],
+    )
+    b.message("PointsIdsList", [("ids", 1, "msg:PointId", "repeated")])
+    b.message(
+        "PointsSelector",
+        [
+            ("points", 1, "msg:PointsIdsList", "optional"),
+            ("filter", 2, "msg:Filter", "optional"),
+        ],
+        oneofs={"points_selector_one_of": ["points", "filter"]},
+    )
+    b.message("PayloadIncludeSelector", [("fields", 1, "string", "repeated")])
+    b.message("PayloadExcludeSelector", [("fields", 1, "string", "repeated")])
+    b.message(
+        "WithPayloadSelector",
+        [
+            ("enable", 1, "bool", "optional"),
+            ("include", 2, "msg:PayloadIncludeSelector", "optional"),
+            ("exclude", 3, "msg:PayloadExcludeSelector", "optional"),
+        ],
+        oneofs={"selector_options": ["enable", "include", "exclude"]},
+    )
+    b.message("VectorsSelector", [("names", 1, "string", "repeated")])
+    b.message(
+        "WithVectorsSelector",
+        [
+            ("enable", 1, "bool", "optional"),
+            ("include", 2, "msg:VectorsSelector", "optional"),
+        ],
+        oneofs={"selector_options": ["enable", "include"]},
+    )
+    b.message(
+        "QuantizationSearchParams",
+        [
+            ("ignore", 1, "bool", "proto3opt"),
+            ("rescore", 2, "bool", "proto3opt"),
+            ("oversampling", 3, "double", "proto3opt"),
+        ],
+    )
+    b.message(
+        "SearchParams",
+        [
+            ("hnsw_ef", 1, "uint64", "proto3opt"),
+            ("exact", 2, "bool", "proto3opt"),
+            ("quantization", 3, "msg:QuantizationSearchParams", "proto3opt"),
+            ("indexed_only", 4, "bool", "proto3opt"),
+        ],
+    )
+
+    # ---- requests / responses ----
+    b.message(
+        "UpsertPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("points", 3, "msg:PointStruct", "repeated"),
+        ],
+    )
+    b.message(
+        "DeletePoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("points", 3, "msg:PointsSelector", "optional"),
+        ],
+    )
+    b.message(
+        "GetPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("ids", 2, "msg:PointId", "repeated"),
+            ("with_payload", 4, "msg:WithPayloadSelector", "optional"),
+            ("with_vectors", 5, "msg:WithVectorsSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "SearchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("vector", 2, "float", "repeated"),
+            ("filter", 3, "msg:Filter", "optional"),
+            ("limit", 4, "uint64", "optional"),
+            ("with_payload", 6, "msg:WithPayloadSelector", "optional"),
+            ("params", 7, "msg:SearchParams", "optional"),
+            ("score_threshold", 8, "float", "proto3opt"),
+            ("offset", 9, "uint64", "proto3opt"),
+            ("vector_name", 10, "string", "proto3opt"),
+            ("with_vectors", 11, "msg:WithVectorsSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "CountPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("filter", 2, "msg:Filter", "optional"),
+            ("exact", 3, "bool", "proto3opt"),
+        ],
+    )
+    b.message(
+        "UpdateResult",
+        [
+            ("operation_id", 1, "uint64", "proto3opt"),
+            ("status", 2, "enum:UpdateStatus", "optional"),
+        ],
+    )
+    b.message(
+        "PointsOperationResponse",
+        [("result", 1, "msg:UpdateResult", "optional"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "ScoredPoint",
+        [
+            ("id", 1, "msg:PointId", "optional"),
+            ("payload", 2, "map:string,Value", "repeated"),
+            ("score", 3, "float", "optional"),
+            ("version", 5, "uint64", "optional"),
+            ("vectors", 6, "msg:VectorsOutput", "proto3opt"),
+        ],
+    )
+    b.message(
+        "SearchResponse",
+        [("result", 1, "msg:ScoredPoint", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "RetrievedPoint",
+        [
+            ("id", 1, "msg:PointId", "optional"),
+            ("payload", 2, "map:string,Value", "repeated"),
+            ("vectors", 4, "msg:VectorsOutput", "proto3opt"),
+        ],
+    )
+    b.message(
+        "GetResponse",
+        [("result", 1, "msg:RetrievedPoint", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message("CountResult", [("count", 1, "uint64", "optional")])
+    b.message(
+        "CountResponse",
+        [("result", 1, "msg:CountResult", "optional"), ("time", 2, "double", "optional")],
+    )
+
+    # ---- collections (collections.proto subset) ----
+    b.message("GetCollectionInfoRequest", [("collection_name", 1, "string", "optional")])
+    b.message("CollectionExistsRequest", [("collection_name", 1, "string", "optional")])
+    b.message("CollectionExists", [("exists", 1, "bool", "optional")])
+    b.message(
+        "CollectionExistsResponse",
+        [("result", 1, "msg:CollectionExists", "optional"), ("time", 2, "double", "optional")],
+    )
+    b.message("ListCollectionsRequest", [])
+    b.message("CollectionDescription", [("name", 1, "string", "optional")])
+    b.message(
+        "ListCollectionsResponse",
+        [
+            ("collections", 1, "msg:CollectionDescription", "repeated"),
+            ("time", 2, "double", "optional"),
+        ],
+    )
+    b.message(
+        "CollectionInfo",
+        [
+            ("status", 1, "enum:CollectionStatus", "optional"),
+            ("segments_count", 4, "uint64", "optional"),
+            ("points_count", 9, "uint64", "proto3opt"),
+            ("indexed_vectors_count", 10, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "GetCollectionInfoResponse",
+        [("result", 1, "msg:CollectionInfo", "optional"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "VectorParams",
+        [
+            ("size", 1, "uint64", "optional"),
+            ("distance", 2, "enum:Distance", "optional"),
+        ],
+    )
+    b.message("VectorParamsMap", [("map", 1, "map:string,VectorParams", "repeated")])
+    b.message(
+        "VectorsConfig",
+        [
+            ("params", 1, "msg:VectorParams", "optional"),
+            ("params_map", 2, "msg:VectorParamsMap", "optional"),
+        ],
+        oneofs={"config": ["params", "params_map"]},
+    )
+    b.message(
+        "CreateCollection",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("shard_number", 7, "uint32", "proto3opt"),
+            ("vectors_config", 10, "msg:VectorsConfig", "proto3opt"),
+            ("replication_factor", 11, "uint32", "proto3opt"),
+        ],
+    )
+    b.message("DeleteCollection", [("collection_name", 1, "string", "optional")])
+    b.message(
+        "CollectionOperationResponse",
+        [("result", 1, "bool", "optional"), ("time", 2, "double", "optional")],
+    )
+
+    # ---- health (health_check.proto / qdrant.proto) ----
+    b.message("HealthCheckRequest", [])
+    b.message(
+        "HealthCheckReply",
+        [
+            ("title", 1, "string", "optional"),
+            ("version", 2, "string", "optional"),
+            ("commit", 3, "string", "proto3opt"),
+        ],
+    )
+
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(b.file)
+    return pool
+
+
+_POOL = _build_pool()
+
+_MESSAGE_NAMES = [
+    "Struct", "Value", "ListValue", "PointId", "GeoPoint", "Filter", "MinShould",
+    "Condition", "IsEmptyCondition", "IsNullCondition", "HasIdCondition",
+    "HasVectorCondition", "NestedCondition", "FieldCondition", "Match",
+    "RepeatedStrings", "RepeatedIntegers", "Range", "GeoBoundingBox", "GeoRadius",
+    "GeoLineString", "GeoPolygon", "ValuesCount", "DenseVector", "SparseVector",
+    "MultiDenseVector", "SparseIndices", "Vector", "VectorOutput", "NamedVectors",
+    "NamedVectorsOutput", "Vectors", "VectorsOutput", "PointStruct", "PointsIdsList",
+    "PointsSelector", "PayloadIncludeSelector", "PayloadExcludeSelector",
+    "WithPayloadSelector", "VectorsSelector", "WithVectorsSelector",
+    "QuantizationSearchParams", "SearchParams", "UpsertPoints", "DeletePoints",
+    "GetPoints", "SearchPoints", "CountPoints", "UpdateResult",
+    "PointsOperationResponse", "ScoredPoint", "SearchResponse", "RetrievedPoint",
+    "GetResponse", "CountResult", "CountResponse", "GetCollectionInfoRequest",
+    "CollectionExistsRequest", "CollectionExists", "CollectionExistsResponse",
+    "ListCollectionsRequest", "CollectionDescription", "ListCollectionsResponse",
+    "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
+    "VectorsConfig", "CreateCollection", "DeleteCollection",
+    "CollectionOperationResponse", "HealthCheckRequest", "HealthCheckReply",
+]
+
+MESSAGES: Dict[str, type] = {
+    name: message_factory.GetMessageClass(
+        _POOL.FindMessageTypeByName(f"{PKG}.{name}")
+    )
+    for name in _MESSAGE_NAMES
+}

@@ -1,0 +1,508 @@
+"""gRPC API server — wire-compatible subset of the reference's services.
+
+Reference: src/tonic/ (service registration mod.rs:138-338) with protos from
+lib/api/src/grpc/proto/. Services implemented (full method paths match the
+reference so stock qdrant gRPC clients interoperate):
+
+  * qdrant.Qdrant/HealthCheck
+  * qdrant.Collections: Get, List, Create, Delete, CollectionExists
+  * qdrant.Points: Upsert, Delete, Get, Search, Count
+
+Built on grpc generic handlers + the runtime-descriptor schema
+(grpc_schema.py) — no protoc codegen needed. Remaining methods (Query,
+Scroll, payload ops, snapshots, internal services) extend the same tables.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent import futures
+from typing import Any, Dict, Optional
+
+import grpc
+import numpy as np
+
+from ..collection.query import QueryExecutor, QueryRequest
+from ..types import normalize_point_id
+from .grpc_schema import MESSAGES
+from .rest import VERSION
+from .toc import TableOfContent
+
+M = MESSAGES
+
+
+# ---------------------------------------------------------------------------
+# proto ↔ engine converters
+# ---------------------------------------------------------------------------
+
+
+def point_id_to_py(pid) -> Any:
+    return pid.num if pid.WhichOneof("point_id_options") == "num" else pid.uuid
+
+
+def py_to_point_id(value):
+    if isinstance(value, int):
+        return M["PointId"](num=value)
+    return M["PointId"](uuid=str(value))
+
+
+def value_to_py(v) -> Any:
+    kind = v.WhichOneof("kind")
+    if kind == "null_value" or kind is None:
+        return None
+    if kind == "struct_value":
+        return {k: value_to_py(x) for k, x in v.struct_value.fields.items()}
+    if kind == "list_value":
+        return [value_to_py(x) for x in v.list_value.values]
+    return getattr(v, kind)
+
+
+def py_to_value(x):
+    v = M["Value"]()
+    if x is None:
+        v.null_value = 0
+    elif isinstance(x, bool):
+        v.bool_value = x
+    elif isinstance(x, int):
+        v.integer_value = x
+    elif isinstance(x, float):
+        v.double_value = x
+    elif isinstance(x, str):
+        v.string_value = x
+    elif isinstance(x, dict):
+        for k, e in x.items():
+            v.struct_value.fields[k].CopyFrom(py_to_value(e))
+        if not x:
+            v.struct_value.SetInParent()
+    elif isinstance(x, (list, tuple)):
+        for e in x:
+            v.list_value.values.append(py_to_value(e))
+        if not x:
+            v.list_value.SetInParent()
+    else:
+        v.string_value = str(x)
+    return v
+
+
+def match_to_dict(m) -> Optional[dict]:
+    kind = m.WhichOneof("match_value")
+    if kind is None:
+        return None
+    if kind in ("keyword", "integer", "boolean"):
+        return {"value": getattr(m, kind)}
+    if kind == "text":
+        return {"text": m.text}
+    if kind == "phrase":
+        return {"phrase": m.phrase}
+    if kind == "keywords":
+        return {"any": list(m.keywords.strings)}
+    if kind == "integers":
+        return {"any": list(m.integers.integers)}
+    if kind == "except_integers":
+        return {"except": list(m.except_integers.integers)}
+    if kind == "except_keywords":
+        return {"except": list(m.except_keywords.strings)}
+    return None
+
+
+def _range_to_dict(r) -> dict:
+    out = {}
+    for k in ("lt", "gt", "gte", "lte"):
+        if r.HasField(k):
+            out[k] = getattr(r, k)
+    return out
+
+
+def condition_to_dict(c) -> Optional[dict]:
+    kind = c.WhichOneof("condition_one_of")
+    if kind == "field":
+        f = c.field
+        out: Dict[str, Any] = {"key": f.key}
+        if f.HasField("match"):
+            out["match"] = match_to_dict(f.match)
+        if f.HasField("range"):
+            out["range"] = _range_to_dict(f.range)
+        if f.HasField("geo_bounding_box"):
+            bb = f.geo_bounding_box
+            out["geo_bounding_box"] = {
+                "top_left": {"lon": bb.top_left.lon, "lat": bb.top_left.lat},
+                "bottom_right": {
+                    "lon": bb.bottom_right.lon,
+                    "lat": bb.bottom_right.lat,
+                },
+            }
+        if f.HasField("geo_radius"):
+            gr = f.geo_radius
+            out["geo_radius"] = {
+                "center": {"lon": gr.center.lon, "lat": gr.center.lat},
+                "radius": gr.radius,
+            }
+        if f.HasField("geo_polygon"):
+            gp = f.geo_polygon
+            out["geo_polygon"] = {
+                "exterior": {
+                    "points": [{"lon": p.lon, "lat": p.lat} for p in gp.exterior.points]
+                },
+                "interiors": [
+                    {"points": [{"lon": p.lon, "lat": p.lat} for p in ring.points]}
+                    for ring in gp.interiors
+                ],
+            }
+        if f.HasField("values_count"):
+            out["values_count"] = _range_to_dict(f.values_count)
+        if f.HasField("is_empty"):
+            out["is_empty"] = f.is_empty
+        if f.HasField("is_null"):
+            out["is_null"] = f.is_null
+        return out
+    if kind == "is_empty":
+        return {"is_empty": {"key": c.is_empty.key}}
+    if kind == "is_null":
+        return {"is_null": {"key": c.is_null.key}}
+    if kind == "has_id":
+        return {"has_id": [point_id_to_py(p) for p in c.has_id.has_id]}
+    if kind == "has_vector":
+        return {"has_vector": c.has_vector.has_vector}
+    if kind == "filter":
+        return filter_to_dict(c.filter)
+    if kind == "nested":
+        return {
+            "nested": {"key": c.nested.key, "filter": filter_to_dict(c.nested.filter)}
+        }
+    return None
+
+
+def filter_to_dict(f) -> Optional[dict]:
+    out: Dict[str, Any] = {}
+    if f.must:
+        out["must"] = [condition_to_dict(c) for c in f.must]
+    if f.should:
+        out["should"] = [condition_to_dict(c) for c in f.should]
+    if f.must_not:
+        out["must_not"] = [condition_to_dict(c) for c in f.must_not]
+    if f.HasField("min_should"):
+        out["min_should"] = {
+            "conditions": [condition_to_dict(c) for c in f.min_should.conditions],
+            "min_count": f.min_should.min_count,
+        }
+    return out or None
+
+
+def vector_to_py(v) -> Any:
+    kind = v.WhichOneof("vector")
+    if kind == "dense":
+        return list(v.dense.data)
+    if kind == "sparse":
+        return {"indices": list(v.sparse.indices), "values": list(v.sparse.values)}
+    if kind == "multi_dense":
+        return [list(d.data) for d in v.multi_dense.vectors]
+    # legacy flat form
+    if v.HasField("indices"):
+        return {"indices": list(v.indices.data), "values": list(v.data)}
+    return list(v.data)
+
+
+def vectors_to_py(vs) -> Dict[str, Any]:
+    kind = vs.WhichOneof("vectors_options")
+    if kind == "vector":
+        return {"": vector_to_py(vs.vector)}
+    if kind == "vectors":
+        return {name: vector_to_py(v) for name, v in vs.vectors.vectors.items()}
+    return {}
+
+
+def py_to_vector_output(v):
+    out = M["VectorOutput"]()
+    if isinstance(v, dict) and "indices" in v:
+        out.sparse.values.extend(float(x) for x in v["values"])
+        out.sparse.indices.extend(int(x) for x in v["indices"])
+    elif v and isinstance(v[0], (list, tuple)):
+        for row in v:
+            out.multi_dense.vectors.add().data.extend(float(x) for x in row)
+    else:
+        out.dense.data.extend(float(x) for x in v)
+    return out
+
+
+def py_to_vectors_output(vectors: Dict[str, Any]):
+    out = M["VectorsOutput"]()
+    if list(vectors.keys()) == [""]:
+        out.vector.CopyFrom(py_to_vector_output(vectors[""]))
+    else:
+        for name, v in vectors.items():
+            out.vectors.vectors[name].CopyFrom(py_to_vector_output(v))
+    return out
+
+
+def with_payload_to_py(sel) -> Any:
+    kind = sel.WhichOneof("selector_options")
+    if kind is None:
+        return True
+    if kind == "enable":
+        return sel.enable
+    if kind == "include":
+        return {"include": list(sel.include.fields)}
+    return {"exclude": list(sel.exclude.fields)}
+
+
+def with_vectors_to_py(sel) -> Any:
+    kind = sel.WhichOneof("selector_options")
+    if kind is None:
+        return False
+    if kind == "enable":
+        return sel.enable
+    return list(sel.include.names)
+
+
+# ---------------------------------------------------------------------------
+# service implementations
+# ---------------------------------------------------------------------------
+
+
+class _Services:
+    def __init__(self, toc: TableOfContent):
+        self.toc = toc
+
+    # -- qdrant.Qdrant --
+
+    def HealthCheck(self, request, context):
+        return M["HealthCheckReply"](
+            title="qdrant - vector search engine (TPU-native)", version=VERSION
+        )
+
+    # -- qdrant.Collections --
+
+    def CollectionsGet(self, request, context):
+        info = self.toc.get_collection(request.collection_name).info()
+        result = M["CollectionInfo"](
+            status=1,
+            segments_count=info["segments_count"],
+            points_count=info["points_count"],
+            indexed_vectors_count=info["indexed_vectors_count"],
+        )
+        return M["GetCollectionInfoResponse"](result=result, time=0.0)
+
+    def CollectionsList(self, request, context):
+        resp = M["ListCollectionsResponse"](time=0.0)
+        for name in self.toc.list_collections():
+            resp.collections.add(name=name)
+        return resp
+
+    def CollectionsCreate(self, request, context):
+        spec: Dict[str, Any] = {}
+        if request.HasField("vectors_config"):
+            vc = request.vectors_config
+            kind = vc.WhichOneof("config")
+            dist = {1: "Cosine", 2: "Euclid", 3: "Dot", 4: "Manhattan"}
+            if kind == "params":
+                spec["vectors"] = {
+                    "size": vc.params.size,
+                    "distance": dist.get(vc.params.distance, "Cosine"),
+                }
+            elif kind == "params_map":
+                spec["vectors"] = {
+                    name: {"size": p.size, "distance": dist.get(p.distance, "Cosine")}
+                    for name, p in vc.params_map.map.items()
+                }
+        if request.HasField("shard_number"):
+            spec["shard_number"] = request.shard_number
+        ok = self.toc.create_collection(request.collection_name, spec)
+        return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
+
+    def CollectionsDelete(self, request, context):
+        ok = self.toc.delete_collection(request.collection_name)
+        return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
+
+    def CollectionsExists(self, request, context):
+        return M["CollectionExistsResponse"](
+            result=M["CollectionExists"](
+                exists=self.toc.has_collection(request.collection_name)
+            ),
+            time=0.0,
+        )
+
+    # -- qdrant.Points --
+
+    def PointsUpsert(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        points = []
+        for p in request.points:
+            vectors = vectors_to_py(p.vectors) if p.HasField("vectors") else {}
+            payload = (
+                {k: value_to_py(v) for k, v in p.payload.items()} if p.payload else None
+            )
+            points.append(
+                {"id": point_id_to_py(p.id), "vectors": vectors, "payload": payload}
+            )
+        res = coll.upsert(points)
+        return M["PointsOperationResponse"](
+            result=M["UpdateResult"](
+                operation_id=res.get("operation_id", 0), status=2
+            ),
+            time=0.0,
+        )
+
+    def PointsDelete(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        sel = request.points
+        kind = sel.WhichOneof("points_selector_one_of")
+        op: Dict[str, Any] = {"type": "delete"}
+        if kind == "points":
+            op["ids"] = [point_id_to_py(p) for p in sel.points.ids]
+        elif kind == "filter":
+            op["filter"] = filter_to_dict(sel.filter)
+        res = coll.update_op(op)
+        return M["PointsOperationResponse"](
+            result=M["UpdateResult"](
+                operation_id=res.get("operation_id", 0), status=2
+            ),
+            time=0.0,
+        )
+
+    def PointsGet(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        with_payload = with_payload_to_py(request.with_payload)
+        with_vectors = (
+            with_vectors_to_py(request.with_vectors)
+            if request.HasField("with_vectors")
+            else False
+        )
+        from ..collection.query import _select_payload, _select_vectors
+
+        resp = M["GetResponse"](time=0.0)
+        for pid_msg in request.ids:
+            pid = normalize_point_id(point_id_to_py(pid_msg))
+            payload, vectors = coll.get_payload_and_vectors(pid)
+            if payload is None and vectors is None:
+                continue
+            rp = resp.result.add(id=py_to_point_id(pid))
+            p = _select_payload(payload, with_payload)
+            if p:
+                for k, v in p.items():
+                    rp.payload[k].CopyFrom(py_to_value(v))
+            if with_vectors and vectors:
+                sel = (
+                    {k: v for k, v in vectors.items() if k in with_vectors}
+                    if isinstance(with_vectors, list)
+                    else vectors
+                )
+                rp.vectors.CopyFrom(py_to_vectors_output(sel))
+        return resp
+
+    def PointsSearch(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        ex = QueryExecutor(coll, self.toc)
+        d = {
+            "query": list(request.vector),
+            "using": request.vector_name if request.HasField("vector_name") else "",
+            "filter": filter_to_dict(request.filter),
+            "limit": request.limit or 10,
+            "offset": request.offset if request.HasField("offset") else 0,
+            "with_payload": with_payload_to_py(request.with_payload),
+            "with_vector": (
+                with_vectors_to_py(request.with_vectors)
+                if request.HasField("with_vectors")
+                else False
+            ),
+            "score_threshold": (
+                request.score_threshold
+                if request.HasField("score_threshold")
+                else None
+            ),
+        }
+        if request.HasField("params"):
+            p = request.params
+            params: Dict[str, Any] = {}
+            if p.HasField("hnsw_ef"):
+                params["hnsw_ef"] = p.hnsw_ef
+            if p.HasField("exact"):
+                params["exact"] = p.exact
+            if p.HasField("quantization"):
+                q = p.quantization
+                params["quantization"] = {
+                    "ignore": q.ignore if q.HasField("ignore") else False,
+                    "rescore": q.rescore if q.HasField("rescore") else True,
+                    "oversampling": (
+                        q.oversampling if q.HasField("oversampling") else None
+                    ),
+                }
+            d["params"] = params
+        hits = ex.query(QueryRequest(d))
+        resp = M["SearchResponse"](time=0.0)
+        for h in hits:
+            sp = resp.result.add(
+                id=py_to_point_id(h["id"]),
+                score=float(h["score"]),
+                version=h.get("version", 0),
+            )
+            for k, v in (h.get("payload") or {}).items():
+                sp.payload[k].CopyFrom(py_to_value(v))
+            if h.get("vector") is not None:
+                vec = h["vector"]
+                sp.vectors.CopyFrom(
+                    py_to_vectors_output(vec if isinstance(vec, dict) and "indices" not in vec else {"": vec})
+                )
+        return resp
+
+    def PointsCount(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        from ..types import parse_filter
+
+        count = coll.count(parse_filter(filter_to_dict(request.filter)))
+        return M["CountResponse"](result=M["CountResult"](count=count), time=0.0)
+
+
+def _wrap(fn, req_cls):
+    def handler(request, context):
+        try:
+            return fn(request, context)
+        except Exception as e:  # engine errors → gRPC status
+            from ..collection.collection import NotFoundError
+
+            code = (
+                grpc.StatusCode.NOT_FOUND
+                if isinstance(e, NotFoundError)
+                else grpc.StatusCode.INVALID_ARGUMENT
+            )
+            context.abort(code, str(e))
+
+    return grpc.unary_unary_rpc_method_handler(
+        handler,
+        request_deserializer=req_cls.FromString,
+        response_serializer=lambda msg: msg.SerializeToString(),
+    )
+
+
+def make_server(
+    toc: TableOfContent, host: str = "127.0.0.1", port: int = 6334, max_workers: int = 8
+):
+    svc = _Services(toc)
+    services = {
+        "qdrant.Qdrant": {
+            "HealthCheck": (svc.HealthCheck, M["HealthCheckRequest"]),
+        },
+        "qdrant.Collections": {
+            "Get": (svc.CollectionsGet, M["GetCollectionInfoRequest"]),
+            "List": (svc.CollectionsList, M["ListCollectionsRequest"]),
+            "Create": (svc.CollectionsCreate, M["CreateCollection"]),
+            "Delete": (svc.CollectionsDelete, M["DeleteCollection"]),
+            "CollectionExists": (svc.CollectionsExists, M["CollectionExistsRequest"]),
+        },
+        "qdrant.Points": {
+            "Upsert": (svc.PointsUpsert, M["UpsertPoints"]),
+            "Delete": (svc.PointsDelete, M["DeletePoints"]),
+            "Get": (svc.PointsGet, M["GetPoints"]),
+            "Search": (svc.PointsSearch, M["SearchPoints"]),
+            "Count": (svc.PointsCount, M["CountPoints"]),
+        },
+    }
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    for service_name, methods in services.items():
+        handlers = {
+            name: _wrap(fn, req_cls) for name, (fn, req_cls) in methods.items()
+        }
+        server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(service_name, handlers),)
+        )
+    bound = server.add_insecure_port(f"{host}:{port}")
+    return server, bound

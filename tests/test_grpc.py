@@ -1,0 +1,136 @@
+"""gRPC smoke tests (style of reference tests/basic_grpc_test.sh) using a
+raw grpc channel + the dynamic message classes as the 'client'."""
+
+import grpc
+import pytest
+
+from qdrant_tpu.api.grpc_schema import MESSAGES as M
+from qdrant_tpu.api.grpc_server import make_server
+from qdrant_tpu.api.toc import TableOfContent
+
+
+@pytest.fixture(scope="module")
+def grpc_env(tmp_path_factory):
+    toc = TableOfContent(str(tmp_path_factory.mktemp("storage")))
+    server, port = make_server(toc, port=0)
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    yield channel
+    server.stop(0)
+    toc.close()
+
+
+def unary(channel, method, request, resp_cls):
+    fn = channel.unary_unary(
+        method,
+        request_serializer=lambda m: m.SerializeToString(),
+        response_deserializer=resp_cls.FromString,
+    )
+    return fn(request)
+
+
+def test_health_check(grpc_env):
+    reply = unary(
+        grpc_env,
+        "/qdrant.Qdrant/HealthCheck",
+        M["HealthCheckRequest"](),
+        M["HealthCheckReply"],
+    )
+    assert "qdrant" in reply.title
+    assert reply.version
+
+
+def test_collections_lifecycle(grpc_env):
+    create = M["CreateCollection"](collection_name="g1")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 2  # Euclid
+    resp = unary(
+        grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"]
+    )
+    assert resp.result
+
+    lst = unary(
+        grpc_env,
+        "/qdrant.Collections/List",
+        M["ListCollectionsRequest"](),
+        M["ListCollectionsResponse"],
+    )
+    assert any(c.name == "g1" for c in lst.collections)
+
+    exists = unary(
+        grpc_env,
+        "/qdrant.Collections/CollectionExists",
+        M["CollectionExistsRequest"](collection_name="g1"),
+        M["CollectionExistsResponse"],
+    )
+    assert exists.result.exists
+
+
+def test_points_upsert_search_count(grpc_env):
+    create = M["CreateCollection"](collection_name="g2")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 2
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+
+    up = M["UpsertPoints"](collection_name="g2")
+    for i, vec in enumerate([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]]):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend(vec)
+        p.payload["tag"].string_value = f"t{i % 2}"
+    resp = unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+    assert resp.result.status == 2  # Completed
+
+    count = unary(
+        grpc_env,
+        "/qdrant.Points/Count",
+        M["CountPoints"](collection_name="g2"),
+        M["CountResponse"],
+    )
+    assert count.result.count == 3
+
+    search = M["SearchPoints"](collection_name="g2", vector=[1, 0, 0, 0], limit=2)
+    search.with_payload.enable = True
+    sr = unary(grpc_env, "/qdrant.Points/Search", search, M["SearchResponse"])
+    assert sr.result[0].id.num == 0
+    assert sr.result[0].payload["tag"].string_value == "t0"
+
+    # filtered search: tag = t1 → only point 1
+    search2 = M["SearchPoints"](collection_name="g2", vector=[1, 0, 0, 0], limit=3)
+    cond = search2.filter.must.add()
+    cond.field.key = "tag"
+    cond.field.match.keyword = "t1"
+    sr2 = unary(grpc_env, "/qdrant.Points/Search", search2, M["SearchResponse"])
+    assert [p.id.num for p in sr2.result] == [1]
+
+    # get with vectors
+    get = M["GetPoints"](collection_name="g2")
+    get.ids.add().num = 1
+    get.with_payload.enable = True
+    get.with_vectors.enable = True
+    gr = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
+    assert len(gr.result) == 1
+    assert list(gr.result[0].vectors.vector.dense.data) == [0.0, 1.0, 0.0, 0.0]
+
+    # delete by id
+    dl = M["DeletePoints"](collection_name="g2")
+    dl.points.points.ids.add().num = 0
+    unary(grpc_env, "/qdrant.Points/Delete", dl, M["PointsOperationResponse"])
+    count = unary(
+        grpc_env,
+        "/qdrant.Points/Count",
+        M["CountPoints"](collection_name="g2"),
+        M["CountResponse"],
+    )
+    assert count.result.count == 2
+
+
+def test_grpc_error_status(grpc_env):
+    with pytest.raises(grpc.RpcError) as e:
+        unary(
+            grpc_env,
+            "/qdrant.Collections/Get",
+            M["GetCollectionInfoRequest"](collection_name="missing"),
+            M["GetCollectionInfoResponse"],
+        )
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
