@@ -445,6 +445,52 @@ def _build_pool():
         ],
     )
     b.message(
+        "ScrollPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("filter", 2, "msg:Filter", "optional"),
+            ("offset", 3, "msg:PointId", "proto3opt"),
+            ("limit", 4, "uint32", "proto3opt"),
+            ("with_payload", 6, "msg:WithPayloadSelector", "optional"),
+            ("with_vectors", 7, "msg:WithVectorsSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "ScrollResponse",
+        [
+            ("next_page_offset", 1, "msg:PointId", "proto3opt"),
+            ("result", 2, "msg:RetrievedPoint", "repeated"),
+            ("time", 3, "double", "optional"),
+        ],
+    )
+    b.message(
+        "SetPayloadPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("payload", 3, "map:string,Value", "repeated"),
+            ("points_selector", 5, "msg:PointsSelector", "proto3opt"),
+            ("key", 7, "string", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DeletePayloadPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("keys", 3, "string", "repeated"),
+            ("points_selector", 5, "msg:PointsSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "ClearPayloadPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("points", 3, "msg:PointsSelector", "optional"),
+        ],
+    )
+    b.message(
         "CountPoints",
         [
             ("collection_name", 1, "string", "optional"),
@@ -585,7 +631,8 @@ _MESSAGE_NAMES = [
     "PointsSelector", "PayloadIncludeSelector", "PayloadExcludeSelector",
     "WithPayloadSelector", "VectorsSelector", "WithVectorsSelector",
     "QuantizationSearchParams", "SearchParams", "UpsertPoints", "DeletePoints",
-    "GetPoints", "SearchPoints", "CountPoints", "UpdateResult",
+    "GetPoints", "SearchPoints", "CountPoints", "ScrollPoints", "ScrollResponse",
+    "SetPayloadPoints", "DeletePayloadPoints", "ClearPayloadPoints", "UpdateResult",
     "PointsOperationResponse", "ScoredPoint", "SearchResponse", "RetrievedPoint",
     "GetResponse", "CountResult", "CountResponse", "GetCollectionInfoRequest",
     "CollectionExistsRequest", "CollectionExists", "CollectionExistsResponse",

@@ -444,6 +444,87 @@ class _Services:
                 )
         return resp
 
+    def PointsScroll(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        from ..types import parse_filter
+
+        limit = request.limit if request.HasField("limit") else 10
+        offset = (
+            normalize_point_id(point_id_to_py(request.offset))
+            if request.HasField("offset")
+            else None
+        )
+        flt = parse_filter(filter_to_dict(request.filter))
+        ids = coll.scroll_ids(limit + 1, offset, flt)
+        next_offset = ids[limit] if len(ids) > limit else None
+        ids = ids[:limit]
+        with_payload = with_payload_to_py(request.with_payload)
+        with_vectors = (
+            with_vectors_to_py(request.with_vectors)
+            if request.HasField("with_vectors")
+            else False
+        )
+        from ..collection.query import _select_payload
+
+        resp = M["ScrollResponse"](time=0.0)
+        if next_offset is not None:
+            resp.next_page_offset.CopyFrom(py_to_point_id(next_offset))
+        for pid in ids:
+            payload, vectors = coll.get_payload_and_vectors(pid)
+            rp = resp.result.add(id=py_to_point_id(pid))
+            p = _select_payload(payload, with_payload)
+            if p:
+                for k, v in p.items():
+                    rp.payload[k].CopyFrom(py_to_value(v))
+            if with_vectors and vectors:
+                sel = (
+                    {k: v for k, v in vectors.items() if k in with_vectors}
+                    if isinstance(with_vectors, list)
+                    else vectors
+                )
+                rp.vectors.CopyFrom(py_to_vectors_output(sel))
+        return resp
+
+    def _selector_to_op(self, sel) -> Dict[str, Any]:
+        kind = sel.WhichOneof("points_selector_one_of")
+        if kind == "points":
+            return {"ids": [point_id_to_py(p) for p in sel.points.ids]}
+        if kind == "filter":
+            return {"filter": filter_to_dict(sel.filter)}
+        return {"filter": None}
+
+    def _op_response(self, res) -> Any:
+        return M["PointsOperationResponse"](
+            result=M["UpdateResult"](
+                operation_id=res.get("operation_id", 0), status=2
+            ),
+            time=0.0,
+        )
+
+    def PointsSetPayload(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        op = {
+            "type": "set_payload",
+            "payload": {k: value_to_py(v) for k, v in request.payload.items()},
+            "key": request.key if request.HasField("key") else None,
+            **self._selector_to_op(request.points_selector),
+        }
+        return self._op_response(coll.update_op(op))
+
+    def PointsDeletePayload(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        op = {
+            "type": "delete_payload",
+            "keys": list(request.keys),
+            **self._selector_to_op(request.points_selector),
+        }
+        return self._op_response(coll.update_op(op))
+
+    def PointsClearPayload(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        op = {"type": "clear_payload", **self._selector_to_op(request.points)}
+        return self._op_response(coll.update_op(op))
+
     def PointsCount(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         from ..types import parse_filter
@@ -494,6 +575,10 @@ def make_server(
             "Get": (svc.PointsGet, M["GetPoints"]),
             "Search": (svc.PointsSearch, M["SearchPoints"]),
             "Count": (svc.PointsCount, M["CountPoints"]),
+            "Scroll": (svc.PointsScroll, M["ScrollPoints"]),
+            "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
+            "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),
+            "ClearPayload": (svc.PointsClearPayload, M["ClearPayloadPoints"]),
         },
     }
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))

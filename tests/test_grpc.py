@@ -134,3 +134,34 @@ def test_grpc_error_status(grpc_env):
             M["GetCollectionInfoResponse"],
         )
     assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_scroll_and_payload_ops(grpc_env):
+    create = M["CreateCollection"](collection_name="g3")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3  # Dot
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g3")
+    for i in range(5):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend([float(i), 0, 0, 0])
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    sp = M["SetPayloadPoints"](collection_name="g3")
+    sp.payload["mark"].bool_value = True
+    sp.points_selector.points.ids.add().num = 2
+    unary(grpc_env, "/qdrant.Points/SetPayload", sp, M["PointsOperationResponse"])
+
+    scroll = M["ScrollPoints"](collection_name="g3", limit=3)
+    scroll.with_payload.enable = True
+    sr = unary(grpc_env, "/qdrant.Points/Scroll", scroll, M["ScrollResponse"])
+    assert [p.id.num for p in sr.result] == [0, 1, 2]
+    assert sr.next_page_offset.num == 3
+    assert sr.result[2].payload["mark"].bool_value is True
+
+    cp = M["ClearPayloadPoints"](collection_name="g3")
+    cp.points.points.ids.add().num = 2
+    unary(grpc_env, "/qdrant.Points/ClearPayload", cp, M["PointsOperationResponse"])
+    sr = unary(grpc_env, "/qdrant.Points/Scroll", scroll, M["ScrollResponse"])
+    assert "mark" not in sr.result[2].payload
