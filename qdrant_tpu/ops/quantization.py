@@ -181,6 +181,190 @@ def score_bq(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Turbo quantization (rotation + low-bit Lloyd-Max)
+# ---------------------------------------------------------------------------
+
+# Lloyd-Max reconstruction levels for a unit gaussian per bit width; decision
+# thresholds are the midpoints between adjacent levels. "1.5 bits" = 3 levels.
+_LM_LEVELS = {
+    1: np.array([-0.7979, 0.7979]),
+    1.5: np.array([-1.224, 0.0, 1.224]),
+    2: np.array([-1.510, -0.4528, 0.4528, 1.510]),
+    4: np.array(
+        [
+            -2.733, -2.069, -1.618, -1.256, -0.9424, -0.6568, -0.3881,
+            -0.1284, 0.1284, 0.3881, 0.6568, 0.9424, 1.256, 1.618, 2.069,
+            2.733,
+        ]
+    ),
+}
+
+
+def _lloyd_max(bits) -> tuple:
+    levels = _LM_LEVELS[bits]
+    thresholds = (levels[:-1] + levels[1:]) / 2.0
+    return thresholds, levels
+
+
+def _hadamard_rotation(dim: int, seed: int) -> np.ndarray:
+    """Randomized orthogonal rotation: D_pad×D_pad scaled Hadamard with random
+    sign flips (reference: turboquant/simd/hadamard.rs fast rotation; here a
+    dense orthogonal matrix applied as one matmul — MXU-friendly)."""
+    n = 1
+    while n < dim:
+        n *= 2
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    h = h / np.sqrt(n)
+    rng = np.random.default_rng(seed)
+    signs = rng.choice([-1.0, 1.0], size=n)
+    return (h * signs[None, :]).astype(np.float32)  # orthogonal
+
+
+class TurboQuantized:
+    """TurboQuant: rotate vectors with a randomized Hadamard, normalize per
+    vector, quantize each dim to 1/2/4-bit Lloyd-Max levels.
+
+    Reference: lib/quantization/src/turboquant/ (rotation + asymmetric
+    low-bit scoring). Device representation stores the LEVEL INDEX per dim
+    as int8 (1 byte/dim in HBM; disk form packs to `bits`). Scoring is
+    asymmetric: the f32 (rotated) query hits reconstruction levels via a
+    single MXU matmul — dot(q_rot, recon(v)) = Σ q_i · level[code_i] · σ_v,
+    expressed as (q_rot @ codesᵀ-style) with level values folded in.
+    """
+
+    def __init__(self, codes: np.ndarray, scales: np.ndarray, rotation_seed: int,
+                 bits: int, norms_sq: np.ndarray, dim: int):
+        self.codes = codes  # [N, D_pad] int8 level indices
+        self.scales = scales  # [N] f32 per-vector scale (std of rotated vec)
+        self.rotation_seed = rotation_seed
+        self.bits = bits
+        self.norms_sq = norms_sq  # [N] exact ||v||² of ORIGINAL vectors
+        self.dim = dim
+        self._dev = None
+        self._rot = None
+
+    @classmethod
+    def encode(cls, vectors: np.ndarray, bits: int = 4, seed: int = 13) -> "TurboQuantized":
+        v = np.asarray(vectors, dtype=np.float32)
+        n, dim = v.shape
+        rot = _hadamard_rotation(dim, seed)
+        d_pad = rot.shape[0]
+        vp = np.zeros((n, d_pad), dtype=np.float32)
+        vp[:, :dim] = v
+        r = vp @ rot  # rotated: approximately gaussian per dim
+        scales = r.std(axis=1) + 1e-12
+        thresholds, levels = _lloyd_max(bits)
+        codes = np.searchsorted(thresholds, r / scales[:, None]).astype(np.int8)
+        norms_sq = (v * v).sum(axis=1).astype(np.float32)
+        return cls(codes, scales.astype(np.float32), seed, bits, norms_sq, dim)
+
+    def rotation(self) -> np.ndarray:
+        if self._rot is None:
+            self._rot = _hadamard_rotation(self.dim, self.rotation_seed)
+        return self._rot
+
+    def device(self):
+        if self._dev is None:
+            _, levels = _lloyd_max(self.bits)
+            # fold reconstruction levels into a bf16 matrix of level values
+            recon = levels[self.codes.astype(np.int64)].astype(np.float32)
+            self._dev = (
+                jnp.asarray(recon, dtype=jnp.bfloat16),
+                jnp.asarray(self.scales),
+                jnp.asarray(self.norms_sq),
+            )
+        return self._dev
+
+    def rotate_queries(self, queries: np.ndarray) -> np.ndarray:
+        q = np.asarray(queries, dtype=np.float32)
+        rot = self.rotation()
+        qp = np.zeros((q.shape[0], rot.shape[0]), dtype=np.float32)
+        qp[:, : self.dim] = q
+        return qp @ rot
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        # pack level indices to `bits` on disk
+        if self.bits == 4:
+            packed = (self.codes[:, 0::2].astype(np.uint8) << 4) | (
+                self.codes[:, 1::2].astype(np.uint8) & 0xF
+            )
+        elif self.bits in (2, 1.5):
+            c = self.codes.astype(np.uint8)
+            packed = (c[:, 0::4] << 6) | (c[:, 1::4] << 4) | (c[:, 2::4] << 2) | c[:, 3::4]
+        else:
+            packed = np.packbits(self.codes.astype(np.uint8), axis=1)
+        np.savez(
+            os.path.join(path, "tq.npz"),
+            packed=packed,
+            scales=self.scales,
+            norms_sq=self.norms_sq,
+            bits=np.float64(self.bits),
+            seed=np.int32(self.rotation_seed),
+            dim=np.int32(self.dim),
+            d_pad=np.int32(self.codes.shape[1]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TurboQuantized":
+        data = np.load(os.path.join(path, "tq.npz"))
+        bits = float(data["bits"])
+        bits = int(bits) if bits in (1.0, 2.0, 4.0) else bits
+        d_pad = int(data["d_pad"])
+        packed = data["packed"]
+        if bits == 4:
+            codes = np.zeros((packed.shape[0], d_pad), dtype=np.int8)
+            codes[:, 0::2] = (packed >> 4) & 0xF
+            codes[:, 1::2] = packed & 0xF
+        elif bits in (2, 1.5):
+            codes = np.zeros((packed.shape[0], d_pad), dtype=np.int8)
+            codes[:, 0::4] = (packed >> 6) & 0x3
+            codes[:, 1::4] = (packed >> 4) & 0x3
+            codes[:, 2::4] = (packed >> 2) & 0x3
+            codes[:, 3::4] = packed & 0x3
+        else:
+            codes = np.unpackbits(packed, axis=1)[:, :d_pad].astype(np.int8)
+        return cls(
+            codes,
+            data["scales"],
+            int(data["seed"]),
+            bits,
+            data["norms_sq"],
+            int(data["dim"]),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("distance",))
+def score_tq(
+    q_rot: jax.Array,  # [B, D_pad] f32 rotated queries
+    recon: jax.Array,  # [N, D_pad] bf16 reconstruction levels (unit scale)
+    scales: jax.Array,  # [N] f32 per-vector scale
+    norms_sq: jax.Array,  # [N] f32 exact original norms
+    distance: str,
+    valid_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Asymmetric TurboQuant scoring: rotation preserves dot products, so
+    dot(q, v) ≈ scale_v · dot(q_rot, recon_v) — one bf16 MXU matmul."""
+    dist = Distance(distance)
+    dots = jax.lax.dot_general(
+        q_rot.astype(jnp.bfloat16),
+        recon,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scales[None, :]
+    if dist in (Distance.DOT, Distance.COSINE):
+        scores = dots
+    else:  # euclid / manhattan proxy
+        q_sq = jnp.sum(q_rot * q_rot, axis=1, keepdims=True)
+        scores = 2.0 * dots - q_sq - norms_sq[None, :]
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    return scores
+
+
 def _kmeans(data: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Plain Lloyd k-means (vectorized numpy) for PQ codebook training."""
     rng = np.random.default_rng(seed)

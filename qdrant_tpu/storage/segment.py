@@ -30,6 +30,7 @@ from ..ops.distances import (
 )
 from ..types import (
     BinaryQuantizationConfig,
+    TurboQuantizationConfig,
     CollectionParams,
     Datatype,
     Filter,
@@ -494,6 +495,19 @@ class Segment:
             scores = qops.score_bq(
                 jnp.asarray(q), signs, store.distance.value, jnp.asarray(mask_pad)
             )
+        elif isinstance(quant, qops.TurboQuantized):
+            recon, scales, norms = quant.device()
+            cap = recon.shape[0]
+            mask_pad = np.zeros(cap, dtype=bool)
+            mask_pad[: len(mask)] = mask[:cap]
+            scores = qops.score_tq(
+                jnp.asarray(quant.rotate_queries(q)),
+                recon,
+                scales,
+                norms,
+                store.distance.value,
+                jnp.asarray(mask_pad),
+            )
         elif isinstance(quant, qops.ProductQuantized):
             codes = quant.device()
             cap = codes.shape[0]
@@ -620,6 +634,11 @@ class Segment:
                     self.quantized[name] = qops.ProductQuantized.encode(
                         data, qc.compression
                     )
+                elif isinstance(qc, TurboQuantizationConfig):
+                    bits = {"bits1": 1, "bits1_5": 1.5, "bits2": 2, "bits4": 4}[
+                        qc.bits
+                    ]
+                    self.quantized[name] = qops.TurboQuantized.encode(data, bits=bits)
         self.appendable = False
 
     # ------------------------------------------------------------------
@@ -715,7 +734,9 @@ class Segment:
                 )
         for name, qtype in meta.get("quantized", {}).items():
             qpath = os.path.join(path, f"quant_{_safe(name)}")
-            if qtype == "ScalarQuantized":
+            if qtype == "TurboQuantized":
+                seg.quantized[name] = qops.TurboQuantized.load(qpath)
+            elif qtype == "ScalarQuantized":
                 seg.quantized[name] = qops.ScalarQuantized.load(qpath)
             elif qtype == "BinaryQuantized":
                 seg.quantized[name] = qops.BinaryQuantized.load(qpath)

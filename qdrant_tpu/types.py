@@ -115,8 +115,22 @@ class BinaryQuantizationConfig:
     kind: str = field(default="binary", init=False)
 
 
+@dataclass
+class TurboQuantizationConfig:
+    """TurboQuant: random-rotation + low-bit Lloyd-Max quantization
+    (reference: types.rs:1081-1115 TurboQuantBitSize/TurboQuantization)."""
+
+    bits: str = "bits4"  # bits1 | bits1_5 | bits2 | bits4
+    always_ram: bool = True
+
+    kind: str = field(default="turbo", init=False)
+
+
 QuantizationConfig = Union[
-    ScalarQuantizationConfig, ProductQuantizationConfig, BinaryQuantizationConfig
+    ScalarQuantizationConfig,
+    ProductQuantizationConfig,
+    BinaryQuantizationConfig,
+    TurboQuantizationConfig,
 ]
 
 
@@ -141,6 +155,12 @@ def quantization_config_from_dict(d: Optional[dict]) -> Optional[QuantizationCon
         return BinaryQuantizationConfig(
             always_ram=b.get("always_ram", True),
             encoding=b.get("encoding", "one_bit"),
+        )
+    if "turbo" in d:
+        t = d["turbo"]
+        return TurboQuantizationConfig(
+            bits=t.get("bits", "bits4"),
+            always_ram=t.get("always_ram", True),
         )
     raise ValueError(f"unknown quantization config: {d}")
 

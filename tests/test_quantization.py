@@ -120,3 +120,34 @@ def test_pq_save_load(tmp_path):
     loaded = qops.ProductQuantized.load(str(tmp_path))
     np.testing.assert_array_equal(pq.codes, loaded.codes)
     np.testing.assert_allclose(pq.codebooks, loaded.codebooks)
+
+
+def test_tq_ranking_and_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    n, d, b, k = 1500, 96, 6, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    for bits, min_recall in ((4, 0.85), (2, 0.6), (1.5, 0.5), (1, 0.4)):
+        tq = qops.TurboQuantized.encode(data, bits=bits)
+        recon, scales, norms = tq.device()
+        scores = np.asarray(
+            qops.score_tq(jnp.asarray(tq.rotate_queries(q)), recon, scales, norms, "Dot")
+        )
+        exact = q @ data.T
+        approx_ids = np.argsort(-scores, axis=1)[:, : k * 3]
+        exact_ids = np.argsort(-exact, axis=1)[:, :k]
+        hits = sum(
+            len(set(a.tolist()) & set(e.tolist()))
+            for a, e in zip(approx_ids, exact_ids)
+        )
+        assert hits / exact_ids.size >= min_recall, f"bits={bits}: {hits/exact_ids.size}"
+
+    tq = qops.TurboQuantized.encode(data, bits=4)
+    tq.save(str(tmp_path / "tq4"))
+    loaded = qops.TurboQuantized.load(str(tmp_path / "tq4"))
+    np.testing.assert_array_equal(tq.codes, loaded.codes)
+    np.testing.assert_allclose(tq.scales, loaded.scales)
+    tq2 = qops.TurboQuantized.encode(data, bits=1.5)
+    tq2.save(str(tmp_path / "tq15"))
+    loaded2 = qops.TurboQuantized.load(str(tmp_path / "tq15"))
+    np.testing.assert_array_equal(tq2.codes, loaded2.codes)

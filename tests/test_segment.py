@@ -149,3 +149,25 @@ def test_segment_save_load(tmp_path):
     _, ids2 = loaded.search_dense("", data[:2], k=3)
     np.testing.assert_array_equal(ids1, ids2)
     assert "k" in loaded.payload_index.indexed_fields()
+
+
+def test_segment_seal_with_turbo_quantization(tmp_path):
+    from qdrant_tpu.types import TurboQuantizationConfig
+
+    rng = np.random.default_rng(6)
+    params = make_params(dim=32, distance=Distance.COSINE, quant=TurboQuantizationConfig(bits="bits4"))
+    seg = Segment(params)
+    data = rng.normal(size=(300, 32)).astype(np.float32)
+    for i in range(300):
+        seg.upsert_point(i + 1, i, {"": data[i]})
+    seg.build_indexes()
+    assert "" in seg.quantized
+    seg.hnsw = {}  # force quantized path
+    _, ids = seg.search_dense("", data[:5], k=1)
+    assert (ids[:, 0] == np.arange(5)).mean() >= 0.8
+    # persistence roundtrip
+    seg.save(str(tmp_path / "s"))
+    loaded = Segment.load(str(tmp_path / "s"))
+    loaded.hnsw = {}
+    _, ids2 = loaded.search_dense("", data[:5], k=1)
+    np.testing.assert_array_equal(ids[:, 0], ids2[:, 0])
