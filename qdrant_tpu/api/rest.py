@@ -604,6 +604,19 @@ def h_create_snapshot(toc, m, body, q):
     return toc.create_snapshot(m["name"])
 
 
+def h_create_full_snapshot(toc, m, body, q):
+    return toc.create_full_snapshot()
+
+
+def h_list_full_snapshots(toc, m, body, q):
+    return toc.list_full_snapshots()
+
+
+class _FileResponse:
+    def __init__(self, path):
+        self.path = path
+
+
 def h_list_snapshots(toc, m, body, q):
     return toc.list_snapshots(m["name"])
 
@@ -841,6 +854,13 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
         re.compile(r"^/collections/(?P<name>[^/]+)/snapshots/recover$"),
         h_recover_snapshot,
     ),
+    ("POST", re.compile(r"^/snapshots$"), h_create_full_snapshot),
+    ("GET", re.compile(r"^/snapshots$"), h_list_full_snapshots),
+    (
+        "GET",
+        re.compile(r"^/collections/(?P<name>[^/]+)/snapshots/(?P<snap>[^/]+)$"),
+        lambda toc, m, body, q: _FileResponse(toc.snapshot_file(m["name"], m["snap"])),
+    ),
     ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/points/(?P<id>[^/]+)$"), h_get_point),
 ]
 
@@ -868,6 +888,7 @@ ACCESS_LEVELS = {
     h_batch_update: "write",
     h_create_snapshot: "write",
     h_delete_snapshot: "write",
+    h_create_full_snapshot: "manage",
     h_set_locks: "manage",
 }
 
@@ -928,7 +949,9 @@ class _Handler(BaseHTTPRequestHandler):
                 result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 200, elapsed)
-                if path == "/metrics":
+                if isinstance(result, _FileResponse):
+                    self._reply_file(200, result.path)
+                elif path == "/metrics":
                     self._reply_text(200, result)
                 else:
                     self._reply(
@@ -966,6 +989,21 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
+
+    def _reply_file(self, code: int, filepath) -> None:
+        import os as _os
+
+        size = _os.path.getsize(filepath)
+        self.send_response(code)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(size))
+        self.end_headers()
+        with open(filepath, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                self.wfile.write(chunk)
 
     def _reply_text(self, code: int, text: str) -> None:
         data = text.encode()

@@ -225,6 +225,46 @@ class TableOfContent:
             )
             return True
 
+    def create_full_snapshot(self) -> Dict[str, Any]:
+        """Full-storage snapshot: tar of every collection (reference:
+        /snapshots full-storage API)."""
+        import tarfile
+        import time as _time
+
+        self.flush_all()
+        target = os.path.join(self.snapshots_path, "_full")
+        os.makedirs(target, exist_ok=True)
+        stamp = _time.strftime("%Y-%m-%d-%H-%M-%S")
+        fname = f"full-snapshot-{stamp}.snapshot"
+        full = os.path.join(target, fname)
+        with tarfile.open(full, "w") as tar:
+            tar.add(self.collections_path, arcname="collections")
+            if os.path.exists(self._aliases_file()):
+                tar.add(self._aliases_file(), arcname="aliases.json")
+        return {"name": fname, "size": os.path.getsize(full), "creation_time": None}
+
+    def list_full_snapshots(self) -> List[Dict[str, Any]]:
+        target = os.path.join(self.snapshots_path, "_full")
+        out = []
+        if os.path.isdir(target):
+            for f in sorted(os.listdir(target)):
+                if f.endswith(".snapshot"):
+                    out.append(
+                        {
+                            "name": f,
+                            "size": os.path.getsize(os.path.join(target, f)),
+                            "creation_time": None,
+                        }
+                    )
+        return out
+
+    def snapshot_file(self, collection: Optional[str], snapshot: str) -> str:
+        sub = "_full" if collection is None else self.get_collection(collection).name
+        full = os.path.join(self.snapshots_path, sub, snapshot)
+        if not os.path.isfile(full):
+            raise NotFoundError(f"snapshot {snapshot} not found")
+        return full
+
     # -- lifecycle -----------------------------------------------------------
 
     def flush_all(self) -> None:

@@ -102,3 +102,25 @@ def test_wal_inspect_cli(tmp_path):
     assert [l["op_num"] for l in lines] == [1, 2]
     assert lines[1]["operation"]["type"] == "delete"
     assert "2 records" in out.stderr
+
+
+def test_full_snapshot_and_download(server):
+    call(server, "PUT", "/collections/fs", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(
+        server,
+        "PUT",
+        "/collections/fs/points",
+        {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]},
+    )
+    snap = call(server, "POST", "/snapshots")["result"]
+    assert snap["name"].startswith("full-snapshot-")
+    lst = call(server, "GET", "/snapshots")["result"]
+    assert any(s["name"] == snap["name"] for s in lst)
+
+    # per-collection snapshot + binary download
+    created = call(server, "POST", "/collections/fs/snapshots")["result"]
+    url = f"http://127.0.0.1:{server.port}/collections/fs/snapshots/{created['name']}"
+    with urllib.request.urlopen(url) as resp:
+        data = resp.read()
+    assert len(data) == created["size"]
+    assert data[:100]  # tar bytes
