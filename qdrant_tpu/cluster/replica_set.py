@@ -257,16 +257,71 @@ class ShardReplicaSet:
             f"no readable replica for shard {self.shard_id}: {last_err}"
         )
 
-    def search_dense(self, name, queries, k, flt=None, params=None):
-        return self.execute_read(
-            lambda r: r.search_dense(name, queries, k, flt, params)
+    def execute_read_consistent(
+        self,
+        fn: Callable[[ShardOperations], Any],
+        factor: int,
+        resolve: Callable[[List[Any]], Any],
+    ) -> Any:
+        """Read from up to `factor` replicas and resolve divergence
+        (reference: shards/resolve.rs + ReadConsistency factor)."""
+        results = []
+        errors = []
+        for peer_id, replica in self._read_order():
+            if len(results) >= factor:
+                break
+            try:
+                results.append(fn(replica))
+            except Exception as e:
+                errors.append(e)
+                self._handle_failure(peer_id)
+        if not results:
+            raise ReplicaError(
+                f"no readable replica for shard {self.shard_id}: {errors}"
+            )
+        if len(results) == 1:
+            return results[0]
+        return resolve(results)
+
+    @staticmethod
+    def resolve_search_results(
+        results: List[List[List[tuple]]],
+    ) -> List[List[tuple]]:
+        """Merge per-replica search outputs [(score, id, version)]: keep the
+        highest-version record per point, re-rank by score."""
+        n_queries = max(len(r) for r in results)
+        out = []
+        for qi in range(n_queries):
+            best = {}
+            for rep in results:
+                if qi >= len(rep):
+                    continue
+                for score, pid, ver in rep[qi]:
+                    prev = best.get(pid)
+                    if prev is None or ver > prev[1]:
+                        best[pid] = (score, ver)
+            items = [(s, pid, v) for pid, (s, v) in best.items()]
+            items.sort(key=lambda t: -t[0])
+            k = max((len(rep[qi]) for rep in results if qi < len(rep)), default=0)
+            out.append(items[:k])
+        return out
+
+    def search_dense(
+        self, name, queries, k, flt=None, params=None, consistency: int = 1
+    ):
+        return self.execute_read_consistent(
+            lambda r: r.search_dense(name, queries, k, flt, params),
+            max(consistency, 1),
+            self.resolve_search_results,
         )
 
     def search_sparse(self, name, queries, k, flt=None):
         return self.execute_read(lambda r: r.search_sparse(name, queries, k, flt))
 
-    def count(self, flt=None):
-        return self.execute_read(lambda r: r.count(flt))
+    def count(self, flt=None, consistency: int = 1):
+        return self.execute_read_consistent(
+            lambda r: r.count(flt), max(consistency, 1), max
+        )
 
     def scroll_ids(self, limit, offset_id=None, flt=None):
         return self.execute_read(lambda r: r.scroll_ids(limit, offset_id, flt))

@@ -446,6 +446,64 @@ class Collection:
         return items[:limit]
 
     # ------------------------------------------------------------------
+    # resharding (reference: shards/resharding.rs + dual hash ring)
+    # ------------------------------------------------------------------
+
+    def reshard(self, new_shard_number: int) -> int:
+        """Scale the collection to `new_shard_number` shards: create the new
+        ring, move every point whose route changes, then commit the ring.
+        → number of points moved. Single-node driver of the reference's
+        ReshardingDriver (dual-ring routing during the move)."""
+        if self.params.sharding_method == "custom":
+            raise CollectionError("resharding requires auto sharding")
+        if new_shard_number < 1:
+            raise CollectionError("shard_number must be >= 1")
+        old_ids = set(self.shards.keys())
+        new_ring = HashRing()
+        for sid in range(new_shard_number):
+            new_ring.add(sid)
+            if sid not in self.shards:
+                self._create_shard(sid)
+
+        moved = 0
+        for sid in list(old_ids):
+            shard = self.shards[sid]
+            batch: List[dict] = []
+            for ext in shard.scroll_ids(limit=10**9):
+                target = new_ring.get(ext)
+                if target == sid:
+                    continue
+                seg = shard._find_point(ext)
+                if seg is None:
+                    continue
+                batch.append(
+                    {
+                        "id": ext,
+                        "vectors": seg.get_vectors(ext) or {},
+                        "payload": seg.get_payload(ext),
+                        "_target": target,
+                    }
+                )
+            by_target: Dict[int, List[dict]] = {}
+            for p in batch:
+                by_target.setdefault(p.pop("_target"), []).append(p)
+            for target, pts in by_target.items():
+                self.shards[target].update({"type": "upsert", "points": pts})
+                shard.update({"type": "delete", "ids": [p["id"] for p in pts]})
+                moved += len(pts)
+
+        # drop now-empty shards beyond the new count (scale down)
+        for sid in sorted(old_ids):
+            if sid >= new_shard_number:
+                s = self.shards.pop(sid)
+                s.close()
+                shutil.rmtree(self._shard_path(sid), ignore_errors=True)
+        self.ring = new_ring
+        self.params.shard_number = new_shard_number
+        self.save_config()
+        return moved
+
+    # ------------------------------------------------------------------
     # info / persistence
     # ------------------------------------------------------------------
 

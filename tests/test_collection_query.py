@@ -276,3 +276,30 @@ def test_integer_vector_literal_not_treated_as_ids(coll):
     assert 1 in ids or 0 in ids or len(ids) == 3  # and nothing was excluded
     out_full = ex.query(QueryRequest({"query": v.tolist(), "limit": 40}))
     assert len(out_full) == 40  # no spurious exclusions
+
+
+def test_resharding_moves_points(tmp_path):
+    params = CollectionParams(
+        vectors={"": VectorParams(size=8, distance=Distance.COSINE)},
+        shard_number=2,
+    )
+    c = Collection("rs", str(tmp_path / "rs"), params)
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(60, 8)).astype(np.float32)
+    c.upsert(
+        [{"id": i, "vectors": {"": data[i].tolist()}, "payload": {"i": i}} for i in range(60)]
+    )
+    moved = c.reshard(4)
+    assert len(c.shards) == 4
+    assert c.count() == 60
+    assert moved > 0
+    # every point routes to the shard that now holds it
+    for i in range(60):
+        target = c.ring.get(i)
+        assert c.shards[target]._find_point(i) is not None
+    res = c.search_dense("", data[:3], k=1)
+    assert [r[0][1] for r in res] == [0, 1, 2]
+    # scale down
+    c.reshard(2)
+    assert len(c.shards) == 2 and c.count() == 60
+    c.close()

@@ -143,3 +143,25 @@ def test_replica_states():
     assert ReplicaState.PARTIAL.is_updatable and not ReplicaState.PARTIAL.is_readable
     assert not ReplicaState.DEAD.is_updatable
     assert ReplicaState.LISTENER.is_updatable
+
+
+def test_read_consistency_resolution(tmp_path):
+    s1 = make_shard(tmp_path, "a")
+    s2 = make_shard(tmp_path, "b")
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=(4, 8)).astype(np.float32)
+    # replica 2 has a NEWER version of point 0 (divergence)
+    for i in range(4):
+        s1.update(upsert_op(i, data[i].tolist()))
+        s2.update(upsert_op(i, data[i].tolist()))
+    newer = (data[0] * 0.9).tolist()
+    s2.update(upsert_op(0, newer))
+
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(s1))
+    rs.add_replica(2, LocalReplica(s2), ReplicaState.ACTIVE)
+
+    res = rs.search_dense("", data[:1], 4, consistency=2)
+    # resolution keeps the highest-version record for point 0
+    entry = next(t for t in res[0] if t[1] == 0)
+    assert entry[2] == 5  # the newer version from replica 2 (s1 has version 1)
+    assert rs.count(None, consistency=2) == 4
