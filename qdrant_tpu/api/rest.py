@@ -30,6 +30,7 @@ from ..types import PayloadIndexParams, StrictModeError, normalize_point_id, par
 from .issues import ISSUES
 from .metrics import METRICS
 from .toc import TableOfContent
+from ..utils.hw_counter import measure
 
 VERSION = "1.19.0-tpu"
 
@@ -711,10 +712,15 @@ def h_set_locks(toc, m, body, q):
 
 
 def h_telemetry(toc, m, body, q):
+    detail = int(q.get("details_level", 2))
     collections = []
-    for name in toc.list_collections():
-        coll = toc.get_collection(name)
-        collections.append({"id": name, **coll.info()})
+    if detail >= 1:
+        for name in toc.list_collections():
+            if detail >= 2:
+                coll = toc.get_collection(name)
+                collections.append({"id": name, **coll.info()})
+            else:
+                collections.append({"id": name})
     return {
         "id": "qdrant-tpu",
         "app": {"name": "qdrant-tpu", "version": VERSION},
@@ -946,7 +952,8 @@ class _Handler(BaseHTTPRequestHandler):
                             locks.get("error_message") or "Write operations are forbidden",
                             403,
                         )
-                result = handler(self.toc, groups, body, qparams)
+                with measure() as acc:
+                    result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 200, elapsed)
                 if isinstance(result, _FileResponse):
@@ -954,9 +961,10 @@ class _Handler(BaseHTTPRequestHandler):
                 elif path == "/metrics":
                     self._reply_text(200, result)
                 else:
-                    self._reply(
-                        200, {"result": result, "status": "ok", "time": elapsed}
-                    )
+                    envelope = {"result": result, "status": "ok", "time": elapsed}
+                    if acc.cpu or acc.payload_io_read:
+                        envelope["usage"] = {"hardware": acc.to_dict()}
+                    self._reply(200, envelope)
             except AuthError as e:
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 401, elapsed)

@@ -634,6 +634,9 @@ class QueryExecutor:
     ) -> List[Dict[str, Any]]:
         out = []
         dist = self._distance(req.using)
+        from ..utils import hw_counter
+
+        hw_counter.add(payload_reads=len(items))
         for score, pid in items:
             payload, vectors = self.collection.get_payload_and_vectors(pid)
             entry: Dict[str, Any] = {

@@ -46,6 +46,7 @@ from ..types import (
 from .id_tracker import IdTracker
 from .payload import PayloadStorage
 from .vectors import DenseVectorStore, MultiVectorStore
+from ..utils import hw_counter
 
 import jax.numpy as jnp
 
@@ -410,6 +411,11 @@ class Segment:
         fmask = self.filter_mask(flt)
         alive = self.alive_mask()
         combined = alive if fmask is None else (alive & fmask)
+        hw_counter.add(
+            vectors_scored=int(combined.sum()),
+            dims=store.dim,
+            filter_evals=1 if fmask is not None else 0,
+        )
 
         vp = self.params.vectors[name]
         hnsw = self.hnsw.get(name)

@@ -124,3 +124,30 @@ def test_full_snapshot_and_download(server):
         data = resp.read()
     assert len(data) == created["size"]
     assert data[:100]  # tar bytes
+
+
+def test_usage_reported_in_search(server):
+    call(server, "PUT", "/collections/hw", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(
+        server,
+        "PUT",
+        "/collections/hw/points",
+        {"points": [{"id": i, "vector": [float(i), 0, 0, 0]} for i in range(10)]},
+    )
+    out = call(
+        server,
+        "POST",
+        "/collections/hw/points/search",
+        {"vector": [1.0, 0, 0, 0], "limit": 3, "with_payload": True},
+    )
+    assert "usage" in out
+    hw = out["usage"]["hardware"]
+    assert hw["cpu"] >= 40  # 10 vectors × 4 dims
+    assert hw["payload_io_read"] >= 3
+
+
+def test_telemetry_detail_levels(server):
+    full = call(server, "GET", "/telemetry")["result"]
+    assert full["collections"]["collections"]
+    light = call(server, "GET", "/telemetry?details_level=0")["result"]
+    assert light["collections"]["collections"] == []
