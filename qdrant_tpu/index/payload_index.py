@@ -84,6 +84,15 @@ def tokenize(text: str, params: PayloadIndexParams) -> List[str]:
         tokens = _WORD_RE.findall(text)
     if params.lowercase:
         tokens = [t.lower() for t in tokens]
+    if params.stopwords:
+        from ..utils.text import STOPWORDS
+
+        stop = STOPWORDS.get(str(params.stopwords).lower(), frozenset())
+        tokens = [t for t in tokens if t not in stop]
+    if params.stemmer:
+        from ..utils.text import porter_stem
+
+        tokens = [porter_stem(t) for t in tokens]
     if params.min_token_len:
         tokens = [t for t in tokens if len(t) >= params.min_token_len]
     if params.max_token_len:
