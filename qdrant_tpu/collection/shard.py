@@ -141,6 +141,7 @@ class LocalShard:
     def _apply(self, op_num: int, op: Dict[str, Any]) -> None:
         t = op["type"]
         if t == "upsert":
+            deferred = bool(op.get("deferred", False))
             for point in op["points"]:
                 ext = normalize_point_id(point["id"])
                 vectors = _decode_vectors(point.get("vectors") or {})
@@ -155,10 +156,19 @@ class LocalShard:
                     merged = {**_decode_vectors(old_vectors), **vectors}
                     target.delete_point(op_num, ext)
                     appendable.upsert_point(
-                        op_num, ext, merged, payload if payload is not None else old_payload
+                        op_num,
+                        ext,
+                        merged,
+                        payload if payload is not None else old_payload,
+                        deferred=deferred,
                     )
                 else:
-                    appendable.upsert_point(op_num, ext, vectors, payload)
+                    appendable.upsert_point(op_num, ext, vectors, payload, deferred=deferred)
+        elif t == "confirm_deferred":
+            for ext in self._resolve_selector(op):
+                seg = self._find_point(ext)
+                if seg is not None:
+                    seg.confirm_deferred(op_num, ext)
         elif t == "delete":
             for ext in self._resolve_selector(op):
                 seg = self._find_point(ext)

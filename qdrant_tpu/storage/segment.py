@@ -90,6 +90,10 @@ class Segment:
         self.version = 0  # max applied op_num
         self.id_tracker = IdTracker()
         self.payload_storage = PayloadStorage()
+        # deferred write-visibility (reference: DeferredBehavior,
+        # lib/common/common/src/types.rs:102-116 + entry_point.rs:95-186):
+        # offsets here are written but invisible to reads until confirmed
+        self.deferred: set = set()
         self.dense: Dict[str, DenseVectorStore] = {}
         self.multi: Dict[str, MultiVectorStore] = {}
         self.sparse: Dict[str, SparseVectorStore] = {}
@@ -159,6 +163,7 @@ class Segment:
         external_id: PointId,
         vectors: Dict[str, Any],
         payload: Optional[Dict[str, Any]] = None,
+        deferred: bool = False,
     ) -> bool:
         if self._stale(external_id, op_num):
             return False
@@ -202,6 +207,10 @@ class Segment:
                 store.delete(len(store) - 1)
 
         self.id_tracker.link(external_id, new_offset, op_num)
+        if deferred:
+            self.deferred.add(new_offset)
+        else:
+            self.deferred.discard(new_offset)
         if payload is not None:
             self.payload_storage.overwrite(new_offset, payload)
             self.payload_index.update_point(new_offset, payload)
@@ -370,13 +379,31 @@ class Segment:
         return self.payload_index.filter_mask(flt, self.total_offsets)
 
     def alive_mask(self) -> np.ndarray:
-        """Mask of offsets currently linked to an external id."""
+        """Mask of offsets currently linked to an external id and visible
+        (deferred heads excluded until confirmed)."""
         n = self.total_offsets
         mask = np.zeros(n, dtype=bool)
         ids = self.id_tracker.internal_ids_array()
         if len(ids):
             mask[ids[ids < n]] = True
+        for off in self.deferred:
+            if off < n:
+                mask[off] = False
         return mask
+
+    def confirm_deferred(self, op_num: int, external_id: PointId) -> bool:
+        """Make a deferred point visible to reads."""
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None or internal not in self.deferred:
+            return False
+        self.deferred.discard(internal)
+        self.id_tracker.set_version(internal, op_num)
+        self.version = max(self.version, op_num)
+        return True
+
+    @property
+    def num_deferred_points(self) -> int:
+        return len(self.deferred)
 
     # ------------------------------------------------------------------
     # search
@@ -660,6 +687,7 @@ class Segment:
             "payload_indexes": {
                 k: v.to_dict() for k, v in self.payload_index.indexed_fields().items()
             },
+            "deferred": sorted(self.deferred),
             "hnsw": list(self.hnsw.keys()),
             "hnsw_blocks": {
                 name: [
@@ -697,6 +725,7 @@ class Segment:
         params = CollectionParams.from_dict(meta["params"])
         seg = cls(params, appendable=meta["appendable"])
         seg.version = meta["version"]
+        seg.deferred = set(meta.get("deferred", []))
         seg.id_tracker = IdTracker.load(path)
         seg.payload_storage = PayloadStorage.load(path)
         for name, vp in params.vectors.items():

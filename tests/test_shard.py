@@ -126,3 +126,29 @@ def test_shard_scroll(tmp_path):
     assert page1 == [0, 2, 4, 6, 8]
     page2 = shard.scroll_ids(limit=5, offset_id=10)
     assert page2 == [10, 12, 14, 16, 18]
+
+
+def test_deferred_points_visibility(tmp_path):
+    """Deferred upserts are invisible to reads until confirmed (reference:
+    tests/openapi/test_deferred_points.py semantics)."""
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(6, 16)).astype(np.float32)
+    shard = LocalShard(str(tmp_path / "s"), make_params())
+    shard.update(upsert_op([0, 1, 2], data[:3]))
+    op = upsert_op([3, 4, 5], data[3:])
+    op["deferred"] = True
+    shard.update(op)
+
+    # deferred points exist in the tracker but are invisible to search/count
+    seg = shard._find_point(3)
+    assert seg is not None
+    assert seg.num_deferred_points == 3
+    res = shard.search_dense("", data[3:4], k=6)
+    visible = {pid for r in res for _, pid, _ in r}
+    assert visible == {0, 1, 2}
+
+    # confirm → visible
+    shard.update({"type": "confirm_deferred", "ids": [3, 4, 5]})
+    assert seg.num_deferred_points == 0
+    res = shard.search_dense("", data[3:4], k=1)
+    assert res[0][0][1] == 3
