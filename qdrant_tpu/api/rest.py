@@ -684,6 +684,67 @@ def h_delete_shard_key(toc, m, body, q):
     return True
 
 
+def _local_replica(toc, name: str, shard_id: int):
+    """Per-shard LocalReplica cache (clock maps live with the shard)."""
+    coll = toc.get_collection(name)
+    shard = coll.shards.get(shard_id)
+    if shard is None:
+        raise ApiError(f"shard {shard_id} not found", 404)
+    cache = getattr(coll, "_local_replicas", None)
+    if cache is None:
+        cache = {}
+        coll._local_replicas = cache
+    if shard_id not in cache:
+        from ..cluster.replica_set import LocalReplica
+
+        cache[shard_id] = LocalReplica(shard)
+    return cache[shard_id]
+
+
+def h_internal_update(toc, m, body, q):
+    """Internal shard-plane update (reference: PointsInternal gRPC)."""
+    body = body or {}
+    replica = _local_replica(toc, m["name"], int(m["sid"]))
+    return replica.update_with_clock(body.get("operation") or {}, body.get("clock_tag"))
+
+
+def h_internal_search(toc, m, body, q):
+    body = body or {}
+    replica = _local_replica(toc, m["name"], int(m["sid"]))
+    flt = parse_filter(body.get("filter"))
+    if body.get("sparse_queries") is not None:
+        from ..types import SparseVector
+
+        queries = [SparseVector.from_dict(d) for d in body["sparse_queries"]]
+        return replica.search_sparse(body.get("using") or "", queries, int(body.get("k", 10)), flt)
+    queries = np.asarray(body.get("queries") or [], dtype=np.float32)
+    return replica.search_dense(
+        body.get("using") or "",
+        queries,
+        int(body.get("k", 10)),
+        flt,
+        SearchParams.from_dict(body.get("params")),
+    )
+
+
+def h_internal_count(toc, m, body, q):
+    body = body or {}
+    replica = _local_replica(toc, m["name"], int(m["sid"]))
+    return {"count": replica.count(parse_filter(body.get("filter")))}
+
+
+def h_internal_scroll(toc, m, body, q):
+    body = body or {}
+    replica = _local_replica(toc, m["name"], int(m["sid"]))
+    offset = body.get("offset")
+    if offset is not None:
+        offset = normalize_point_id(offset)
+    ids = replica.scroll_ids(
+        int(body.get("limit", 10)), offset, parse_filter(body.get("filter"))
+    )
+    return {"ids": ids}
+
+
 def h_healthz(toc, m, body, q):
     return "healthz check passed"
 
@@ -756,6 +817,26 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
     ("GET", re.compile(r"^/locks$"), h_get_locks),
     ("POST", re.compile(r"^/locks$"), h_set_locks),
+    (
+        "POST",
+        re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/update$"),
+        h_internal_update,
+    ),
+    (
+        "POST",
+        re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/search$"),
+        h_internal_search,
+    ),
+    (
+        "POST",
+        re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/count$"),
+        h_internal_count,
+    ),
+    (
+        "POST",
+        re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/scroll$"),
+        h_internal_scroll,
+    ),
     ("GET", re.compile(r"^/aliases$"), h_all_aliases),
     ("POST", re.compile(r"^/collections/aliases$"), h_update_aliases),
     ("GET", re.compile(r"^/collections$"), h_list_collections),
@@ -896,6 +977,7 @@ ACCESS_LEVELS = {
     h_delete_snapshot: "write",
     h_create_full_snapshot: "manage",
     h_set_locks: "manage",
+    h_internal_update: "write",
 }
 
 

@@ -1,0 +1,205 @@
+"""RemoteReplica: shard operations against another peer over HTTP.
+
+Reference: lib/collection/src/shards/remote_shard.rs (RemoteShard implements
+the same ShardOperation trait as LocalShard — location transparency) and the
+PointsInternal gRPC service. Here the internal plane rides the REST server's
+/internal/... routes (see api/rest.py); the wire payloads are the engine's
+op dicts + JSON filters, so any peer can replicate any other.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..types import SparseVector
+from .replica_set import ShardOperations
+
+
+class RemoteError(ConnectionError):
+    pass
+
+
+class RemoteReplica(ShardOperations):
+    def __init__(
+        self,
+        base_url: str,
+        collection: str,
+        shard_id: int,
+        timeout: float = 30.0,
+        api_key: Optional[str] = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.collection = collection
+        self.shard_id = shard_id
+        self.timeout = timeout
+        self.api_key = api_key
+
+    def _call(self, path: str, body: dict) -> Any:
+        url = (
+            f"{self.base_url}/internal/collections/{self.collection}"
+            f"/shards/{self.shard_id}/{path}"
+        )
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(), method="POST"
+        )
+        req.add_header("Content-Type", "application/json")
+        if self.api_key:
+            req.add_header("api-key", self.api_key)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = json.loads(resp.read())
+        except (urllib.error.URLError, OSError) as e:
+            raise RemoteError(f"peer {self.base_url} unreachable: {e}") from e
+        if out.get("status") != "ok":
+            raise RemoteError(f"peer error: {out.get('status')}")
+        return out.get("result")
+
+    # -- ShardOperations ------------------------------------------------
+
+    def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
+        return self._call("update", {"operation": op, "clock_tag": clock_tag})
+
+    def search_dense(self, name, queries, k, flt=None, params=None):
+        from ..collection.query import QueryRequest  # for params dict shape
+
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        body = {
+            "using": name,
+            "queries": q.tolist(),
+            "k": k,
+            "filter": _filter_to_dict(flt),
+        }
+        result = self._call("search", body)
+        return [
+            [(s, _decode_id(pid), v) for s, pid, v in per_query]
+            for per_query in result
+        ]
+
+    def search_sparse(self, name, queries, k, flt=None):
+        body = {
+            "using": name,
+            "sparse_queries": [q.to_dict() for q in queries],
+            "k": k,
+            "filter": _filter_to_dict(flt),
+        }
+        result = self._call("search", body)
+        return [
+            [(s, _decode_id(pid), v) for s, pid, v in per_query]
+            for per_query in result
+        ]
+
+    def count(self, flt):
+        return self._call("count", {"filter": _filter_to_dict(flt)})["count"]
+
+    def scroll_ids(self, limit, offset_id=None, flt=None):
+        result = self._call(
+            "scroll",
+            {"limit": limit, "offset": offset_id, "filter": _filter_to_dict(flt)},
+        )
+        return [_decode_id(p) for p in result["ids"]]
+
+
+def _decode_id(pid):
+    return pid if isinstance(pid, int) else str(pid)
+
+
+def _filter_to_dict(flt) -> Optional[dict]:
+    """Serialize a Filter tree back to the REST dict form for the wire."""
+    if flt is None:
+        return None
+    from ..types import (
+        FieldCondition,
+        Filter,
+        HasIdCondition,
+        HasVectorCondition,
+        IsEmptyCondition,
+        IsNullCondition,
+        MatchAny,
+        MatchExcept,
+        MatchPhrase,
+        MatchText,
+        MatchValue,
+        NestedCondition,
+    )
+    import dataclasses
+
+    def cond(c):
+        if isinstance(c, Filter):
+            return flt_dict(c)
+        if isinstance(c, HasIdCondition):
+            return {"has_id": list(c.has_id)}
+        if isinstance(c, HasVectorCondition):
+            return {"has_vector": c.has_vector}
+        if isinstance(c, IsEmptyCondition):
+            return {"is_empty": {"key": c.is_empty_key}}
+        if isinstance(c, IsNullCondition):
+            return {"is_null": {"key": c.is_null_key}}
+        if isinstance(c, NestedCondition):
+            return {"nested": {"key": c.key, "filter": flt_dict(c.filter)}}
+        if isinstance(c, FieldCondition):
+            out: Dict[str, Any] = {"key": c.key}
+            m = c.match
+            if isinstance(m, MatchValue):
+                out["match"] = {"value": m.value}
+            elif isinstance(m, MatchAny):
+                out["match"] = {"any": m.any}
+            elif isinstance(m, MatchExcept):
+                out["match"] = {"except": m.except_}
+            elif isinstance(m, MatchText):
+                out["match"] = {"text": m.text}
+            elif isinstance(m, MatchPhrase):
+                out["match"] = {"phrase": m.phrase}
+            for attr in ("range", "values_count"):
+                v = getattr(c, attr)
+                if v is not None:
+                    out[attr] = {
+                        k: x for k, x in dataclasses.asdict(v).items() if x is not None
+                    }
+            if c.datetime_range is not None:
+                out["datetime_range"] = {
+                    k: x
+                    for k, x in dataclasses.asdict(c.datetime_range).items()
+                    if x is not None
+                }
+            if c.geo_bounding_box is not None:
+                bb = c.geo_bounding_box
+                out["geo_bounding_box"] = {
+                    "top_left": {"lon": bb.top_left[0], "lat": bb.top_left[1]},
+                    "bottom_right": {
+                        "lon": bb.bottom_right[0],
+                        "lat": bb.bottom_right[1],
+                    },
+                }
+            if c.geo_radius is not None:
+                gr = c.geo_radius
+                out["geo_radius"] = {
+                    "center": {"lon": gr.center[0], "lat": gr.center[1]},
+                    "radius": gr.radius,
+                }
+            if c.is_empty is not None:
+                out["is_empty"] = c.is_empty
+            if c.is_null is not None:
+                out["is_null"] = c.is_null
+            return out
+        raise ValueError(f"cannot serialize condition {c!r}")
+
+    def flt_dict(f: Filter) -> dict:
+        out: Dict[str, Any] = {}
+        if f.must:
+            out["must"] = [cond(c) for c in f.must]
+        if f.should:
+            out["should"] = [cond(c) for c in f.should]
+        if f.must_not:
+            out["must_not"] = [cond(c) for c in f.must_not]
+        if f.min_should:
+            out["min_should"] = {
+                "conditions": [cond(c) for c in f.min_should[0]],
+                "min_count": f.min_should[1],
+            }
+        return out
+
+    return flt_dict(flt)
