@@ -230,17 +230,82 @@ class HnswIndex:
         seed_ids = order[:n_seed]
         self._build_seed_graph(seed_ids, vectors, dist)
 
-        # ---- batched insertion (fixed shapes → compile once) ------------
+        # ---- batched insertion ------------------------------------------
+        # geometric batch ramp: a batch is never more than RAMP_FRACTION of
+        # the already-inserted graph, so early points link against a graph
+        # that already contains most of their neighborhood (the GPU builder's
+        # grouping scheme, gpu_graph_builder.rs:51-60). Power-of-two sizes
+        # keep the compile-cache bounded.
         inserted = n_seed
-        warm = 256
+        cur_batch = 256
         while inserted < n_alive:
-            cur_batch = warm if inserted < n_seed + 4 * warm else batch_size
+            while cur_batch < batch_size and cur_batch * 2 <= inserted:
+                cur_batch *= 2
             bsz = min(cur_batch, n_alive - inserted)
             batch = order[inserted : inserted + bsz]
             self._insert_batch(batch, vectors, efc, dist, pad_to=cur_batch)
             inserted += bsz
             if progress_fn:
                 progress_fn(inserted, n_alive)
+
+        self._heal_low_indegree(order)
+
+    def _heal_low_indegree(
+        self, order: np.ndarray, min_indegree: int = 8, force_links: int = 6
+    ) -> None:
+        """Post-build connectivity repair (reference: graph_layers_healer.rs).
+
+        Batch insertion starves some points of incoming edges: a newcomer's
+        reverse link must beat an established full row in the pruning
+        heuristic, and at scale many never win one — leaving near-zero
+        in-degree nodes the beam search cannot reach. Fix: every point with
+        in-degree < min_indegree is force-written into the link rows of its
+        own nearest forward neighbors, replacing the tail (pruned-fill)
+        slots. Tail slots rotate per healing write so concurrent heals into
+        one hub don't clobber each other.
+        """
+        n = len(self.levels)
+        m0 = self.config.m0
+        links = self.links0
+        valid = links >= 0
+        indeg = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indeg, np.clip(links[valid], 0, n), 1)
+
+        member = order[: int((self.levels[order] >= 0).sum())] if len(order) else order
+        weak = [
+            int(p)
+            for p in member
+            if indeg[p] < min_indegree and self.rank[p] >= 0
+        ]
+        if not weak:
+            return
+        pairs_t: list = []
+        pairs_p: list = []
+        for p in weak:
+            row = self.rank[p]
+            fwd = links[row]
+            fwd = fwd[fwd >= 0][:force_links]
+            for t in fwd:
+                pairs_t.append(int(t))
+                pairs_p.append(p)
+        if not pairs_t:
+            return
+        t_arr = np.asarray(pairs_t, dtype=np.int64)
+        p_arr = np.asarray(pairs_p, dtype=np.int32)
+        sort_idx = np.argsort(t_arr, kind="stable")
+        t_s, p_s = t_arr[sort_idx], p_arr[sort_idx]
+        uniq, starts, counts = np.unique(t_s, return_index=True, return_counts=True)
+        within = np.arange(len(t_s)) - np.repeat(starts, counts)
+        window = max(m0 // 4, force_links)
+        slots = m0 - 1 - (within % window)
+        rows_t = self.rank[t_s]
+        self.links0[rows_t, slots] = p_s
+        self.counts0[rows_t] = (self.links0[rows_t] >= 0).sum(axis=1).astype(np.int32)
+        if self._links0_dev is not None:
+            upd_rows = self.rank[uniq]
+            self._links0_dev = hnsw_ops.scatter_link_rows(
+                self._links0_dev, upd_rows.astype(np.int32), self.links0[upd_rows]
+            )
 
     def _build_seed_graph(self, seed_ids: np.ndarray, vectors, dist: str) -> None:
         """All-pairs heuristic linking of the seed set on device."""

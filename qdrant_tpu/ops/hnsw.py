@@ -122,7 +122,7 @@ def greedy_descend_stack(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef", "max_iters", "distance")
+    jax.jit, static_argnames=("ef", "max_iters", "distance", "expand")
 )
 def beam_search_level(
     queries: jax.Array,  # [B, D] f32
@@ -134,22 +134,25 @@ def beam_search_level(
     max_iters: int,
     distance: str,
     compact_of: Optional[jax.Array] = None,  # [N] int32 global→row in `links`
+    expand: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search on one level → (scores [B, ef], ids [B, ef]).
 
-    Mirrors `search_on_level` (graph_layers.rs:108-148): repeatedly expand the
-    best unexpanded beam entry, score its neighbors (skipping those failing
-    the filter — FilteredScorer.check_vector semantics, point_scorer.rs:79),
-    and merge into the beam. Entry points are scored even if filtered out so
-    traversal can start anywhere; the host drops non-matching entries from
-    the final result.
+    Mirrors `search_on_level` (graph_layers.rs:108-148) with a TPU twist:
+    each iteration expands the `expand` best unexpanded beam entries at once
+    (same total neighbor gathers, ~expand× fewer loop iterations — the
+    per-iteration gather-dispatch overhead dominates on TPU). Filtered-out
+    nodes are skipped entirely (FilteredScorer.check_vector semantics,
+    point_scorer.rs:79); entry points are scored even if filtered out so
+    traversal can start anywhere — the host drops non-matching entries.
     """
     b = queries.shape[0]
     m = links.shape[1]
+    e_x = expand
+    iters = max(max_iters // e_x, 8)
 
     entry_scores = score_ids_batch(queries, vectors, entry_ids, distance)  # [B, E]
 
-    # initial beam: entries padded to ef
     e = entry_ids.shape[1]
     pad = max(ef - e, 0)
     beam_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
@@ -160,7 +163,7 @@ def beam_search_level(
     beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
     beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
     beam_exp = beam_ids < 0  # invalid slots count as expanded
-    visited = jnp.full((b, max_iters), -1, dtype=jnp.int32)
+    visited = jnp.full((b, iters * e_x), -1, dtype=jnp.int32)
 
     if filter_mask is None:
         filter_mask = jnp.ones(vectors.shape[0], dtype=bool)
@@ -168,50 +171,50 @@ def beam_search_level(
     def cond(state):
         beam_ids, beam_scores, beam_exp, visited, it = state
         has_cand = jnp.any(jnp.logical_and(~beam_exp, beam_ids >= 0))
-        return jnp.logical_and(has_cand, it < max_iters)
+        return jnp.logical_and(has_cand, it < iters)
 
     def body(state):
         beam_ids, beam_scores, beam_exp, visited, it = state
         cand_ok = jnp.logical_and(~beam_exp, beam_ids >= 0)  # [B, ef]
-        active = jnp.any(cand_ok, axis=1)  # [B]
         pick_scores = jnp.where(cand_ok, beam_scores, NEG_INF)
-        pick = jnp.argmax(pick_scores, axis=1)  # [B]
-        pick_id = jnp.take_along_axis(beam_ids, pick[:, None], axis=1)[:, 0]
-        pick_id = jnp.where(active, pick_id, -1)
+        top_pick, pick_idx = jax.lax.top_k(pick_scores, e_x)  # [B, e_x]
+        pick_ids = jnp.take_along_axis(beam_ids, pick_idx, axis=1)
+        pick_ids = jnp.where(jnp.isfinite(top_pick), pick_ids, -1)
 
-        # mark expanded + record visit
-        beam_exp = jnp.where(
-            jnp.logical_and(
-                active[:, None],
-                jax.nn.one_hot(pick, beam_exp.shape[1], dtype=bool),
-            ),
-            True,
-            beam_exp,
-        )
-        visited = visited.at[:, it].set(pick_id)
+        # mark all picked slots expanded + record visits
+        hit = jnp.zeros_like(beam_exp)
+        hit = hit.at[
+            jnp.arange(b)[:, None], pick_idx
+        ].set(jnp.isfinite(top_pick))
+        beam_exp = jnp.logical_or(beam_exp, hit)
+        visited = jax.lax.dynamic_update_slice(visited, pick_ids, (0, it * e_x))
 
-        # expand neighbors (via the level's compact row map when present)
+        # expand neighbors of all picked nodes (via the level's compact map)
         if compact_of is not None:
-            row = jnp.take(compact_of, jnp.maximum(pick_id, 0))
-            row = jnp.where(pick_id >= 0, row, -1)
+            row = jnp.take(compact_of, jnp.maximum(pick_ids, 0))
+            row = jnp.where(pick_ids >= 0, row, -1)
         else:
-            row = pick_id
-        neigh = jnp.take(links, jnp.maximum(row, 0), axis=0)  # [B, M]
-        neigh = jnp.where(row[:, None] >= 0, neigh, -1)
+            row = pick_ids
+        neigh = jnp.take(links, jnp.maximum(row, 0), axis=0)  # [B, e_x, M]
+        neigh = jnp.where(row[:, :, None] >= 0, neigh, -1).reshape(b, e_x * m)
 
         # drop neighbors failing the filter (not scored, not traversed)
         n_ok = jnp.take(filter_mask, jnp.maximum(neigh, 0))
         neigh = jnp.where(jnp.logical_and(neigh >= 0, n_ok), neigh, -1)
 
-        # dedup against beam and visited set
+        # dedup against beam, visited set, and within the expansion itself
         dup_beam = jnp.any(neigh[:, :, None] == beam_ids[:, None, :], axis=2)
         dup_vis = jnp.any(neigh[:, :, None] == visited[:, None, :], axis=2)
-        neigh = jnp.where(jnp.logical_or(dup_beam, dup_vis), -1, neigh)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, e_x * m), 1)
+        first_pos = jnp.where(
+            neigh[:, :, None] == neigh[:, None, :], pos[:, None, :], e_x * m
+        ).min(axis=2)
+        dup_self = first_pos < pos
+        neigh = jnp.where(dup_beam | dup_vis | dup_self, -1, neigh)
 
-        n_scores = score_ids_batch(queries, vectors, neigh, distance)  # [B, M]
+        n_scores = score_ids_batch(queries, vectors, neigh, distance)  # [B, e_x*M]
 
-        # merge into beam
-        all_ids = jnp.concatenate([beam_ids, neigh], axis=1)  # [B, ef+M]
+        all_ids = jnp.concatenate([beam_ids, neigh], axis=1)
         all_scores = jnp.concatenate([beam_scores, n_scores], axis=1)
         all_exp = jnp.concatenate(
             [beam_exp, jnp.zeros_like(neigh, dtype=bool)], axis=1
@@ -266,12 +269,18 @@ def heuristic_select(
     init = (jnp.zeros((b, c), dtype=bool), jnp.zeros((b,), dtype=jnp.int32))
     (sel_mask, _), _ = jax.lax.scan(step, init, jnp.arange(c))
 
-    # compact selected ids to the front, preserving candidate order
-    key = jnp.where(sel_mask, c - jax.lax.broadcasted_iota(jnp.int32, (b, c), 1), -1)
+    # order: heuristic picks first (by candidate order), then the best pruned
+    # candidates to fill remaining slots (hnswlib keep_pruned_connections —
+    # without the fill, high-dim rows stay half-empty and recall suffers)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    valid = cand_ids >= 0
+    key = jnp.where(
+        sel_mask, 2 * c - pos, jnp.where(valid, c - pos, -1)
+    )
     _, idx = jax.lax.top_k(key, m)
     out = jnp.take_along_axis(cand_ids, idx, axis=1)
-    picked = jnp.take_along_axis(sel_mask, idx, axis=1)
-    return jnp.where(picked, out, -1)
+    taken = jnp.take_along_axis(key, idx, axis=1) >= 0
+    return jnp.where(taken, out, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
