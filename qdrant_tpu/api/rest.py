@@ -112,7 +112,26 @@ def h_collection_exists(toc, m, body, q):
     return {"exists": toc.has_collection(m["name"])}
 
 
+def _meta_submit(toc, op):
+    """Route a metadata op through consensus when clustered (reference:
+    Dispatcher.with_consensus), direct otherwise."""
+    node = getattr(toc, "cluster_node", None)
+    if node is None:
+        return None
+    from ..cluster.raft import NotLeader
+
+    try:
+        node.dispatcher.submit(op)
+        return True
+    except NotLeader as e:
+        raise ApiError(f"not the consensus leader; leader is peer {e.leader_id}", 503)
+
+
 def h_create_collection(toc, m, body, q):
+    if _meta_submit(
+        toc, {"type": "create_collection", "name": m["name"], "spec": body or {}}
+    ):
+        return True
     return toc.create_collection(m["name"], body or {})
 
 
@@ -121,6 +140,8 @@ def h_update_collection(toc, m, body, q):
 
 
 def h_delete_collection(toc, m, body, q):
+    if _meta_submit(toc, {"type": "delete_collection", "name": m["name"]}):
+        return True
     return toc.delete_collection(m["name"])
 
 
@@ -635,7 +656,18 @@ def h_recover_snapshot(toc, m, body, q):
     return toc.recover_snapshot(m["name"], location)
 
 
+def h_raft_message(toc, m, body, q):
+    node = getattr(toc, "cluster_node", None)
+    if node is None:
+        raise ApiError("cluster mode disabled", 404)
+    node.receive(body or {})
+    return True
+
+
 def h_cluster(toc, m, body, q):
+    node = getattr(toc, "cluster_node", None)
+    if node is not None:
+        return node.cluster_info()
     return {
         "status": "disabled",
         "peer_id": 0,
@@ -813,6 +845,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/telemetry$"), h_telemetry),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
+    ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
     ("GET", re.compile(r"^/issues$"), h_get_issues),
     ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
     ("GET", re.compile(r"^/locks$"), h_get_locks),
