@@ -759,6 +759,31 @@ def h_internal_search(toc, m, body, q):
     )
 
 
+def h_internal_snapshot(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    shard = coll.shards.get(int(m["sid"]))
+    if shard is None:
+        raise ApiError(f"shard {m['sid']} not found", 404)
+    import base64
+
+    return {"snapshot_b64": base64.b64encode(shard.create_snapshot_bytes()).decode()}
+
+
+def h_internal_snapshot_recover(toc, m, body, q):
+    coll = toc.get_collection(m["name"])
+    shard = coll.shards.get(int(m["sid"]))
+    if shard is None:
+        raise ApiError(f"shard {m['sid']} not found", 404)
+    if not isinstance(body, (bytes, bytearray)):
+        raise ApiError("expected binary snapshot body")
+    shard.restore_snapshot_bytes(bytes(body))
+    # drop any cached replica wrapper (clock map resets with the snapshot)
+    cache = getattr(coll, "_local_replicas", None)
+    if cache is not None:
+        cache.pop(int(m["sid"]), None)
+    return True
+
+
 def h_internal_count(toc, m, body, q):
     body = body or {}
     replica = _local_replica(toc, m["name"], int(m["sid"]))
@@ -864,6 +889,20 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
         "POST",
         re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/count$"),
         h_internal_count,
+    ),
+    (
+        "POST",
+        re.compile(
+            r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshot$"
+        ),
+        h_internal_snapshot,
+    ),
+    (
+        "POST",
+        re.compile(
+            r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshot/recover$"
+        ),
+        h_internal_snapshot_recover,
     ),
     (
         "POST",
@@ -1011,6 +1050,7 @@ ACCESS_LEVELS = {
     h_create_full_snapshot: "manage",
     h_set_locks: "manage",
     h_internal_update: "write",
+    h_internal_snapshot_recover: "write",
 }
 
 
@@ -1031,7 +1071,10 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length") or 0)
         if length:
             raw = self.rfile.read(length)
-            if raw:
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            if raw and ctype == "application/octet-stream":
+                body = raw  # binary payload (snapshot upload)
+            elif raw:
                 try:
                     body = json.loads(raw)
                 except json.JSONDecodeError as e:

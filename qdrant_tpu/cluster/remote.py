@@ -102,6 +102,23 @@ class RemoteReplica(ShardOperations):
         )
         return [_decode_id(p) for p in result["ids"]]
 
+    def recover_from_snapshot(self, data: bytes) -> None:
+        url = (
+            f"{self.base_url}/internal/collections/{self.collection}"
+            f"/shards/{self.shard_id}/snapshot/recover"
+        )
+        req = urllib.request.Request(url, data=data, method="POST")
+        req.add_header("Content-Type", "application/octet-stream")
+        if self.api_key:
+            req.add_header("api-key", self.api_key)
+        try:
+            with urllib.request.urlopen(req, timeout=max(self.timeout, 120)) as resp:
+                out = json.loads(resp.read())
+        except (urllib.error.URLError, OSError) as e:
+            raise RemoteError(f"peer {self.base_url} unreachable: {e}") from e
+        if out.get("status") != "ok":
+            raise RemoteError(f"peer error: {out.get('status')}")
+
 
 def _decode_id(pid):
     return pid if isinstance(pid, int) else str(pid)

@@ -79,6 +79,9 @@ class ShardOperations:
     def scroll_ids(self, limit, offset_id=None, flt=None):
         raise NotImplementedError
 
+    def recover_from_snapshot(self, data: bytes) -> None:
+        raise NotImplementedError
+
 
 class LocalReplica(ShardOperations):
     """In-process replica wrapping a LocalShard + its ClockMap."""
@@ -104,6 +107,9 @@ class LocalReplica(ShardOperations):
 
     def scroll_ids(self, limit, offset_id=None, flt=None):
         return self.shard.scroll_ids(limit, offset_id, flt)
+
+    def recover_from_snapshot(self, data: bytes) -> None:
+        self.shard.restore_snapshot_bytes(data)
 
 
 class ShardReplicaSet:

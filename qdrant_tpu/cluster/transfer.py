@@ -91,6 +91,64 @@ def stream_records(source_shard, target: ShardOperations, batch_size: int = 100)
     return transferred
 
 
+class QueueProxyReplica(ShardOperations):
+    """Applies updates locally while queueing them for later replay to the
+    transfer target (reference: QueueProxyShard — used by the snapshot
+    transfer method so writes during the copy are not lost)."""
+
+    def __init__(self, inner: ShardOperations):
+        self.inner = inner
+        self.queue = []
+
+    def update_with_clock(self, op: dict, clock_tag):
+        res = self.inner.update_with_clock(op, clock_tag)
+        self.queue.append((op, clock_tag))
+        return res
+
+    def search_dense(self, *a, **k):
+        return self.inner.search_dense(*a, **k)
+
+    def search_sparse(self, *a, **k):
+        return self.inner.search_sparse(*a, **k)
+
+    def count(self, flt):
+        return self.inner.count(flt)
+
+    def scroll_ids(self, *a, **k):
+        return self.inner.scroll_ids(*a, **k)
+
+
+def transfer_shard_snapshot(
+    replica_set: ShardReplicaSet,
+    target_peer: int,
+    target: ShardOperations,
+) -> int:
+    """Snapshot transfer (reference: ShardTransferMethod::Snapshot):
+    1. wrap the local replica in a QueueProxy (live writes queue),
+    2. tar the local shard and recover it on the target,
+    3. replay the queued writes, 4. promote the target ACTIVE.
+    → number of points in the snapshot."""
+    local_peer = replica_set.this_peer_id
+    local = replica_set.replicas.get(local_peer)
+    if not isinstance(local, LocalReplica):
+        raise TransferError("snapshot transfer source must hold a local replica")
+
+    proxy = QueueProxyReplica(local)
+    replica_set.replicas[local_peer] = proxy
+    try:
+        data = local.shard.create_snapshot_bytes()
+        target.recover_from_snapshot(data)
+        n = local.shard.point_count()
+        # replay writes captured during the copy (idempotent by op version)
+        for op, tag in proxy.queue:
+            target.update_with_clock(op, tag)
+    finally:
+        replica_set.replicas[local_peer] = local
+    replica_set.add_replica(target_peer, target, ReplicaState.PARTIAL)
+    replica_set.set_replica_state(target_peer, ReplicaState.ACTIVE)
+    return n
+
+
 def transfer_shard_stream_records(
     replica_set: ShardReplicaSet,
     target_peer: int,

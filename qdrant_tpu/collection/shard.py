@@ -444,6 +444,40 @@ class LocalShard:
         self.flush()
         self.wal.close()
 
+    # ------------------------------------------------------------------
+    # shard snapshots (reference: ShardSnapshots service + snapshot transfer)
+    # ------------------------------------------------------------------
+
+    def create_snapshot_bytes(self) -> bytes:
+        """Flush and tar the shard directory → snapshot bytes."""
+        import io
+        import tarfile
+
+        self.flush()
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            tar.add(self._segments_root(), arcname="segments")
+        return buf.getvalue()
+
+    def restore_snapshot_bytes(self, data: bytes) -> None:
+        """Replace this shard's contents with a snapshot (in place)."""
+        import io
+        import tarfile
+
+        root = self._segments_root()
+        shutil.rmtree(root, ignore_errors=True)
+        with tarfile.open(fileobj=io.BytesIO(data), mode="r") as tar:
+            tar.extractall(self.path, filter="data")
+        # reset state and reload from the restored segments
+        self.segments = []
+        self._segment_dirs = {}
+        self._seg_counter = 0
+        self._load_segments()
+        if not any(s.appendable for s in self.segments):
+            self._add_segment(Segment(self.params, appendable=True))
+        # snapshot supersedes local WAL history
+        self.wal.ack(self.wal.next_op_num - 1)
+
 
 def _decode_vectors(vectors: Dict[str, Any]) -> Dict[str, Any]:
     """WAL/REST vector payloads → engine types."""

@@ -105,3 +105,22 @@ def test_remote_failure_detection(two_peers):
     rs.update({"type": "upsert", "points": [{"id": 1, "vectors": {"": [0.0] * 8}}]})
     assert 9 in rs.locally_disabled  # unreachable peer deactivated
     assert toc1.get_collection("repl").count() == 1
+
+
+def test_snapshot_transfer_over_http(two_peers):
+    from qdrant_tpu.cluster.transfer import transfer_shard_snapshot
+
+    (toc1, _), (toc2, srv2) = two_peers
+    shard1 = toc1.get_collection("repl").shards[0]
+    rng = np.random.default_rng(3)
+    for i in range(9):
+        shard1.update(
+            {"type": "upsert", "points": [{"id": i, "vectors": {"": rng.normal(size=8).tolist()}}]}
+        )
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(shard1))
+    remote = RemoteReplica(f"http://127.0.0.1:{srv2.port}", "repl", 0)
+    n = transfer_shard_snapshot(rs, 2, remote)
+    assert n == 9
+    assert toc2.get_collection("repl").count() == 9
+    rs.update({"type": "upsert", "points": [{"id": 99, "vectors": {"": [0.2] * 8}}]})
+    assert toc2.get_collection("repl").count() == 10

@@ -66,3 +66,23 @@ def test_full_transfer_with_concurrent_write(tmp_path):
     rs.update(upsert_op(99, [0.5] * 8))
     assert src.point_count() == 11
     assert dst.point_count() == 11
+
+
+def test_snapshot_transfer_with_queued_writes(tmp_path):
+    from qdrant_tpu.cluster.transfer import transfer_shard_snapshot
+
+    src = make_shard(tmp_path, "snap_src")
+    dst = make_shard(tmp_path, "snap_dst")
+    rng = np.random.default_rng(5)
+    for i in range(12):
+        src.update(upsert_op(i, rng.normal(size=8).tolist(), {"n": i}))
+
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(src))
+    n = transfer_shard_snapshot(rs, 2, LocalReplica(dst))
+    assert n == 12
+    assert dst.point_count() == 12
+    assert dst._find_point(7).get_payload(7) == {"n": 7}
+    assert rs.states[2] is ReplicaState.ACTIVE
+    # replicated write after transfer reaches both
+    rs.update(upsert_op(50, [0.5] * 8))
+    assert dst.point_count() == 13
