@@ -84,17 +84,18 @@ class ShardOperations:
 
 
 class LocalReplica(ShardOperations):
-    """In-process replica wrapping a LocalShard + its ClockMap."""
+    """In-process replica wrapping a LocalShard (clock map lives with the
+    shard and persists across restarts)."""
 
     def __init__(self, shard):
         self.shard = shard
-        self.clock_map = ClockMap()
+
+    @property
+    def clock_map(self):
+        return self.shard.clock_map
 
     def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
-        tag = ClockTag.from_dict(clock_tag)
-        if not self.clock_map.advance(tag):
-            return {"status": "stale", "operation_id": 0}
-        return self.shard.update(op)
+        return self.shard.update(op, clock_tag=clock_tag)
 
     def search_dense(self, name, queries, k, flt=None, params=None):
         return self.shard.search_dense(name, queries, k, flt, params)

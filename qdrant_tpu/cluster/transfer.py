@@ -149,6 +149,30 @@ def transfer_shard_snapshot(
     return n
 
 
+def transfer_wal_delta(
+    replica_set: ShardReplicaSet,
+    target_peer: int,
+    target: ShardOperations,
+    target_recovery: dict,
+) -> int:
+    """WAL-delta transfer (reference: ShardTransferMethod::WalDelta +
+    wal_delta.rs): replay only the WAL records whose causal clocks are newer
+    than the target's recovery point — the cheap catch-up path for a replica
+    that was briefly down. → number of replayed operations."""
+    local_peer = replica_set.this_peer_id
+    local = replica_set.replicas.get(local_peer)
+    if not isinstance(local, LocalReplica):
+        raise TransferError("wal-delta source must hold a local replica")
+    replica_set.add_replica(target_peer, target, ReplicaState.PARTIAL)
+    replayed = 0
+    for op, tag in local.shard.wal_ops_since(target_recovery):
+        clean = {k: v for k, v in op.items() if k != "clock_tag"}
+        target.update_with_clock(clean, tag)
+        replayed += 1
+    replica_set.set_replica_state(target_peer, ReplicaState.ACTIVE)
+    return replayed
+
+
 def transfer_shard_stream_records(
     replica_set: ShardReplicaSet,
     target_peer: int,

@@ -25,6 +25,7 @@ from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from ..cluster.clock import ClockMap, ClockTag
 from ..storage.segment import SearchParams, Segment
 from ..storage.wal import open_wal
 from ..types import (
@@ -56,6 +57,9 @@ class LocalShard:
         self.optimizers = optimizers or OptimizersConfig()
         os.makedirs(path, exist_ok=True)
         self.wal = open_wal(os.path.join(path, "wal"))
+        # causal clock tracking for replicated writes (reference:
+        # local_shard/clock_map.rs); persisted with the shard
+        self.clock_map = self._load_clock_map()
         self.segments: List[Segment] = []
         self._segment_dirs: Dict[int, str] = {}  # id(segment) → dir name
         self._seg_counter = 0
@@ -109,12 +113,57 @@ class LocalShard:
     # update pipeline
     # ------------------------------------------------------------------
 
-    def update(self, op: Dict[str, Any], wait: bool = True) -> Dict[str, Any]:
+    def update(
+        self,
+        op: Dict[str, Any],
+        wait: bool = True,
+        clock_tag: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        if clock_tag is not None:
+            tag = ClockTag.from_dict(clock_tag)
+            if not self.clock_map.advance(tag):
+                return {"operation_id": 0, "status": "stale"}
+            op = {**op, "clock_tag": clock_tag}
         op_num = self.wal.append(op)
         self._apply(op_num, op)
         if wait:
             self.maybe_optimize()
         return {"operation_id": op_num, "status": "completed" if wait else "acknowledged"}
+
+    def _load_clock_map(self) -> ClockMap:
+        import json as _json
+
+        file = os.path.join(self.path, "clock_map.json")
+        if os.path.exists(file):
+            try:
+                with open(file) as f:
+                    return ClockMap.from_dict(_json.load(f))
+            except (OSError, ValueError):
+                pass
+        return ClockMap()
+
+    def _save_clock_map(self) -> None:
+        import json as _json
+
+        with open(os.path.join(self.path, "clock_map.json"), "w") as f:
+            _json.dump(self.clock_map.to_dict(), f)
+
+    def recovery_point(self) -> Dict[str, int]:
+        """Serializable clock cut for WAL-delta transfers (reference:
+        RecoveryPoint in clock_map.rs)."""
+        return self.clock_map.to_dict()
+
+    def wal_ops_since(self, recovery: Dict[str, int]):
+        """Yield (op, clock_tag) for WAL records with clocks NEWER than the
+        target's recovery point — the WAL-delta payload
+        (reference: collection/src/wal_delta.rs)."""
+        for _, op in self.wal.read_from(1):
+            tag = op.get("clock_tag") if isinstance(op, dict) else None
+            if not tag:
+                continue
+            key = f"{tag['peer_id']}:{tag['clock_id']}"
+            if int(tag["clock_tick"]) > int(recovery.get(key, 0)):
+                yield op, tag
 
     def _find_point(self, external_id: PointId) -> Optional[Segment]:
         for seg in self.segments:
@@ -139,6 +188,11 @@ class LocalShard:
         return out
 
     def _apply(self, op_num: int, op: Dict[str, Any]) -> None:
+        replay_tag = op.get("clock_tag")
+        if replay_tag:
+            self.clock_map.advance(
+                ClockTag.from_dict({**replay_tag, "force": True})
+            )
         t = op["type"]
         if t == "upsert":
             deferred = bool(op.get("deferred", False))
@@ -439,6 +493,7 @@ class LocalShard:
             seg.save(os.path.join(root, name))
         persisted = min((s.version for s in self.segments), default=0)
         self.wal.ack(persisted)
+        self._save_clock_map()
 
     def close(self) -> None:
         self.flush()

@@ -86,3 +86,37 @@ def test_snapshot_transfer_with_queued_writes(tmp_path):
     # replicated write after transfer reaches both
     rs.update(upsert_op(50, [0.5] * 8))
     assert dst.point_count() == 13
+
+
+def test_wal_delta_transfer_catches_up_stale_replica(tmp_path):
+    """A replica that missed some clock-tagged writes catches up from the
+    source's WAL tail only (no full copy)."""
+    from qdrant_tpu.cluster.transfer import transfer_wal_delta
+
+    src = make_shard(tmp_path, "wd_src")
+    dst = make_shard(tmp_path, "wd_dst")
+    rng = np.random.default_rng(8)
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(src))
+    rs.add_replica(2, LocalReplica(dst), ReplicaState.ACTIVE)
+
+    # both replicas receive the first writes
+    for i in range(5):
+        rs.update(upsert_op(i, rng.normal(size=8).tolist()))
+    assert dst.point_count() == 5
+
+    # peer 2 goes down; writes continue on peer 1 only
+    rs.set_replica_state(2, ReplicaState.DEAD)
+    recovery = dst.recovery_point()
+    for i in range(5, 12):
+        rs.update(upsert_op(i, rng.normal(size=8).tolist()))
+    assert src.point_count() == 12 and dst.point_count() == 5
+
+    # catch up via wal delta: only the 7 missed ops replay
+    replayed = transfer_wal_delta(rs, 2, LocalReplica(dst), recovery)
+    assert replayed == 7
+    assert dst.point_count() == 12
+    assert rs.states[2] is ReplicaState.ACTIVE
+
+    # replaying again is a no-op (clock map rejects stale ticks)
+    replayed2 = transfer_wal_delta(rs, 2, LocalReplica(dst), recovery)
+    assert dst.point_count() == 12
