@@ -21,6 +21,7 @@ class ConsensusManager:
     def __init__(self, toc: TableOfContent):
         self.toc = toc
         self.applied_ops: List[dict] = []
+        self.on_collection_created = None  # hook: ClusterNode replication
 
     def apply(self, op: dict) -> None:
         t = op.get("type")
@@ -28,6 +29,8 @@ class ConsensusManager:
             if t == "create_collection":
                 if not self.toc.has_collection(op["name"]):
                     self.toc.create_collection(op["name"], op.get("spec") or {})
+                    if self.on_collection_created is not None:
+                        self.on_collection_created(op["name"])
             elif t == "update_collection":
                 self.toc.update_collection(op["name"], op.get("spec") or {})
             elif t == "delete_collection":

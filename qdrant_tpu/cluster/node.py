@@ -83,6 +83,9 @@ class ClusterNode:
         self._thread: Optional[threading.Thread] = None
         # the REST server discovers the node through the toc
         toc.cluster_node = self
+        for name in toc.list_collections():
+            self.attach_replication(name)
+        self.manager.on_collection_created = self.attach_replication
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -99,6 +102,37 @@ class ClusterNode:
 
     def receive(self, message: dict) -> None:
         self.raft.receive(message)
+
+    def attach_replication(self, collection_name: str) -> None:
+        """Wire each shard into a ShardReplicaSet spanning all peers
+        (full replication placement: every peer holds every shard —
+        placement by consensus-assigned subsets arrives with resharding
+        integration). Writes then fan out with clock tags; reads stay local."""
+        from .remote import RemoteReplica
+        from .replica_set import LocalReplica, ReplicaState, ShardReplicaSet
+
+        try:
+            coll = self.toc.get_collection(collection_name)
+        except Exception:
+            return
+        if coll.params.replication_factor < 2:
+            return
+        for sid, shard in coll.shards.items():
+            rs = ShardReplicaSet(
+                sid,
+                this_peer_id=self.peer_id,
+                local=LocalReplica(shard),
+                write_consistency_factor=coll.params.write_consistency_factor,
+            )
+            for peer_id, url in self.transport.peer_urls.items():
+                if peer_id == self.peer_id:
+                    continue
+                rs.add_replica(
+                    peer_id,
+                    RemoteReplica(url, collection_name, sid),
+                    ReplicaState.ACTIVE,
+                )
+            coll.replica_sets[sid] = rs
 
     def cluster_info(self) -> dict:
         return {

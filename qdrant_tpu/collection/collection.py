@@ -75,6 +75,9 @@ class Collection:
                 vp.hnsw_config = self.hnsw_config
 
         self.shards: Dict[int, LocalShard] = {}
+        # cluster mode: shard_id → ShardReplicaSet routing writes to peers
+        # (attached by cluster.node.ClusterNode when replication is on)
+        self.replica_sets: Dict[int, Any] = {}
         self.ring = HashRing()
         # custom sharding: shard_key → shard ids
         self.shard_keys: Dict[Any, List[int]] = {}
@@ -251,9 +254,12 @@ class Collection:
             by_shard.setdefault(sid, []).append(p)
         result = {}
         for sid, pts in by_shard.items():
-            result = self.shards[sid].update(
-                {"type": "upsert", "points": pts}, wait=wait
-            )
+            op = {"type": "upsert", "points": pts}
+            rs = self.replica_sets.get(sid)
+            if rs is not None:
+                result = rs.update(op)
+            else:
+                result = self.shards[sid].update(op, wait=wait)
         return result
 
     def update_op(
@@ -271,10 +277,19 @@ class Collection:
             for sid, ids in by_shard.items():
                 sub = dict(op)
                 sub["ids"] = ids
-                result = self.shards[sid].update(sub, wait=wait)
+                rs = self.replica_sets.get(sid)
+                result = (
+                    rs.update(sub) if rs is not None else self.shards[sid].update(sub, wait=wait)
+                )
         else:
-            for shard in self._shards_for_read(shard_key):
-                result = shard.update(op, wait=wait)
+            targets = self._shards_for_read(shard_key)
+            for sid, shard in self.shards.items():
+                if shard not in targets:
+                    continue
+                rs = self.replica_sets.get(sid)
+                result = (
+                    rs.update(dict(op)) if rs is not None else shard.update(op, wait=wait)
+                )
         return result
 
     def create_payload_index(
@@ -583,6 +598,7 @@ class Collection:
         )
         coll.created_at = cfg.get("created_at", time.time())
         coll.shards = {}
+        coll.replica_sets = {}
         coll.ring = HashRing()
         coll.shard_keys = {}
         for _, key, ids in cfg.get("shard_keys", []):

@@ -103,3 +103,55 @@ def test_consensus_over_http(cluster):
             break
         time.sleep(0.05)
     assert not any(t.has_collection("shared") for t in tocs)
+
+
+def test_replicated_collection_end_to_end(cluster):
+    """Consensus-created replicated collection: an upsert through one peer's
+    public REST API lands on every peer; reads are served locally anywhere."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(
+        leader_port,
+        "PUT",
+        "/collections/repl2",
+        {"vectors": {"size": 4, "distance": "Euclid"}, "replication_factor": 3},
+    )
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if all(t.has_collection("repl2") for t in tocs):
+            break
+        time.sleep(0.05)
+    # replication attached on every peer
+    for t in tocs:
+        assert t.get_collection("repl2").replica_sets, "replica sets not attached"
+
+    # write through the leader's public API
+    call(
+        leader_port,
+        "PUT",
+        "/collections/repl2/points",
+        {
+            "points": [
+                {"id": i, "vector": [float(i), 0, 0, 0], "payload": {"i": i}}
+                for i in range(6)
+            ]
+        },
+    )
+    for t in tocs:
+        assert t.get_collection("repl2").count() == 6
+
+    # read from a follower's public API — served from its local replica
+    follower = next(n for n in nodes if n is not leader)
+    f_port = servers[follower.peer_id - 1].port
+    out = call(
+        f_port,
+        "POST",
+        "/collections/repl2/points/search",
+        {"vector": [3.0, 0, 0, 0], "limit": 1, "with_payload": True},
+    )["result"]
+    assert out[0]["id"] == 3
+
+    # delete through a follower's API fans out too
+    call(f_port, "POST", "/collections/repl2/points/delete", {"points": [0]})
+    for t in tocs:
+        assert t.get_collection("repl2").count() == 5
