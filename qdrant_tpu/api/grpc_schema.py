@@ -541,6 +541,110 @@ def _build_pool():
         [("result", 1, "msg:CountResult", "optional"), ("time", 2, "double", "optional")],
     )
 
+    # ---- universal query API (points.proto Query family subset) ----
+    b.enum("Fusion", [("RRF", 0), ("DBSF", 1)])
+    b.enum("Sample", [("Random", 0)])
+    b.enum(
+        "RecommendStrategy",
+        [("AverageVector", 0), ("BestScore", 1), ("SumScores", 2)],
+    )
+    b.message(
+        "VectorInput",
+        [
+            ("id", 1, "msg:PointId", "optional"),
+            ("dense", 2, "msg:DenseVector", "optional"),
+            ("sparse", 3, "msg:SparseVector", "optional"),
+            ("multi_dense", 4, "msg:MultiDenseVector", "optional"),
+        ],
+        oneofs={"variant": ["id", "dense", "sparse", "multi_dense"]},
+    )
+    b.message(
+        "RecommendInput",
+        [
+            ("positive", 1, "msg:VectorInput", "repeated"),
+            ("negative", 2, "msg:VectorInput", "repeated"),
+            ("strategy", 3, "enum:RecommendStrategy", "proto3opt"),
+        ],
+    )
+    b.message(
+        "ContextInputPair",
+        [
+            ("positive", 1, "msg:VectorInput", "optional"),
+            ("negative", 2, "msg:VectorInput", "optional"),
+        ],
+    )
+    b.message("ContextInput", [("pairs", 1, "msg:ContextInputPair", "repeated")])
+    b.message(
+        "DiscoverInput",
+        [
+            ("target", 1, "msg:VectorInput", "optional"),
+            ("context", 2, "msg:ContextInput", "optional"),
+        ],
+    )
+    b.message(
+        "OrderBy",
+        [
+            ("key", 1, "string", "optional"),
+            ("direction", 2, "enum:Direction", "proto3opt"),
+        ],
+    )
+    b.enum("Direction", [("Asc", 0), ("Desc", 1)])
+    b.message(
+        "Query",
+        [
+            ("nearest", 1, "msg:VectorInput", "optional"),
+            ("recommend", 2, "msg:RecommendInput", "optional"),
+            ("discover", 3, "msg:DiscoverInput", "optional"),
+            ("context", 4, "msg:ContextInput", "optional"),
+            ("order_by", 5, "msg:OrderBy", "optional"),
+            ("fusion", 6, "enum:Fusion", "optional"),
+            ("sample", 7, "enum:Sample", "optional"),
+        ],
+        oneofs={
+            "variant": [
+                "nearest",
+                "recommend",
+                "discover",
+                "context",
+                "order_by",
+                "fusion",
+                "sample",
+            ]
+        },
+    )
+    b.message(
+        "PrefetchQuery",
+        [
+            ("prefetch", 1, "msg:PrefetchQuery", "repeated"),
+            ("query", 2, "msg:Query", "proto3opt"),
+            ("using", 3, "string", "proto3opt"),
+            ("filter", 4, "msg:Filter", "proto3opt"),
+            ("params", 5, "msg:SearchParams", "proto3opt"),
+            ("score_threshold", 6, "float", "proto3opt"),
+            ("limit", 7, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "QueryPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("prefetch", 2, "msg:PrefetchQuery", "repeated"),
+            ("query", 3, "msg:Query", "proto3opt"),
+            ("using", 4, "string", "proto3opt"),
+            ("filter", 5, "msg:Filter", "proto3opt"),
+            ("params", 6, "msg:SearchParams", "proto3opt"),
+            ("score_threshold", 7, "float", "proto3opt"),
+            ("limit", 8, "uint64", "proto3opt"),
+            ("offset", 9, "uint64", "proto3opt"),
+            ("with_vectors", 10, "msg:WithVectorsSelector", "proto3opt"),
+            ("with_payload", 11, "msg:WithPayloadSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "QueryResponse",
+        [("result", 1, "msg:ScoredPoint", "repeated"), ("time", 2, "double", "optional")],
+    )
+
     # ---- collections (collections.proto subset) ----
     b.message("GetCollectionInfoRequest", [("collection_name", 1, "string", "optional")])
     b.message("CollectionExistsRequest", [("collection_name", 1, "string", "optional")])
@@ -637,6 +741,9 @@ _MESSAGE_NAMES = [
     "GetResponse", "CountResult", "CountResponse", "GetCollectionInfoRequest",
     "CollectionExistsRequest", "CollectionExists", "CollectionExistsResponse",
     "ListCollectionsRequest", "CollectionDescription", "ListCollectionsResponse",
+    "VectorInput", "RecommendInput", "ContextInputPair", "ContextInput",
+    "DiscoverInput", "OrderBy", "Query", "PrefetchQuery", "QueryPoints",
+    "QueryResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",
     "CollectionOperationResponse", "HealthCheckRequest", "HealthCheckReply",

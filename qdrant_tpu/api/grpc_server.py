@@ -525,6 +525,124 @@ class _Services:
         op = {"type": "clear_payload", **self._selector_to_op(request.points)}
         return self._op_response(coll.update_op(op))
 
+    def _vector_input_to_py(self, vi):
+        kind = vi.WhichOneof("variant")
+        if kind == "id":
+            return point_id_to_py(vi.id)
+        if kind == "dense":
+            return list(vi.dense.data)
+        if kind == "sparse":
+            return {"indices": list(vi.sparse.indices), "values": list(vi.sparse.values)}
+        if kind == "multi_dense":
+            return [list(d.data) for d in vi.multi_dense.vectors]
+        return None
+
+    def _query_to_dict(self, q):
+        kind = q.WhichOneof("variant")
+        if kind == "nearest":
+            return {"nearest": self._vector_input_to_py(q.nearest)}
+        if kind == "recommend":
+            strat = {0: "average_vector", 1: "best_score", 2: "best_score"}
+            return {
+                "recommend": {
+                    "positive": [self._vector_input_to_py(v) for v in q.recommend.positive],
+                    "negative": [self._vector_input_to_py(v) for v in q.recommend.negative],
+                    "strategy": strat.get(
+                        q.recommend.strategy if q.recommend.HasField("strategy") else 0,
+                        "average_vector",
+                    ),
+                }
+            }
+        if kind == "discover":
+            return {
+                "discover": {
+                    "target": self._vector_input_to_py(q.discover.target),
+                    "context": [
+                        {
+                            "positive": self._vector_input_to_py(p.positive),
+                            "negative": self._vector_input_to_py(p.negative),
+                        }
+                        for p in q.discover.context.pairs
+                    ],
+                }
+            }
+        if kind == "context":
+            return {
+                "context": [
+                    {
+                        "positive": self._vector_input_to_py(p.positive),
+                        "negative": self._vector_input_to_py(p.negative),
+                    }
+                    for p in q.context.pairs
+                ]
+            }
+        if kind == "order_by":
+            return {
+                "order_by": {
+                    "key": q.order_by.key,
+                    "direction": "desc"
+                    if q.order_by.HasField("direction") and q.order_by.direction == 1
+                    else "asc",
+                }
+            }
+        if kind == "fusion":
+            return {"fusion": "dbsf" if q.fusion == 1 else "rrf"}
+        if kind == "sample":
+            return {"sample": "random"}
+        return None
+
+    def _prefetch_to_dict(self, pf) -> Dict[str, Any]:
+        d: Dict[str, Any] = {}
+        if pf.prefetch:
+            d["prefetch"] = [self._prefetch_to_dict(p) for p in pf.prefetch]
+        if pf.HasField("query"):
+            d["query"] = self._query_to_dict(pf.query)
+        if pf.HasField("using"):
+            d["using"] = pf.using
+        if pf.HasField("filter"):
+            d["filter"] = filter_to_dict(pf.filter)
+        if pf.HasField("limit"):
+            d["limit"] = pf.limit
+        if pf.HasField("score_threshold"):
+            d["score_threshold"] = pf.score_threshold
+        return d
+
+    def PointsQuery(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        ex = QueryExecutor(coll, self.toc)
+        d: Dict[str, Any] = {
+            "using": request.using if request.HasField("using") else "",
+            "filter": filter_to_dict(request.filter)
+            if request.HasField("filter")
+            else None,
+            "limit": request.limit if request.HasField("limit") else 10,
+            "offset": request.offset if request.HasField("offset") else 0,
+            "with_payload": with_payload_to_py(request.with_payload)
+            if request.HasField("with_payload")
+            else False,
+            "with_vector": with_vectors_to_py(request.with_vectors)
+            if request.HasField("with_vectors")
+            else False,
+            "score_threshold": request.score_threshold
+            if request.HasField("score_threshold")
+            else None,
+        }
+        if request.prefetch:
+            d["prefetch"] = [self._prefetch_to_dict(p) for p in request.prefetch]
+        if request.HasField("query"):
+            d["query"] = self._query_to_dict(request.query)
+        hits = ex.query(QueryRequest(d))
+        resp = M["QueryResponse"](time=0.0)
+        for h in hits:
+            sp = resp.result.add(
+                id=py_to_point_id(h["id"]),
+                score=float(h["score"]),
+                version=h.get("version", 0),
+            )
+            for k, v in (h.get("payload") or {}).items():
+                sp.payload[k].CopyFrom(py_to_value(v))
+        return resp
+
     def PointsCount(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         from ..types import parse_filter
@@ -576,6 +694,7 @@ def make_server(
             "Search": (svc.PointsSearch, M["SearchPoints"]),
             "Count": (svc.PointsCount, M["CountPoints"]),
             "Scroll": (svc.PointsScroll, M["ScrollPoints"]),
+            "Query": (svc.PointsQuery, M["QueryPoints"]),
             "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
             "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),
             "ClearPayload": (svc.PointsClearPayload, M["ClearPayloadPoints"]),

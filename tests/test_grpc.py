@@ -165,3 +165,48 @@ def test_scroll_and_payload_ops(grpc_env):
     unary(grpc_env, "/qdrant.Points/ClearPayload", cp, M["PointsOperationResponse"])
     sr = unary(grpc_env, "/qdrant.Points/Scroll", scroll, M["ScrollResponse"])
     assert "mark" not in sr.result[2].payload
+
+
+def test_query_api_over_grpc(grpc_env):
+    create = M["CreateCollection"](collection_name="g4")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 2
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g4")
+    for i in range(8):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend([float(i), 0, 0, 0])
+        p.payload["rank"].integer_value = i
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    # nearest
+    q = M["QueryPoints"](collection_name="g4", limit=3)
+    q.query.nearest.dense.data.extend([2.2, 0, 0, 0])
+    q.with_payload.enable = True
+    resp = unary(grpc_env, "/qdrant.Points/Query", q, M["QueryResponse"])
+    assert resp.result[0].id.num == 2
+    assert resp.result[0].payload["rank"].integer_value == 2
+
+    # recommend by point ids
+    q = M["QueryPoints"](collection_name="g4", limit=3)
+    pos = q.query.recommend.positive.add()
+    pos.id.num = 5
+    resp = unary(grpc_env, "/qdrant.Points/Query", q, M["QueryResponse"])
+    assert all(p.id.num != 5 for p in resp.result)
+
+    # order_by desc
+    q = M["QueryPoints"](collection_name="g4", limit=2)
+    q.query.order_by.key = "rank"
+    q.query.order_by.direction = 1
+    resp = unary(grpc_env, "/qdrant.Points/Query", q, M["QueryResponse"])
+    assert [p.id.num for p in resp.result] == [7, 6]
+
+    # prefetch + rrf fusion
+    q = M["QueryPoints"](collection_name="g4", limit=3)
+    pf = q.prefetch.add()
+    pf.query.nearest.dense.data.extend([1.0, 0, 0, 0])
+    pf.limit = 5
+    q.query.fusion = 0  # RRF
+    resp = unary(grpc_env, "/qdrant.Points/Query", q, M["QueryResponse"])
+    assert len(resp.result) == 3
