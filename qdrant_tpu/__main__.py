@@ -45,7 +45,10 @@ def main(argv=None) -> int:
     from .api.toc import TableOfContent
 
     storage_path = settings.get_path("storage.storage_path", "./storage")
-    toc = TableOfContent(storage_path)
+    toc = TableOfContent(
+        storage_path,
+        flush_interval_sec=settings.get_path("storage.optimizers.flush_interval_sec", 5),
+    )
     host = settings.get_path("service.host", "127.0.0.1")
     port = int(settings.get_path("service.http_port", 6333))
     server = RestServer(

@@ -27,7 +27,7 @@ from ..types import (
 
 
 class TableOfContent:
-    def __init__(self, storage_path: str):
+    def __init__(self, storage_path: str, flush_interval_sec: Optional[float] = None):
         self.storage_path = storage_path
         self.collections_path = os.path.join(storage_path, "collections")
         self.snapshots_path = os.path.join(storage_path, "snapshots")
@@ -37,6 +37,21 @@ class TableOfContent:
         self.aliases: Dict[str, str] = {}  # alias → collection name
         self._lock = threading.RLock()
         self._load()
+        # periodic flush (reference: storage.optimizers.flush_interval_sec)
+        self._flush_stop = threading.Event()
+        self._flush_thread = None
+        if flush_interval_sec:
+            self._flush_thread = threading.Thread(
+                target=self._flush_loop, args=(flush_interval_sec,), daemon=True
+            )
+            self._flush_thread.start()
+
+    def _flush_loop(self, interval: float) -> None:
+        while not self._flush_stop.wait(interval):
+            try:
+                self.flush_all()
+            except Exception:
+                pass  # a failed background flush must not kill the server
 
     # -- persistence of toc state -------------------------------------------
 
@@ -273,6 +288,9 @@ class TableOfContent:
                 coll.flush()
 
     def close(self) -> None:
+        self._flush_stop.set()
+        if self._flush_thread is not None:
+            self._flush_thread.join(timeout=2)
         with self._lock:
             for coll in self.collections.values():
                 coll.close()
