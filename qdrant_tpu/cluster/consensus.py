@@ -9,7 +9,7 @@ when a cluster is configured, or straight to the ToC otherwise.
 from __future__ import annotations
 
 import threading
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 from ..api.toc import TableOfContent
 from .raft import NotLeader, RaftNode

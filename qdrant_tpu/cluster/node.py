@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import threading
 import urllib.request
-from typing import Callable, Dict, List, Optional
+from typing import Dict, Optional
 
 from ..api.toc import TableOfContent
 from .consensus import ConsensusManager, Dispatcher

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import urllib.request
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -18,8 +18,8 @@ import enum
 import threading
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-from ..types import Filter, PointId
-from .clock import ClockMap, ClockSet, ClockTag
+from ..types import PointId
+from .clock import ClockSet, ClockTag
 
 
 class ReplicaState(str, enum.Enum):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import struct
 import zlib
-from typing import Any, Iterator, List, Optional, Tuple
+from typing import Any, Iterator, List, Tuple
 
 import msgpack
 

@@ -18,7 +18,7 @@ import enum
 import math
 import uuid as _uuid
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 PointId = Union[int, str]
 

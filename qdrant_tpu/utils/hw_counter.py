@@ -13,7 +13,7 @@ except for `add()` calls in the hot paths.
 from __future__ import annotations
 
 import contextvars
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 _current: contextvars.ContextVar[Optional["HwAcc"]] = contextvars.ContextVar(
     "hw_acc", default=None
