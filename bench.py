@@ -115,9 +115,16 @@ def main():
 
     if os.environ.get("BENCH_HNSW") == "1":
         from qdrant_tpu.index.hnsw import HnswIndex
+        from qdrant_tpu.storage.vectors import DenseVectorStore as _DS
         from qdrant_tpu.types import HnswConfig
 
-        hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+        # graph path measured on a 100k subset (build cost scales linearly)
+        n_sub = min(N, 100_000)
+        sub_store = _DS(D, Distance.EUCLID)
+        sub_store.add(data[:n_sub])
+        sub_store.device_block()
+        truth_sub, _ = host_exact_topk(data[:n_sub], queries[:N_TRUTH], K)
+        hidx = HnswIndex(sub_store, HnswConfig(m=16, ef_construct=128), seed=7)
         t0 = time.perf_counter()
         hidx.build(batch_size=2048)
         build_s = time.perf_counter() - t0
@@ -127,7 +134,7 @@ def main():
             t0 = time.perf_counter()
             _, hids = hidx.search(queries[:N_BATCH], k=K, ef=ef)
             h_elapsed = time.perf_counter() - t0
-            h_recall = recall(hids[:N_TRUTH], truth)
+            h_recall = recall(hids[:N_TRUTH], truth_sub)
             log(
                 f"hnsw ef={ef}: recall@10={h_recall:.4f} "
                 f"qps={N_BATCH / h_elapsed:.1f}"
