@@ -117,9 +117,14 @@ class QueryExecutor:
         return self.collection
 
     def _resolve_vector(self, ref: Any, using: str, req: QueryRequest) -> Any:
-        """A query element: literal vector (dense/sparse/multi) or point id."""
+        """A query element: literal vector (dense/sparse/multi), a Document
+        ({"text": ...} → server-side BM25 embedding), or a point id."""
         if isinstance(ref, dict) and "indices" in ref:
             return SparseVector.from_dict(ref)
+        if isinstance(ref, dict) and "text" in ref:
+            from ..utils.bm25 import Bm25
+
+            return Bm25(**(ref.get("options") or {})).embed_query(ref["text"])
         if isinstance(ref, SparseVector):
             return ref
         if isinstance(ref, list):
@@ -297,7 +302,7 @@ class QueryExecutor:
                 if mmr is not None:
                     return self._mmr(nearest, mmr, req, limit)
                 return self._nearest(nearest, req, limit)
-            if "indices" in q:
+            if "indices" in q or "text" in q:
                 return self._nearest(q, req, limit)
             raise QueryError(f"unknown query {list(q.keys())}")
         # plain vector / id / multivector

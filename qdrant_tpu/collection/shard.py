@@ -535,11 +535,17 @@ class LocalShard:
 
 
 def _decode_vectors(vectors: Dict[str, Any]) -> Dict[str, Any]:
-    """WAL/REST vector payloads → engine types."""
+    """WAL/REST vector payloads → engine types. Document objects
+    ({"text": ..., "model": "bm25"}) embed server-side (reference:
+    src/common/inference/bm25_inference.rs)."""
     out: Dict[str, Any] = {}
     for name, v in vectors.items():
         if isinstance(v, dict) and "indices" in v:
             out[name] = SparseVector.from_dict(v)
+        elif isinstance(v, dict) and "text" in v:
+            from ..utils.bm25 import Bm25
+
+            out[name] = Bm25(**(v.get("options") or {})).embed_document(v["text"])
         elif isinstance(v, SparseVector):
             out[name] = v
         else:

@@ -52,7 +52,7 @@ class SparseVectorStore:
         offsets = []
         for vec in vectors:
             sv = vec.sorted()
-            self._indices.append(np.asarray(sv.indices, dtype=np.int32))
+            self._indices.append(np.asarray(sv.indices, dtype=np.int64))
             self._values.append(np.asarray(sv.values, dtype=np.float32))
             offsets.append(self._count)
             self._count += 1
@@ -62,7 +62,7 @@ class SparseVectorStore:
         sv = vector.sorted()
         if self._indices[offset] is None:
             self._deleted_count -= 1
-        self._indices[offset] = np.asarray(sv.indices, dtype=np.int32)
+        self._indices[offset] = np.asarray(sv.indices, dtype=np.int64)
         self._values[offset] = np.asarray(sv.values, dtype=np.float32)
 
     def delete(self, offset: int) -> bool:
@@ -150,33 +150,32 @@ class SparseIndex:
         self._dirty = True
 
     def _build_csr(self):
-        """Compact postings (dim → [offsets, weights] weight-sorted desc)."""
+        """Compact postings (dim → [offsets, weights] weight-sorted desc).
+
+        Dimensions are arbitrary u32 ids (hashed vocabularies like BM25's
+        murmur3 tokens), so the dim table is a dict dim → (start, len)
+        rather than a dense array."""
         postings: Dict[int, List[Tuple[int, float]]] = {}
         for off, idxs, vals in self.store.iter_rows():
             for d, w in zip(idxs.tolist(), vals.tolist()):
-                postings.setdefault(d, []).append((off, w))
-        dims = sorted(postings.keys())
-        max_dim = (dims[-1] + 1) if dims else 1
-        starts = np.full(max_dim, -1, dtype=np.int32)
-        lens = np.zeros(max_dim, dtype=np.int32)
+                postings.setdefault(int(d), []).append((off, w))
+        dim_table: Dict[int, Tuple[int, int]] = {}
         flat_ids: List[int] = []
         flat_w: List[float] = []
-        for d in dims:
+        for d in sorted(postings.keys()):
             entries = sorted(postings[d], key=lambda t: -abs(t[1]))
-            starts[d] = len(flat_ids)
-            lens[d] = len(entries)
+            dim_table[d] = (len(flat_ids), len(entries))
             flat_ids.extend(e[0] for e in entries)
             flat_w.extend(e[1] for e in entries)
         return (
             np.asarray(flat_ids, dtype=np.int32),
             np.asarray(flat_w, dtype=np.float32),
-            starts,
-            lens,
+            dim_table,
         )
 
     def _device(self):
         if self._dirty or self._dev is None:
-            flat_ids, flat_w, starts, lens = self._build_csr()
+            flat_ids, flat_w, dim_table = self._build_csr()
             # pad flat arrays so any window slice is in-bounds
             pad = DEFAULT_WINDOW
             flat_ids = np.concatenate(
@@ -187,8 +186,7 @@ class SparseIndex:
             self._dev = (
                 jnp.asarray(flat_ids),
                 jnp.asarray(flat_w),
-                starts,
-                lens,
+                dim_table,
                 n_pad,
             )
             self._dirty = False
@@ -196,9 +194,9 @@ class SparseIndex:
 
     def idf(self, dim: int) -> float:
         """BM25-style IDF (reference: idf_statistics / modifier=idf)."""
-        _, _, starts, lens, _ = self._device()
+        _, _, dim_table, _ = self._device()
         n = self.store.available_count
-        df = int(lens[dim]) if 0 <= dim < len(lens) else 0
+        df = dim_table.get(int(dim), (0, 0))[1]
         return math.log(((n - df + 0.5) / (df + 0.5)) + 1.0)
 
     def remap_query(self, query: SparseVector) -> SparseVector:
@@ -217,7 +215,7 @@ class SparseIndex:
         window: int = DEFAULT_WINDOW,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k], offsets [B, k]); -1 = no result."""
-        flat_ids, flat_w, starts, lens, n_pad = self._device()
+        flat_ids, flat_w, dim_table, n_pad = self._device()
         b = len(queries)
         queries = [self.remap_query(q) for q in queries]
         t_max = max([len(q.indices) for q in queries] + [1])
@@ -227,9 +225,10 @@ class SparseIndex:
         q_w = np.zeros((b, t_pad), dtype=np.float32)
         for i, q in enumerate(queries):
             for j, (d, w) in enumerate(zip(q.indices, q.values)):
-                if 0 <= d < len(starts) and starts[d] >= 0:
-                    q_starts[i, j] = starts[d]
-                    q_lens[i, j] = lens[d]
+                entry = dim_table.get(int(d))
+                if entry is not None:
+                    q_starts[i, j] = entry[0]
+                    q_lens[i, j] = entry[1]
                     q_w[i, j] = w
         k_eff = min(k, n_pad)
         scores, ids = sparse_search(
