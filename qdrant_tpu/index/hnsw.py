@@ -487,6 +487,7 @@ class HnswIndex:
         k: int,
         ef: Optional[int] = None,
         filter_mask: Optional[np.ndarray] = None,  # [n] bool
+        acorn: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k], offsets [B, k]), -1 padded."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
@@ -526,17 +527,30 @@ class HnswIndex:
             mask_dev = jnp.asarray(fm)
 
         max_iters = 2 * ef_eff + 16
-        beam_scores, beam_ids = hnsw_ops.beam_search_level(
-            q_dev,
-            vectors,
-            self._links0_device(),
-            cur[:, None],
-            mask_dev,
-            ef_eff,
-            max_iters,
-            dist,
-            compact_of=self._rank_device(),
-        )
+        if acorn and mask_dev is not None:
+            beam_scores, beam_ids = hnsw_ops.beam_search_acorn(
+                q_dev,
+                vectors,
+                self._links0_device(),
+                cur[:, None],
+                mask_dev,
+                ef_eff,
+                max_iters,
+                dist,
+                compact_of=self._rank_device(),
+            )
+        else:
+            beam_scores, beam_ids = hnsw_ops.beam_search_level(
+                q_dev,
+                vectors,
+                self._links0_device(),
+                cur[:, None],
+                mask_dev,
+                ef_eff,
+                max_iters,
+                dist,
+                compact_of=self._rank_device(),
+            )
         scores = np.asarray(beam_scores, dtype=np.float32)[:b]
         ids = np.asarray(beam_ids, dtype=np.int32)[:b]
         # entries bypass the filter inside the kernel; enforce it here

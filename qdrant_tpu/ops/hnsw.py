@@ -124,6 +124,116 @@ def greedy_descend_stack(
 @functools.partial(
     jax.jit, static_argnames=("ef", "max_iters", "distance", "expand")
 )
+def beam_search_acorn(
+    queries: jax.Array,  # [B, D] f32
+    vectors: jax.Array,  # [N, D]
+    links: jax.Array,  # [Nl, M] int32
+    entry_ids: jax.Array,  # [B, E] int32
+    filter_mask: jax.Array,  # [N] bool — required
+    ef: int,
+    max_iters: int,
+    distance: str,
+    compact_of: Optional[jax.Array] = None,
+    expand: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Filtered beam search in the spirit of ACORN (reference:
+    graph_layers.rs:154-243 2-hop filtered search): the beam traverses the
+    UNFILTERED graph (so low-selectivity filters cannot strand it), while a
+    separate result set accumulates only filter-matching candidates. The
+    dense-batch equivalent of routing through non-matching nodes.
+    """
+    b = queries.shape[0]
+    m = links.shape[1]
+    e_x = expand
+    iters = max(max_iters // e_x, 8)
+
+    entry_scores = score_ids_batch(queries, vectors, entry_ids, distance)
+    e = entry_ids.shape[1]
+    pad = max(ef - e, 0)
+    beam_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
+    beam_scores = jnp.pad(entry_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)[
+        :, :ef
+    ]
+    order = jnp.argsort(-beam_scores, axis=1)
+    beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
+    beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
+    beam_exp = beam_ids < 0
+    visited = jnp.full((b, iters * e_x), -1, dtype=jnp.int32)
+    # matching-results accumulator, seeded from matching entries
+    ent_ok = jnp.take(filter_mask, jnp.maximum(beam_ids, 0)) & (beam_ids >= 0)
+    res_ids = jnp.where(ent_ok, beam_ids, -1)
+    res_scores = jnp.where(ent_ok, beam_scores, NEG_INF)
+
+    def cond(state):
+        beam_ids, beam_scores, beam_exp, visited, res_ids, res_scores, it = state
+        has_cand = jnp.any(jnp.logical_and(~beam_exp, beam_ids >= 0))
+        return jnp.logical_and(has_cand, it < iters)
+
+    def body(state):
+        beam_ids, beam_scores, beam_exp, visited, res_ids, res_scores, it = state
+        cand_ok = jnp.logical_and(~beam_exp, beam_ids >= 0)
+        pick_scores = jnp.where(cand_ok, beam_scores, NEG_INF)
+        top_pick, pick_idx = jax.lax.top_k(pick_scores, e_x)
+        pick_ids = jnp.take_along_axis(beam_ids, pick_idx, axis=1)
+        pick_ids = jnp.where(jnp.isfinite(top_pick), pick_ids, -1)
+        hit = jnp.zeros_like(beam_exp)
+        hit = hit.at[jnp.arange(b)[:, None], pick_idx].set(jnp.isfinite(top_pick))
+        beam_exp = jnp.logical_or(beam_exp, hit)
+        visited = jax.lax.dynamic_update_slice(visited, pick_ids, (0, it * e_x))
+
+        if compact_of is not None:
+            row = jnp.take(compact_of, jnp.maximum(pick_ids, 0))
+            row = jnp.where(pick_ids >= 0, row, -1)
+        else:
+            row = pick_ids
+        neigh = jnp.take(links, jnp.maximum(row, 0), axis=0)
+        neigh = jnp.where(row[:, :, None] >= 0, neigh, -1).reshape(b, e_x * m)
+
+        dup_beam = jnp.any(neigh[:, :, None] == beam_ids[:, None, :], axis=2)
+        dup_vis = jnp.any(neigh[:, :, None] == visited[:, None, :], axis=2)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, e_x * m), 1)
+        first_pos = jnp.where(
+            neigh[:, :, None] == neigh[:, None, :], pos[:, None, :], e_x * m
+        ).min(axis=2)
+        neigh = jnp.where(dup_beam | dup_vis | (first_pos < pos), -1, neigh)
+
+        n_scores = score_ids_batch(queries, vectors, neigh, distance)
+
+        # beam merge: UNfiltered traversal
+        all_ids = jnp.concatenate([beam_ids, neigh], axis=1)
+        all_scores = jnp.concatenate([beam_scores, n_scores], axis=1)
+        all_exp = jnp.concatenate([beam_exp, jnp.zeros_like(neigh, dtype=bool)], axis=1)
+        top_scores, top_idx = jax.lax.top_k(all_scores, ef)
+        new_ids = jnp.take_along_axis(all_ids, top_idx, axis=1)
+        new_exp = jnp.take_along_axis(all_exp, top_idx, axis=1)
+        new_exp = jnp.where(new_ids < 0, True, new_exp)
+
+        # results merge: matching candidates only (dedup vs current results)
+        n_ok = jnp.take(filter_mask, jnp.maximum(neigh, 0)) & (neigh >= 0)
+        dup_res = jnp.any(neigh[:, :, None] == res_ids[:, None, :], axis=2)
+        cand_res = jnp.where(n_ok & ~dup_res, neigh, -1)
+        cand_scores = jnp.where(cand_res >= 0, n_scores, NEG_INF)
+        r_ids = jnp.concatenate([res_ids, cand_res], axis=1)
+        r_scores = jnp.concatenate([res_scores, cand_scores], axis=1)
+        rtop, ridx = jax.lax.top_k(r_scores, ef)
+        res_ids_new = jnp.take_along_axis(r_ids, ridx, axis=1)
+        res_ids_new = jnp.where(jnp.isfinite(rtop), res_ids_new, -1)
+
+        return new_ids, top_scores, new_exp, visited, res_ids_new, rtop, it + 1
+
+    state = (
+        beam_ids,
+        beam_scores,
+        beam_exp,
+        visited,
+        res_ids,
+        res_scores,
+        jnp.int32(0),
+    )
+    _, _, _, _, res_ids, res_scores, _ = jax.lax.while_loop(cond, body, state)
+    return res_scores, res_ids
+
+
 def beam_search_level(
     queries: jax.Array,  # [B, D] f32
     vectors: jax.Array,  # [N, D]

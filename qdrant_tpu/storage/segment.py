@@ -63,23 +63,30 @@ class SearchParams:
         quantization_ignore: bool = False,
         quantization_rescore: bool = True,
         quantization_oversampling: Optional[float] = None,
+        acorn_enable: Optional[bool] = None,
+        acorn_max_selectivity: float = 0.4,
     ):
         self.hnsw_ef = hnsw_ef
         self.exact = exact
         self.quantization_ignore = quantization_ignore
         self.quantization_rescore = quantization_rescore
         self.quantization_oversampling = quantization_oversampling
+        self.acorn_enable = acorn_enable
+        self.acorn_max_selectivity = acorn_max_selectivity
 
     @staticmethod
     def from_dict(d: Optional[dict]) -> "SearchParams":
         d = d or {}
         q = d.get("quantization") or {}
+        a = d.get("acorn") or {}
         return SearchParams(
             hnsw_ef=d.get("hnsw_ef"),
             exact=bool(d.get("exact", False)),
             quantization_ignore=bool(q.get("ignore", False)),
             quantization_rescore=bool(q.get("rescore", True)),
             quantization_oversampling=q.get("oversampling"),
+            acorn_enable=a.get("enable"),
+            acorn_max_selectivity=float(a.get("max_selectivity", 0.4)),
         )
 
 
@@ -464,7 +471,18 @@ class Segment:
         quant = None if params.quantization_ignore else self.quantized.get(name)
 
         if use_graph:
-            scores, ids = hnsw.search(queries, k, ef=ef, filter_mask=combined)
+            # ACORN dispatch: low-selectivity filters traverse the unfiltered
+            # graph (reference: hnsw/read_view/search.rs:60-86 gate)
+            acorn = False
+            if fmask is not None and params.acorn_enable is not False:
+                selectivity = combined.sum() / max(len(combined), 1)
+                acorn = bool(
+                    params.acorn_enable
+                    or selectivity <= params.acorn_max_selectivity
+                )
+            scores, ids = hnsw.search(
+                queries, k, ef=ef, filter_mask=combined, acorn=acorn
+            )
             return scores, ids
         if quant is not None and not params.exact:
             return self._search_quantized(

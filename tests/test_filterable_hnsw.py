@@ -99,3 +99,42 @@ def test_subgraph_save_load(tmp_path):
     _, i1 = seg.search_dense("", q, k=5, flt=flt)
     _, i2 = loaded.search_dense("", q, k=5, flt=flt)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_acorn_low_selectivity_beats_masked_traversal():
+    """ACORN-mode filtered search: at low selectivity, traversing the
+    unfiltered graph finds matches that strict masked traversal strands."""
+    import numpy as np
+    from qdrant_tpu.index.hnsw import HnswIndex
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance, HnswConfig
+
+    rng = np.random.default_rng(5)
+    n, d, k = 3000, 24, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    store = DenseVectorStore(d, Distance.EUCLID)
+    store.add(data)
+    idx = HnswIndex(store, HnswConfig(m=8, ef_construct=64), seed=6)
+    idx.build(batch_size=512)
+
+    mask = np.zeros(n, dtype=bool)
+    mask[rng.choice(n, size=n // 50, replace=False)] = True  # 2% selectivity
+    queries = rng.normal(size=(8, d)).astype(np.float32)
+
+    exact = -((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    exact[:, ~mask] = -np.inf
+    truth = np.argsort(-exact, axis=1)[:, :k]
+
+    def recall(ids):
+        hits = sum(
+            len(set(ids[q][ids[q] >= 0].tolist()) & set(truth[q].tolist()))
+            for q in range(8)
+        )
+        return hits / (8 * k)
+
+    _, ids_masked = idx.search(queries, k=k, ef=64, filter_mask=mask, acorn=False)
+    _, ids_acorn = idx.search(queries, k=k, ef=64, filter_mask=mask, acorn=True)
+    valid = ids_acorn[ids_acorn >= 0]
+    assert np.all(mask[valid])  # results always match the filter
+    assert recall(ids_acorn) >= recall(ids_masked)
+    assert recall(ids_acorn) >= 0.5
