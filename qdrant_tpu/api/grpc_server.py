@@ -672,8 +672,44 @@ def _wrap(fn, req_cls):
     )
 
 
+class _AuthInterceptor(grpc.ServerInterceptor):
+    """api-key metadata check (reference: gRPC api-key interceptor in
+    src/tonic). JWTs ride the same header, validated by api/auth.py."""
+
+    def __init__(self, api_key: Optional[str], read_only_api_key: Optional[str]):
+        from .auth import Authenticator
+
+        self.auth = Authenticator(api_key, read_only_api_key)
+
+        def deny(request, context):
+            context.abort(grpc.StatusCode.UNAUTHENTICATED, "Invalid API key")
+
+        self._deny = grpc.unary_unary_rpc_method_handler(deny)
+
+    def intercept_service(self, continuation, handler_call_details):
+        if not self.auth.enabled:
+            return continuation(handler_call_details)
+        meta = {k: v for k, v in (handler_call_details.invocation_metadata or [])}
+        headers = {
+            "api-key": meta.get("api-key"),
+            "Authorization": meta.get("authorization"),
+        }
+        from .auth import AuthError
+
+        try:
+            self.auth.authenticate(headers)
+        except AuthError:
+            return self._deny
+        return continuation(handler_call_details)
+
+
 def make_server(
-    toc: TableOfContent, host: str = "127.0.0.1", port: int = 6334, max_workers: int = 8
+    toc: TableOfContent,
+    host: str = "127.0.0.1",
+    port: int = 6334,
+    max_workers: int = 8,
+    api_key: Optional[str] = None,
+    read_only_api_key: Optional[str] = None,
 ):
     svc = _Services(toc)
     services = {
@@ -700,7 +736,13 @@ def make_server(
             "ClearPayload": (svc.PointsClearPayload, M["ClearPayloadPoints"]),
         },
     }
-    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    interceptors = []
+    if api_key or read_only_api_key:
+        interceptors.append(_AuthInterceptor(api_key, read_only_api_key))
+    server = grpc.server(
+        futures.ThreadPoolExecutor(max_workers=max_workers),
+        interceptors=interceptors,
+    )
     for service_name, methods in services.items():
         handlers = {
             name: _wrap(fn, req_cls) for name, (fn, req_cls) in methods.items()

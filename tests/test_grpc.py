@@ -210,3 +210,25 @@ def test_query_api_over_grpc(grpc_env):
     q.query.fusion = 0  # RRF
     resp = unary(grpc_env, "/qdrant.Points/Query", q, M["QueryResponse"])
     assert len(resp.result) == 3
+
+
+def test_grpc_api_key_auth(tmp_path):
+    toc = TableOfContent(str(tmp_path / "sec"))
+    server, port = make_server(toc, port=0, api_key="topsecret")
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    try:
+        with pytest.raises(grpc.RpcError) as e:
+            unary(channel, "/qdrant.Qdrant/HealthCheck", M["HealthCheckRequest"](), M["HealthCheckReply"])
+        assert e.value.code() == grpc.StatusCode.UNAUTHENTICATED
+
+        fn = channel.unary_unary(
+            "/qdrant.Qdrant/HealthCheck",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=M["HealthCheckReply"].FromString,
+        )
+        reply = fn(M["HealthCheckRequest"](), metadata=(("api-key", "topsecret"),))
+        assert reply.version
+    finally:
+        server.stop(0)
+        toc.close()
