@@ -53,7 +53,11 @@ def _points_from_upsert(body: dict) -> List[dict]:
             vec = p.get("vector")
             vectors = p.get("vectors")
             if vectors is None:
-                if isinstance(vec, dict) and "indices" not in vec:
+                if (
+                    isinstance(vec, dict)
+                    and "indices" not in vec
+                    and not isinstance(vec.get("text"), str)
+                ):
                     vectors = vec  # named map
                 elif vec is None:
                     vectors = {}
@@ -192,7 +196,13 @@ def h_update_vectors(toc, m, body, q):
     pts = []
     for p in (body or {}).get("points", []):
         vec = p.get("vector")
-        vectors = vec if isinstance(vec, dict) and "indices" not in vec else {"": vec}
+        vectors = (
+            vec
+            if isinstance(vec, dict)
+            and "indices" not in vec
+            and not isinstance(vec.get("text"), str)
+            else {"": vec}
+        )
         pts.append({"id": p["id"], "vectors": vectors})
     return coll.update_op({"type": "update_vectors", "points": pts})
 

@@ -52,7 +52,7 @@ class QdrantTpu:
         norm = []
         for p in points:
             vec = p.get("vector", p.get("vectors"))
-            if isinstance(vec, dict) and "indices" not in vec and "text" not in vec:
+            if isinstance(vec, dict) and "indices" not in vec and not isinstance(vec.get("text"), str):
                 vectors = vec
             else:
                 vectors = {"": vec}
