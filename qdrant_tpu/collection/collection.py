@@ -338,6 +338,14 @@ class Collection:
                 return seg.get_payload(point_id), seg.get_vectors(point_id)
         return None, None
 
+    def point_version(self, point_id: PointId) -> int:
+        for shard in self.shards.values():
+            seg = shard._find_point(point_id)
+            if seg is not None:
+                internal = seg.id_tracker.internal_id(point_id)
+                return seg.id_tracker.version(internal)
+        return 0
+
     def search_dense(
         self,
         name: str,

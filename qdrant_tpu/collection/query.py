@@ -646,7 +646,7 @@ class QueryExecutor:
             payload, vectors = self.collection.get_payload_and_vectors(pid)
             entry: Dict[str, Any] = {
                 "id": pid,
-                "version": 0,
+                "version": getattr(self.collection, "point_version", lambda _: 0)(pid),
                 "score": _user_score(score, dist),
             }
             p = _select_payload(payload, req.with_payload)
