@@ -425,6 +425,19 @@ class LocalShard:
             if seg.appendable and seg.available_point_count() >= self.optimizers.indexing_threshold:
                 self._seal_segment(seg)
                 did = True
+        # merge: too many sealed segments → combine the smallest ones
+        # (reference: merge_optimizer)
+        max_segments = self.optimizers.default_segment_number or 8
+        sealed = [s for s in self.segments if not s.appendable]
+        if len(sealed) > max_segments:
+            sealed.sort(key=lambda s: len(s))
+            n_merge = len(sealed) - max_segments + 1
+            victims = sealed[:n_merge]
+            merged = self._defragment_into(victims, appendable=False)
+            if any(v.hnsw for v in victims):
+                merged.build_indexes()
+            self._swap(victims, merged)
+            did = True
         # vacuum: rebuild sealed segments with too many deletes
         for seg in list(self.segments):
             total = seg.total_offsets

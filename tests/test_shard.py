@@ -152,3 +152,23 @@ def test_deferred_points_visibility(tmp_path):
     assert seg.num_deferred_points == 0
     res = shard.search_dense("", data[3:4], k=1)
     assert res[0][0][1] == 3
+
+
+def test_merge_optimizer_combines_small_segments(tmp_path):
+    rng = np.random.default_rng(9)
+    opt = OptimizersConfig(
+        indexing_threshold=10,
+        vacuum_min_vector_number=10**9,
+        default_segment_number=3,
+    )
+    shard = LocalShard(str(tmp_path / "s"), make_params(), opt)
+    # each batch of 10 seals into its own segment → exceeds the cap → merge
+    for batch in range(6):
+        ids = list(range(batch * 10, batch * 10 + 10))
+        shard.update(upsert_op(ids, rng.normal(size=(10, 16)).astype(np.float32)))
+    sealed = [s for s in shard.segments if not s.appendable]
+    assert len(sealed) <= 3
+    assert shard.point_count() == 60
+    # data intact post-merge
+    seg = shard._find_point(37)
+    assert seg is not None
