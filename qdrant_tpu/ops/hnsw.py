@@ -387,20 +387,28 @@ def heuristic_select(
     key = jnp.where(
         sel_mask, 2 * c - pos, jnp.where(valid, c - pos, -1)
     )
-    _, idx = jax.lax.top_k(key, m)
+    m_eff = min(m, c)
+    _, idx = jax.lax.top_k(key, m_eff)
     out = jnp.take_along_axis(cand_ids, idx, axis=1)
     taken = jnp.take_along_axis(key, idx, axis=1) >= 0
-    return jnp.where(taken, out, -1)
+    out = jnp.where(taken, out, -1)
+    if m_eff < m:
+        out = jnp.pad(out, ((0, 0), (0, m - m_eff)), constant_values=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def simple_select(cand_ids: jax.Array, cand_scores: jax.Array, m: int) -> jax.Array:
     """Keep the m best candidates (no diversity heuristic) — used for upper
     levels with small M, mirroring the reference's plain selection fallback."""
-    _, idx = jax.lax.top_k(cand_scores, m)
+    m_eff = min(m, cand_ids.shape[1])
+    _, idx = jax.lax.top_k(cand_scores, m_eff)
     out = jnp.take_along_axis(cand_ids, idx, axis=1)
     sc = jnp.take_along_axis(cand_scores, idx, axis=1)
-    return jnp.where(jnp.isfinite(sc), out, -1)
+    out = jnp.where(jnp.isfinite(sc), out, -1)
+    if m_eff < m:
+        out = jnp.pad(out, ((0, 0), (0, m - m_eff)), constant_values=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("m", "distance"))
