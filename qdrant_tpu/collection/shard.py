@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -56,6 +57,10 @@ class LocalShard:
         self.params = params
         self.optimizers = optimizers or OptimizersConfig()
         os.makedirs(path, exist_ok=True)
+        # coarse per-shard lock: updates/optimizer/flush are exclusive with
+        # searches (reference: per-segment RwLocks; coarse is correct and
+        # cheap under the GIL — finer granularity is a later optimization)
+        self._lock = threading.RLock()
         self.wal = open_wal(os.path.join(path, "wal"))
         # causal clock tracking for replicated writes (reference:
         # local_shard/clock_map.rs); persisted with the shard
@@ -119,16 +124,20 @@ class LocalShard:
         wait: bool = True,
         clock_tag: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
-        if clock_tag is not None:
-            tag = ClockTag.from_dict(clock_tag)
-            if not self.clock_map.advance(tag):
-                return {"operation_id": 0, "status": "stale"}
-            op = {**op, "clock_tag": clock_tag}
-        op_num = self.wal.append(op)
-        self._apply(op_num, op)
-        if wait:
-            self.maybe_optimize()
-        return {"operation_id": op_num, "status": "completed" if wait else "acknowledged"}
+        with self._lock:
+            if clock_tag is not None:
+                tag = ClockTag.from_dict(clock_tag)
+                if not self.clock_map.advance(tag):
+                    return {"operation_id": 0, "status": "stale"}
+                op = {**op, "clock_tag": clock_tag}
+            op_num = self.wal.append(op)
+            self._apply(op_num, op)
+            if wait:
+                self.maybe_optimize()
+            return {
+                "operation_id": op_num,
+                "status": "completed" if wait else "acknowledged",
+            }
 
     def _load_clock_map(self) -> ClockMap:
         import json as _json
@@ -306,6 +315,17 @@ class LocalShard:
         params: Optional[SearchParams] = None,
     ) -> List[List[Tuple[float, PointId, int]]]:
         """→ per query: [(score, external_id, version)] merged over segments."""
+        with self._lock:
+            return self._search_dense_locked(name, queries, k, flt, params)
+
+    def _search_dense_locked(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b = queries.shape[0]
         merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in range(b)]
@@ -499,6 +519,10 @@ class LocalShard:
     # ------------------------------------------------------------------
 
     def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         root = self._segments_root()
         os.makedirs(root, exist_ok=True)
         for seg in self.segments:

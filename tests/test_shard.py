@@ -172,3 +172,38 @@ def test_merge_optimizer_combines_small_segments(tmp_path):
     # data intact post-merge
     seg = shard._find_point(37)
     assert seg is not None
+
+
+def test_concurrent_updates_and_searches(tmp_path):
+    """Thread-safety smoke: concurrent upserts + searches must not corrupt
+    state (ThreadingHTTPServer serves requests on multiple threads)."""
+    import threading
+
+    rng = np.random.default_rng(12)
+    shard = LocalShard(str(tmp_path / "s"), make_params())
+    data = rng.normal(size=(200, 16)).astype(np.float32)
+    errors = []
+
+    def writer(base):
+        try:
+            for i in range(base, base + 50):
+                shard.update(upsert_op([i], data[i - base][None, :]))
+        except Exception as e:
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(30):
+                shard.search_dense("", data[:2], k=3)
+                shard.count(None)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (0, 1000, 2000)]
+    threads += [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert shard.point_count() == 150
