@@ -171,3 +171,39 @@ def test_segment_seal_with_turbo_quantization(tmp_path):
     loaded.hnsw = {}
     _, ids2 = loaded.search_dense("", data[:5], k=1)
     np.testing.assert_array_equal(ids[:, 0], ids2[:, 0])
+
+
+def test_sparse_indexed_vs_plain_equivalence():
+    """Device inverted-index search matches host brute force (reference:
+    lib/sparse indexed_vs_plain_test.rs)."""
+    rng = np.random.default_rng(21)
+    seg = Segment(make_params())
+    n, vocab, nnz = 300, 120, 12
+    rows = []
+    for i in range(n):
+        dims = np.sort(rng.choice(vocab, size=nnz, replace=False))
+        vals = rng.random(nnz).astype(np.float32) + 0.1
+        rows.append((dims, vals))
+        seg.upsert_point(
+            i + 1,
+            i,
+            {
+                "text": SparseVector(dims.tolist(), vals.tolist()),
+                "": np.zeros(16, dtype=np.float32),
+            },
+        )
+    for trial in range(5):
+        qd = np.sort(rng.choice(vocab, size=8, replace=False))
+        qv = rng.random(8).astype(np.float32)
+        q = SparseVector(qd.tolist(), qv.tolist())
+        scores, ids = seg.search_sparse("text", [q], k=10)
+        # brute force
+        brute = np.zeros(n, dtype=np.float64)
+        qmap = dict(zip(qd.tolist(), qv.tolist()))
+        for i, (dims, vals) in enumerate(rows):
+            brute[i] = sum(qmap.get(int(d), 0.0) * v for d, v in zip(dims, vals))
+        want = np.argsort(-brute, kind="stable")[:10]
+        got = ids[0][ids[0] >= 0]
+        assert set(got.tolist()) == set(want[: len(got)].tolist()), trial
+        for rank, off in enumerate(got):
+            np.testing.assert_allclose(scores[0][rank], brute[off], rtol=1e-4)
