@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple, Union
 
-from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+from google.protobuf import descriptor_pb2, descriptor_pool, message_factory, timestamp_pb2
 
 F = descriptor_pb2.FieldDescriptorProto
 
@@ -40,6 +40,7 @@ class _Builder:
         self.file.name = file_name
         self.file.package = PKG
         self.file.syntax = "proto3"
+        self.file.dependency.append("google/protobuf/timestamp.proto")
 
     def enum(self, name: str, values: List[Tuple[str, int]]):
         e = self.file.enum_type.add()
@@ -94,7 +95,10 @@ class _Builder:
                 fld.type_name = f".{PKG}.{name}.{entry.name}"
                 fld.label = F.LABEL_REPEATED
                 continue
-            if ftype.startswith("msg:"):
+            if ftype.startswith("wkt:"):
+                fld.type = F.TYPE_MESSAGE
+                fld.type_name = f".google.protobuf.{ftype[4:]}"
+            elif ftype.startswith("msg:"):
                 fld.type = F.TYPE_MESSAGE
                 fld.type_name = f".{PKG}.{ftype[4:]}"
             elif ftype.startswith("enum:"):
@@ -231,6 +235,15 @@ def _build_pool():
         [("key", 1, "string", "optional"), ("filter", 2, "msg:Filter", "optional")],
     )
     b.message(
+        "DatetimeRange",
+        [
+            ("lt", 1, "wkt:Timestamp", "proto3opt"),
+            ("gt", 2, "wkt:Timestamp", "proto3opt"),
+            ("gte", 3, "wkt:Timestamp", "proto3opt"),
+            ("lte", 4, "wkt:Timestamp", "proto3opt"),
+        ],
+    )
+    b.message(
         "FieldCondition",
         [
             ("key", 1, "string", "optional"),
@@ -240,6 +253,7 @@ def _build_pool():
             ("geo_radius", 5, "msg:GeoRadius", "optional"),
             ("values_count", 6, "msg:ValuesCount", "optional"),
             ("geo_polygon", 7, "msg:GeoPolygon", "optional"),
+            ("datetime_range", 8, "msg:DatetimeRange", "optional"),
             ("is_empty", 9, "bool", "proto3opt"),
             ("is_null", 10, "bool", "proto3opt"),
         ],
@@ -718,6 +732,9 @@ def _build_pool():
     )
 
     pool = descriptor_pool.DescriptorPool()
+    ts = descriptor_pb2.FileDescriptorProto()
+    timestamp_pb2.DESCRIPTOR.CopyToProto(ts)
+    pool.Add(ts)
     pool.Add(b.file)
     return pool
 
@@ -728,7 +745,8 @@ _MESSAGE_NAMES = [
     "Struct", "Value", "ListValue", "PointId", "GeoPoint", "Filter", "MinShould",
     "Condition", "IsEmptyCondition", "IsNullCondition", "HasIdCondition",
     "HasVectorCondition", "NestedCondition", "FieldCondition", "Match",
-    "RepeatedStrings", "RepeatedIntegers", "Range", "GeoBoundingBox", "GeoRadius",
+    "RepeatedStrings", "RepeatedIntegers", "Range", "DatetimeRange",
+    "GeoBoundingBox", "GeoRadius",
     "GeoLineString", "GeoPolygon", "ValuesCount", "DenseVector", "SparseVector",
     "MultiDenseVector", "SparseIndices", "Vector", "VectorOutput", "NamedVectors",
     "NamedVectorsOutput", "Vectors", "VectorsOutput", "PointStruct", "PointsIdsList",

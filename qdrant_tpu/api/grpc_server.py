@@ -150,6 +150,17 @@ def condition_to_dict(c) -> Optional[dict]:
             }
         if f.HasField("values_count"):
             out["values_count"] = _range_to_dict(f.values_count)
+        if f.HasField("datetime_range"):
+            dr = {}
+            for k in ("lt", "gt", "gte", "lte"):
+                if f.datetime_range.HasField(k):
+                    ts = getattr(f.datetime_range, k)
+                    import datetime as _dt
+
+                    dr[k] = _dt.datetime.fromtimestamp(
+                        ts.seconds + ts.nanos / 1e9, tz=_dt.timezone.utc
+                    ).isoformat()
+            out["datetime_range"] = dr
         if f.HasField("is_empty"):
             out["is_empty"] = f.is_empty
         if f.HasField("is_null"):

@@ -232,3 +232,24 @@ def test_grpc_api_key_auth(tmp_path):
     finally:
         server.stop(0)
         toc.close()
+
+
+def test_datetime_range_filter_over_grpc(grpc_env):
+    create = M["CreateCollection"](collection_name="g5")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g5")
+    for i, ts in enumerate(["2024-01-01T00:00:00Z", "2025-06-15T12:00:00Z", "2026-03-01T00:00:00Z"]):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend([1.0, 0, 0, 0])
+        p.payload["created"].string_value = ts
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    cnt = M["CountPoints"](collection_name="g5")
+    cond = cnt.filter.must.add()
+    cond.field.key = "created"
+    cond.field.datetime_range.gte.seconds = 1735689600  # 2025-01-01T00:00:00Z
+    resp = unary(grpc_env, "/qdrant.Points/Count", cnt, M["CountResponse"])
+    assert resp.result.count == 2
