@@ -861,15 +861,25 @@ def h_telemetry(toc, m, body, q):
 
 
 def h_metrics(toc, m, body, q):
-    points = sum(
-        toc.get_collection(n).info()["points_count"] for n in toc.list_collections()
-    )
-    return METRICS.render_prometheus(
-        extra={
-            "collections_total": len(toc.list_collections()),
-            "points_total": points,
-        }
-    )
+    extra = {"collections_total": len(toc.list_collections())}
+    total = 0
+    per_collection = []
+    for name in toc.list_collections():
+        info = toc.get_collection(name).info()
+        total += info["points_count"]
+        per_collection.append((name, info))
+    extra["points_total"] = total
+    text = METRICS.render_prometheus(extra=extra)
+    # per-collection gauges (reference: per_collection_metrics_test.sh)
+    lines = [text, "# TYPE collection_points_total gauge"]
+    for name, info in per_collection:
+        lines.append(
+            f'collection_points_total{{collection="{name}"}} {info["points_count"]}'
+        )
+        lines.append(
+            f'collection_segments_total{{collection="{name}"}} {info["segments_count"]}'
+        )
+    return "\n".join(lines) + "\n"
 
 
 ROUTES: List[Tuple[str, re.Pattern, Callable]] = [

@@ -270,3 +270,65 @@ def test_metrics_endpoint(server):
         text = resp.read().decode()
     assert "rest_responses_total" in text
     assert "collections_total" in text
+
+
+def test_uuid_point_ids_roundtrip(server):
+    call(server, "PUT", "/collections/uu", {"vectors": {"size": 4, "distance": "Dot"}})
+    uid = "550e8400-e29b-41d4-a716-446655440000"
+    call(
+        server,
+        "PUT",
+        "/collections/uu/points",
+        {"points": [{"id": uid, "vector": [1, 2, 3, 4], "payload": {"x": 1}}]},
+    )
+    got = call(server, "GET", f"/collections/uu/points/{uid}")["result"]
+    assert got["id"] == uid
+    hits = call(
+        server,
+        "POST",
+        "/collections/uu/points/search",
+        {"vector": [1, 2, 3, 4], "limit": 1},
+    )["result"]
+    assert hits[0]["id"] == uid
+    # invalid (non-uuid string) id rejected
+    call(
+        server,
+        "PUT",
+        "/collections/uu/points",
+        {"points": [{"id": "not-a-uuid", "vector": [1, 2, 3, 4]}]},
+        expect=400,
+    )
+
+
+def test_has_vector_condition(server):
+    call(
+        server,
+        "PUT",
+        "/collections/hv",
+        {"vectors": {"a": {"size": 4, "distance": "Dot"}, "b": {"size": 4, "distance": "Dot"}}},
+    )
+    call(
+        server,
+        "PUT",
+        "/collections/hv/points",
+        {
+            "points": [
+                {"id": 1, "vector": {"a": [1, 0, 0, 0], "b": [1, 0, 0, 0]}},
+                {"id": 2, "vector": {"a": [0, 1, 0, 0]}},
+            ]
+        },
+    )
+    cnt = call(
+        server,
+        "POST",
+        "/collections/hv/points/count",
+        {"filter": {"must": [{"has_vector": "b"}]}},
+    )["result"]["count"]
+    assert cnt == 1
+
+
+def test_per_collection_metrics(server):
+    url = f"http://127.0.0.1:{server.port}/metrics"
+    with urllib.request.urlopen(url) as resp:
+        text = resp.read().decode()
+    assert 'collection_points_total{collection="pts"}' in text
