@@ -658,6 +658,29 @@ def _build_pool():
         "QueryResponse",
         [("result", 1, "msg:ScoredPoint", "repeated"), ("time", 2, "double", "optional")],
     )
+    b.message("BatchResult", [("result", 1, "msg:ScoredPoint", "repeated")])
+    b.message(
+        "SearchBatchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("search_points", 2, "msg:SearchPoints", "repeated"),
+        ],
+    )
+    b.message(
+        "SearchBatchResponse",
+        [("result", 1, "msg:BatchResult", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "QueryBatchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("query_points", 2, "msg:QueryPoints", "repeated"),
+        ],
+    )
+    b.message(
+        "QueryBatchResponse",
+        [("result", 1, "msg:BatchResult", "repeated"), ("time", 2, "double", "optional")],
+    )
 
     # ---- collections (collections.proto subset) ----
     b.message("GetCollectionInfoRequest", [("collection_name", 1, "string", "optional")])
@@ -761,7 +784,8 @@ _MESSAGE_NAMES = [
     "ListCollectionsRequest", "CollectionDescription", "ListCollectionsResponse",
     "VectorInput", "RecommendInput", "ContextInputPair", "ContextInput",
     "DiscoverInput", "OrderBy", "Query", "PrefetchQuery", "QueryPoints",
-    "QueryResponse",
+    "QueryResponse", "BatchResult", "SearchBatchPoints", "SearchBatchResponse",
+    "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",
     "CollectionOperationResponse", "HealthCheckRequest", "HealthCheckReply",

@@ -654,6 +654,26 @@ class _Services:
                 sp.payload[k].CopyFrom(py_to_value(v))
         return resp
 
+    def PointsSearchBatch(self, request, context):
+        resp = M["SearchBatchResponse"](time=0.0)
+        for sub in request.search_points:
+            if not sub.collection_name:
+                sub.collection_name = request.collection_name
+            single = self.PointsSearch(sub, context)
+            batch = resp.result.add()
+            batch.result.extend(single.result)
+        return resp
+
+    def PointsQueryBatch(self, request, context):
+        resp = M["QueryBatchResponse"](time=0.0)
+        for sub in request.query_points:
+            if not sub.collection_name:
+                sub.collection_name = request.collection_name
+            single = self.PointsQuery(sub, context)
+            batch = resp.result.add()
+            batch.result.extend(single.result)
+        return resp
+
     def PointsCount(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         from ..types import parse_filter
@@ -742,6 +762,8 @@ def make_server(
             "Count": (svc.PointsCount, M["CountPoints"]),
             "Scroll": (svc.PointsScroll, M["ScrollPoints"]),
             "Query": (svc.PointsQuery, M["QueryPoints"]),
+            "SearchBatch": (svc.PointsSearchBatch, M["SearchBatchPoints"]),
+            "QueryBatch": (svc.PointsQueryBatch, M["QueryBatchPoints"]),
             "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
             "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),
             "ClearPayload": (svc.PointsClearPayload, M["ClearPayloadPoints"]),

@@ -253,3 +253,31 @@ def test_datetime_range_filter_over_grpc(grpc_env):
     cond.field.datetime_range.gte.seconds = 1735689600  # 2025-01-01T00:00:00Z
     resp = unary(grpc_env, "/qdrant.Points/Count", cnt, M["CountResponse"])
     assert resp.result.count == 2
+
+
+def test_batch_search_and_query(grpc_env):
+    create = M["CreateCollection"](collection_name="g6")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 2
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g6")
+    for i in range(4):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend([float(i), 0, 0, 0])
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    sb = M["SearchBatchPoints"](collection_name="g6")
+    for target in (0.0, 3.0):
+        sp = sb.search_points.add(limit=1)
+        sp.vector.extend([target, 0, 0, 0])
+    resp = unary(grpc_env, "/qdrant.Points/SearchBatch", sb, M["SearchBatchResponse"])
+    assert [b.result[0].id.num for b in resp.result] == [0, 3]
+
+    qb = M["QueryBatchPoints"](collection_name="g6")
+    for target in (1.0, 2.0):
+        qp = qb.query_points.add()
+        qp.limit = 1
+        qp.query.nearest.dense.data.extend([target, 0, 0, 0])
+    resp = unary(grpc_env, "/qdrant.Points/QueryBatch", qb, M["QueryBatchResponse"])
+    assert [b.result[0].id.num for b in resp.result] == [1, 2]
