@@ -332,3 +332,113 @@ def test_per_collection_metrics(server):
     with urllib.request.urlopen(url) as resp:
         text = resp.read().decode()
     assert 'collection_points_total{collection="pts"}' in text
+
+
+def test_custom_sharding_end_to_end(server):
+    call(
+        server,
+        "PUT",
+        "/collections/tenants",
+        {"vectors": {"size": 4, "distance": "Dot"}, "sharding_method": "custom"},
+    )
+    call(server, "PUT", "/collections/tenants/shards", {"shard_key": "org_a"})
+    call(server, "PUT", "/collections/tenants/shards", {"shard_key": "org_b"})
+    call(
+        server,
+        "PUT",
+        "/collections/tenants/points",
+        {
+            "shard_key": "org_a",
+            "points": [{"id": 1, "vector": [1, 0, 0, 0]}],
+        },
+    )
+    call(
+        server,
+        "PUT",
+        "/collections/tenants/points",
+        {
+            "shard_key": "org_b",
+            "points": [{"id": 2, "vector": [0, 1, 0, 0]}],
+        },
+    )
+    # scoped reads see only their tenant's shard
+    a = call(
+        server,
+        "POST",
+        "/collections/tenants/points/count",
+        {"shard_key": "org_a"},
+    )["result"]["count"]
+    b = call(
+        server,
+        "POST",
+        "/collections/tenants/points/count",
+        {"shard_key": "org_b"},
+    )["result"]["count"]
+    both = call(server, "POST", "/collections/tenants/points/count", {})["result"]["count"]
+    assert (a, b, both) == (1, 1, 2)
+    hits = call(
+        server,
+        "POST",
+        "/collections/tenants/points/search",
+        {"vector": [1, 0, 0, 0], "limit": 5, "shard_key": "org_a"},
+    )["result"]
+    assert [h["id"] for h in hits] == [1]
+    # unknown shard key → 404
+    call(
+        server,
+        "POST",
+        "/collections/tenants/points/count",
+        {"shard_key": "nope"},
+        expect=404,
+    )
+    # drop a shard key removes its points
+    call(server, "POST", "/collections/tenants/shards/delete", {"shard_key": "org_b"})
+    assert call(server, "POST", "/collections/tenants/points/count", {})["result"]["count"] == 1
+
+
+def test_datetime_index_and_filters(server):
+    call(server, "PUT", "/collections/dt", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(
+        server,
+        "PUT",
+        "/collections/dt/index",
+        {"field_name": "created", "field_schema": "datetime"},
+    )
+    call(
+        server,
+        "PUT",
+        "/collections/dt/points",
+        {
+            "points": [
+                {"id": 1, "vector": [1, 0, 0, 0], "payload": {"created": "2024-01-01T00:00:00Z"}},
+                {"id": 2, "vector": [0, 1, 0, 0], "payload": {"created": "2025-06-15T12:30:00+02:00"}},
+                {"id": 3, "vector": [0, 0, 1, 0], "payload": {"created": "2026-03-01T00:00:00Z"}},
+            ]
+        },
+    )
+    cnt = call(
+        server,
+        "POST",
+        "/collections/dt/points/count",
+        {"filter": {"must": [{"key": "created", "range": {"gte": "2025-01-01T00:00:00Z"}}]}},
+    )["result"]["count"]
+    assert cnt == 2
+    cnt = call(
+        server,
+        "POST",
+        "/collections/dt/points/count",
+        {
+            "filter": {
+                "must": [
+                    {
+                        "key": "created",
+                        "range": {
+                            "gt": "2024-06-01T00:00:00Z",
+                            "lt": "2026-01-01T00:00:00Z",
+                        },
+                    }
+                ]
+            }
+        },
+    )["result"]["count"]
+    assert cnt == 1
