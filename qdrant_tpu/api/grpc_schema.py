@@ -660,6 +660,29 @@ def _build_pool():
     )
     b.message("BatchResult", [("result", 1, "msg:ScoredPoint", "repeated")])
     b.message(
+        "RecommendPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("positive", 2, "msg:PointId", "repeated"),
+            ("negative", 3, "msg:PointId", "repeated"),
+            ("filter", 4, "msg:Filter", "optional"),
+            ("limit", 5, "uint64", "optional"),
+            ("with_payload", 7, "msg:WithPayloadSelector", "optional"),
+            ("params", 8, "msg:SearchParams", "optional"),
+            ("score_threshold", 9, "float", "proto3opt"),
+            ("offset", 10, "uint64", "proto3opt"),
+            ("using", 11, "string", "proto3opt"),
+            ("with_vectors", 12, "msg:WithVectorsSelector", "proto3opt"),
+            ("strategy", 16, "enum:RecommendStrategy", "proto3opt"),
+            ("positive_vectors", 17, "msg:Vector", "repeated"),
+            ("negative_vectors", 18, "msg:Vector", "repeated"),
+        ],
+    )
+    b.message(
+        "RecommendResponse",
+        [("result", 1, "msg:ScoredPoint", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message(
         "SearchBatchPoints",
         [
             ("collection_name", 1, "string", "optional"),
@@ -785,6 +808,7 @@ _MESSAGE_NAMES = [
     "VectorInput", "RecommendInput", "ContextInputPair", "ContextInput",
     "DiscoverInput", "OrderBy", "Query", "PrefetchQuery", "QueryPoints",
     "QueryResponse", "BatchResult", "SearchBatchPoints", "SearchBatchResponse",
+    "RecommendPoints", "RecommendResponse",
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",

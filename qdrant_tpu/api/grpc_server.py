@@ -654,6 +654,50 @@ class _Services:
                 sp.payload[k].CopyFrom(py_to_value(v))
         return resp
 
+    def PointsRecommend(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        ex = QueryExecutor(coll, self.toc)
+        strat = {0: "average_vector", 1: "best_score", 2: "best_score"}
+        positives = [point_id_to_py(p) for p in request.positive] + [
+            vector_to_py(v) for v in request.positive_vectors
+        ]
+        negatives = [point_id_to_py(p) for p in request.negative] + [
+            vector_to_py(v) for v in request.negative_vectors
+        ]
+        d = {
+            "query": {
+                "recommend": {
+                    "positive": positives,
+                    "negative": negatives,
+                    "strategy": strat.get(
+                        request.strategy if request.HasField("strategy") else 0,
+                        "average_vector",
+                    ),
+                }
+            },
+            "using": request.using if request.HasField("using") else "",
+            "filter": filter_to_dict(request.filter),
+            "limit": request.limit or 10,
+            "offset": request.offset if request.HasField("offset") else 0,
+            "with_payload": with_payload_to_py(request.with_payload),
+            "score_threshold": (
+                request.score_threshold
+                if request.HasField("score_threshold")
+                else None
+            ),
+        }
+        hits = ex.query(QueryRequest(d))
+        resp = M["RecommendResponse"](time=0.0)
+        for h in hits:
+            sp = resp.result.add(
+                id=py_to_point_id(h["id"]),
+                score=float(h["score"]),
+                version=h.get("version", 0),
+            )
+            for k, v in (h.get("payload") or {}).items():
+                sp.payload[k].CopyFrom(py_to_value(v))
+        return resp
+
     def PointsSearchBatch(self, request, context):
         resp = M["SearchBatchResponse"](time=0.0)
         for sub in request.search_points:
@@ -763,6 +807,7 @@ def make_server(
             "Scroll": (svc.PointsScroll, M["ScrollPoints"]),
             "Query": (svc.PointsQuery, M["QueryPoints"]),
             "SearchBatch": (svc.PointsSearchBatch, M["SearchBatchPoints"]),
+            "Recommend": (svc.PointsRecommend, M["RecommendPoints"]),
             "QueryBatch": (svc.PointsQueryBatch, M["QueryBatchPoints"]),
             "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
             "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),

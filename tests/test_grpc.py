@@ -281,3 +281,24 @@ def test_batch_search_and_query(grpc_env):
         qp.query.nearest.dense.data.extend([target, 0, 0, 0])
     resp = unary(grpc_env, "/qdrant.Points/QueryBatch", qb, M["QueryBatchResponse"])
     assert [b.result[0].id.num for b in resp.result] == [1, 2]
+
+
+def test_legacy_recommend_rpc(grpc_env):
+    create = M["CreateCollection"](collection_name="g7")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 1  # Cosine
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g7")
+    vecs = [[1, 0, 0, 0], [0.9, 0.1, 0, 0], [0, 0, 1, 0], [0, 0.1, 0.9, 0]]
+    for i, v in enumerate(vecs):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend(v)
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    rec = M["RecommendPoints"](collection_name="g7", limit=2)
+    rec.positive.add().num = 0
+    resp = unary(grpc_env, "/qdrant.Points/Recommend", rec, M["RecommendResponse"])
+    ids = [p.id.num for p in resp.result]
+    assert 0 not in ids  # the example itself is excluded
+    assert ids[0] == 1  # nearest to the positive example
