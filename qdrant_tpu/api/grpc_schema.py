@@ -766,6 +766,72 @@ def _build_pool():
         [("result", 1, "bool", "optional"), ("time", 2, "double", "optional")],
     )
 
+    # ---- aliases + field index management ----
+    b.message(
+        "CreateAlias",
+        [("collection_name", 1, "string", "optional"), ("alias_name", 2, "string", "optional")],
+    )
+    b.message(
+        "RenameAlias",
+        [
+            ("old_alias_name", 1, "string", "optional"),
+            ("new_alias_name", 2, "string", "optional"),
+        ],
+    )
+    b.message("DeleteAlias", [("alias_name", 1, "string", "optional")])
+    b.message(
+        "AliasOperations",
+        [
+            ("create_alias", 1, "msg:CreateAlias", "optional"),
+            ("rename_alias", 2, "msg:RenameAlias", "optional"),
+            ("delete_alias", 3, "msg:DeleteAlias", "optional"),
+        ],
+        oneofs={"action": ["create_alias", "rename_alias", "delete_alias"]},
+    )
+    b.message("ChangeAliases", [("actions", 1, "msg:AliasOperations", "repeated")])
+    b.message("ListAliasesRequest", [])
+    b.message(
+        "ListCollectionAliasesRequest", [("collection_name", 1, "string", "optional")]
+    )
+    b.message(
+        "AliasDescription",
+        [("alias_name", 1, "string", "optional"), ("collection_name", 2, "string", "optional")],
+    )
+    b.message(
+        "ListAliasesResponse",
+        [("aliases", 1, "msg:AliasDescription", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.enum(
+        "FieldType",
+        [
+            ("FieldTypeKeyword", 0),
+            ("FieldTypeInteger", 1),
+            ("FieldTypeFloat", 2),
+            ("FieldTypeGeo", 3),
+            ("FieldTypeText", 4),
+            ("FieldTypeBool", 5),
+            ("FieldTypeDatetime", 6),
+            ("FieldTypeUuid", 7),
+        ],
+    )
+    b.message(
+        "CreateFieldIndexCollection",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("field_name", 3, "string", "optional"),
+            ("field_type", 4, "enum:FieldType", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DeleteFieldIndexCollection",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("field_name", 3, "string", "optional"),
+        ],
+    )
+
     # ---- health (health_check.proto / qdrant.proto) ----
     b.message("HealthCheckRequest", [])
     b.message(
@@ -808,7 +874,10 @@ _MESSAGE_NAMES = [
     "VectorInput", "RecommendInput", "ContextInputPair", "ContextInput",
     "DiscoverInput", "OrderBy", "Query", "PrefetchQuery", "QueryPoints",
     "QueryResponse", "BatchResult", "SearchBatchPoints", "SearchBatchResponse",
-    "RecommendPoints", "RecommendResponse",
+    "RecommendPoints", "RecommendResponse", "CreateAlias", "RenameAlias",
+    "DeleteAlias", "AliasOperations", "ChangeAliases", "ListAliasesRequest",
+    "ListCollectionAliasesRequest", "AliasDescription", "ListAliasesResponse",
+    "CreateFieldIndexCollection", "DeleteFieldIndexCollection",
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",

@@ -332,6 +332,76 @@ class _Services:
             time=0.0,
         )
 
+    def CollectionsUpdateAliases(self, request, context):
+        actions = []
+        for op in request.actions:
+            kind = op.WhichOneof("action")
+            if kind == "create_alias":
+                actions.append(
+                    {
+                        "create_alias": {
+                            "collection_name": op.create_alias.collection_name,
+                            "alias_name": op.create_alias.alias_name,
+                        }
+                    }
+                )
+            elif kind == "rename_alias":
+                actions.append(
+                    {
+                        "rename_alias": {
+                            "old_alias_name": op.rename_alias.old_alias_name,
+                            "new_alias_name": op.rename_alias.new_alias_name,
+                        }
+                    }
+                )
+            elif kind == "delete_alias":
+                actions.append(
+                    {"delete_alias": {"alias_name": op.delete_alias.alias_name}}
+                )
+        ok = self.toc.update_aliases(actions)
+        return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
+
+    def CollectionsListAliases(self, request, context):
+        resp = M["ListAliasesResponse"](time=0.0)
+        for a in self.toc.all_aliases():
+            resp.aliases.add(
+                alias_name=a["alias_name"], collection_name=a["collection_name"]
+            )
+        return resp
+
+    def CollectionsListCollectionAliases(self, request, context):
+        resp = M["ListAliasesResponse"](time=0.0)
+        for a in self.toc.collection_aliases(request.collection_name):
+            resp.aliases.add(
+                alias_name=a["alias_name"], collection_name=a["collection_name"]
+            )
+        return resp
+
+    def PointsCreateFieldIndex(self, request, context):
+        from ..types import PayloadIndexParams
+
+        coll = self.toc.get_collection(request.collection_name)
+        types = {
+            0: "keyword", 1: "integer", 2: "float", 3: "geo",
+            4: "text", 5: "bool", 6: "datetime", 7: "uuid",
+        }
+        schema = types.get(
+            request.field_type if request.HasField("field_type") else 0, "keyword"
+        )
+        coll.create_payload_index(
+            request.field_name, PayloadIndexParams.from_dict(schema)
+        )
+        return M["PointsOperationResponse"](
+            result=M["UpdateResult"](operation_id=0, status=2), time=0.0
+        )
+
+    def PointsDeleteFieldIndex(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        coll.delete_payload_index(request.field_name)
+        return M["PointsOperationResponse"](
+            result=M["UpdateResult"](operation_id=0, status=2), time=0.0
+        )
+
     # -- qdrant.Points --
 
     def PointsUpsert(self, request, context):
@@ -797,6 +867,12 @@ def make_server(
             "Create": (svc.CollectionsCreate, M["CreateCollection"]),
             "Delete": (svc.CollectionsDelete, M["DeleteCollection"]),
             "CollectionExists": (svc.CollectionsExists, M["CollectionExistsRequest"]),
+            "UpdateAliases": (svc.CollectionsUpdateAliases, M["ChangeAliases"]),
+            "ListAliases": (svc.CollectionsListAliases, M["ListAliasesRequest"]),
+            "ListCollectionAliases": (
+                svc.CollectionsListCollectionAliases,
+                M["ListCollectionAliasesRequest"],
+            ),
         },
         "qdrant.Points": {
             "Upsert": (svc.PointsUpsert, M["UpsertPoints"]),
@@ -808,6 +884,8 @@ def make_server(
             "Query": (svc.PointsQuery, M["QueryPoints"]),
             "SearchBatch": (svc.PointsSearchBatch, M["SearchBatchPoints"]),
             "Recommend": (svc.PointsRecommend, M["RecommendPoints"]),
+            "CreateFieldIndex": (svc.PointsCreateFieldIndex, M["CreateFieldIndexCollection"]),
+            "DeleteFieldIndex": (svc.PointsDeleteFieldIndex, M["DeleteFieldIndexCollection"]),
             "QueryBatch": (svc.PointsQueryBatch, M["QueryBatchPoints"]),
             "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
             "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),

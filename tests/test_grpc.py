@@ -302,3 +302,47 @@ def test_legacy_recommend_rpc(grpc_env):
     ids = [p.id.num for p in resp.result]
     assert 0 not in ids  # the example itself is excluded
     assert ids[0] == 1  # nearest to the positive example
+
+
+def test_aliases_and_field_index_over_grpc(grpc_env):
+    create = M["CreateCollection"](collection_name="g8")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+
+    ch = M["ChangeAliases"]()
+    op = ch.actions.add()
+    op.create_alias.collection_name = "g8"
+    op.create_alias.alias_name = "galias"
+    unary(grpc_env, "/qdrant.Collections/UpdateAliases", ch, M["CollectionOperationResponse"])
+    lst = unary(grpc_env, "/qdrant.Collections/ListAliases", M["ListAliasesRequest"](), M["ListAliasesResponse"])
+    assert any(a.alias_name == "galias" and a.collection_name == "g8" for a in lst.aliases)
+    lst = unary(
+        grpc_env,
+        "/qdrant.Collections/ListCollectionAliases",
+        M["ListCollectionAliasesRequest"](collection_name="g8"),
+        M["ListAliasesResponse"],
+    )
+    assert len(lst.aliases) == 1
+
+    ch = M["ChangeAliases"]()
+    op = ch.actions.add()
+    op.rename_alias.old_alias_name = "galias"
+    op.rename_alias.new_alias_name = "galias2"
+    unary(grpc_env, "/qdrant.Collections/UpdateAliases", ch, M["CollectionOperationResponse"])
+    ch = M["ChangeAliases"]()
+    ch.actions.add().delete_alias.alias_name = "galias2"
+    unary(grpc_env, "/qdrant.Collections/UpdateAliases", ch, M["CollectionOperationResponse"])
+
+    fi = M["CreateFieldIndexCollection"](collection_name="g8", field_name="tag")
+    fi.field_type = 0
+    unary(grpc_env, "/qdrant.Points/CreateFieldIndex", fi, M["PointsOperationResponse"])
+    info = unary(
+        grpc_env,
+        "/qdrant.Collections/Get",
+        M["GetCollectionInfoRequest"](collection_name="g8"),
+        M["GetCollectionInfoResponse"],
+    )
+    # index exists (payload_schema not in the gRPC subset yet; at least no error)
+    df = M["DeleteFieldIndexCollection"](collection_name="g8", field_name="tag")
+    unary(grpc_env, "/qdrant.Points/DeleteFieldIndex", df, M["PointsOperationResponse"])
