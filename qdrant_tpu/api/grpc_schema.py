@@ -435,6 +435,27 @@ def _build_pool():
         ],
     )
     b.message(
+        "PointVectors",
+        [("id", 1, "msg:PointId", "optional"), ("vectors", 2, "msg:Vectors", "optional")],
+    )
+    b.message(
+        "UpdatePointVectors",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("points", 3, "msg:PointVectors", "repeated"),
+        ],
+    )
+    b.message(
+        "DeletePointVectors",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("points_selector", 3, "msg:PointsSelector", "optional"),
+            ("vectors", 4, "msg:VectorsSelector", "optional"),
+        ],
+    )
+    b.message(
         "GetPoints",
         [
             ("collection_name", 1, "string", "optional"),
@@ -878,6 +899,7 @@ _MESSAGE_NAMES = [
     "DeleteAlias", "AliasOperations", "ChangeAliases", "ListAliasesRequest",
     "ListCollectionAliasesRequest", "AliasDescription", "ListAliasesResponse",
     "CreateFieldIndexCollection", "DeleteFieldIndexCollection",
+    "PointVectors", "UpdatePointVectors", "DeletePointVectors",
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",

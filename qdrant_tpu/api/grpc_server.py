@@ -440,6 +440,25 @@ class _Services:
             time=0.0,
         )
 
+    def PointsUpdateVectors(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        pts = []
+        for pv in request.points:
+            pts.append(
+                {"id": point_id_to_py(pv.id), "vectors": vectors_to_py(pv.vectors)}
+            )
+        res = coll.update_op({"type": "update_vectors", "points": pts})
+        return self._op_response(res)
+
+    def PointsDeleteVectors(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        op = {
+            "type": "delete_vectors",
+            "names": list(request.vectors.names),
+            **self._selector_to_op(request.points_selector),
+        }
+        return self._op_response(coll.update_op(op))
+
     def PointsGet(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         with_payload = with_payload_to_py(request.with_payload)
@@ -877,6 +896,8 @@ def make_server(
         "qdrant.Points": {
             "Upsert": (svc.PointsUpsert, M["UpsertPoints"]),
             "Delete": (svc.PointsDelete, M["DeletePoints"]),
+            "UpdateVectors": (svc.PointsUpdateVectors, M["UpdatePointVectors"]),
+            "DeleteVectors": (svc.PointsDeleteVectors, M["DeletePointVectors"]),
             "Get": (svc.PointsGet, M["GetPoints"]),
             "Search": (svc.PointsSearch, M["SearchPoints"]),
             "Count": (svc.PointsCount, M["CountPoints"]),

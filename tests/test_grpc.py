@@ -346,3 +346,39 @@ def test_aliases_and_field_index_over_grpc(grpc_env):
     # index exists (payload_schema not in the gRPC subset yet; at least no error)
     df = M["DeleteFieldIndexCollection"](collection_name="g8", field_name="tag")
     unary(grpc_env, "/qdrant.Points/DeleteFieldIndex", df, M["PointsOperationResponse"])
+
+
+def test_update_and_delete_vectors_rpc(grpc_env):
+    create = M["CreateCollection"](collection_name="g9")
+    vp = create.vectors_config.params_map.map["a"]
+    vp.size = 4
+    vp.distance = 3
+    vp2 = create.vectors_config.params_map.map["b"]
+    vp2.size = 4
+    vp2.distance = 3
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="g9")
+    p = up.points.add()
+    p.id.num = 1
+    p.vectors.vectors.vectors["a"].dense.data.extend([1, 0, 0, 0])
+    p.vectors.vectors.vectors["b"].dense.data.extend([0, 1, 0, 0])
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    uv = M["UpdatePointVectors"](collection_name="g9")
+    pv = uv.points.add()
+    pv.id.num = 1
+    pv.vectors.vectors.vectors["a"].dense.data.extend([9, 9, 9, 9])
+    unary(grpc_env, "/qdrant.Points/UpdateVectors", uv, M["PointsOperationResponse"])
+
+    get = M["GetPoints"](collection_name="g9")
+    get.ids.add().num = 1
+    get.with_vectors.enable = True
+    gr = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
+    assert list(gr.result[0].vectors.vectors.vectors["a"].dense.data) == [9.0, 9.0, 9.0, 9.0]
+
+    dv = M["DeletePointVectors"](collection_name="g9")
+    dv.points_selector.points.ids.add().num = 1
+    dv.vectors.names.append("b")
+    unary(grpc_env, "/qdrant.Points/DeleteVectors", dv, M["PointsOperationResponse"])
+    gr = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
+    assert "b" not in gr.result[0].vectors.vectors.vectors
