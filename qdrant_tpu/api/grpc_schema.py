@@ -853,6 +853,46 @@ def _build_pool():
         ],
     )
 
+    # ---- snapshots (snapshots_service.proto) ----
+    b.message("CreateSnapshotRequest", [("collection_name", 1, "string", "optional")])
+    b.message("ListSnapshotsRequest", [("collection_name", 1, "string", "optional")])
+    b.message(
+        "DeleteSnapshotRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("snapshot_name", 2, "string", "optional"),
+        ],
+    )
+    b.message("CreateFullSnapshotRequest", [])
+    b.message("ListFullSnapshotsRequest", [])
+    b.message(
+        "DeleteFullSnapshotRequest", [("snapshot_name", 1, "string", "optional")]
+    )
+    b.message(
+        "SnapshotDescription",
+        [
+            ("name", 1, "string", "optional"),
+            ("creation_time", 2, "wkt:Timestamp", "optional"),
+            ("size", 3, "int64", "optional"),
+            ("checksum", 4, "string", "proto3opt"),
+        ],
+    )
+    b.message(
+        "CreateSnapshotResponse",
+        [
+            ("snapshot_description", 1, "msg:SnapshotDescription", "optional"),
+            ("time", 2, "double", "optional"),
+        ],
+    )
+    b.message(
+        "ListSnapshotsResponse",
+        [
+            ("snapshot_descriptions", 1, "msg:SnapshotDescription", "repeated"),
+            ("time", 2, "double", "optional"),
+        ],
+    )
+    b.message("DeleteSnapshotResponse", [("time", 1, "double", "optional")])
+
     # ---- health (health_check.proto / qdrant.proto) ----
     b.message("HealthCheckRequest", [])
     b.message(
@@ -900,6 +940,10 @@ _MESSAGE_NAMES = [
     "ListCollectionAliasesRequest", "AliasDescription", "ListAliasesResponse",
     "CreateFieldIndexCollection", "DeleteFieldIndexCollection",
     "PointVectors", "UpdatePointVectors", "DeletePointVectors",
+    "CreateSnapshotRequest", "ListSnapshotsRequest", "DeleteSnapshotRequest",
+    "CreateFullSnapshotRequest", "ListFullSnapshotsRequest",
+    "DeleteFullSnapshotRequest", "SnapshotDescription",
+    "CreateSnapshotResponse", "ListSnapshotsResponse", "DeleteSnapshotResponse",
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",

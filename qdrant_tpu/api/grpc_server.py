@@ -815,6 +815,42 @@ class _Services:
         return M["CountResponse"](result=M["CountResult"](count=count), time=0.0)
 
 
+class _SnapshotServices:
+    def __init__(self, toc: TableOfContent):
+        self.toc = toc
+
+    def _describe(self, d: dict):
+        return M["SnapshotDescription"](name=d["name"], size=d["size"])
+
+    def Create(self, request, context):
+        d = self.toc.create_snapshot(request.collection_name)
+        return M["CreateSnapshotResponse"](
+            snapshot_description=self._describe(d), time=0.0
+        )
+
+    def List(self, request, context):
+        resp = M["ListSnapshotsResponse"](time=0.0)
+        for d in self.toc.list_snapshots(request.collection_name):
+            resp.snapshot_descriptions.append(self._describe(d))
+        return resp
+
+    def Delete(self, request, context):
+        self.toc.delete_snapshot(request.collection_name, request.snapshot_name)
+        return M["DeleteSnapshotResponse"](time=0.0)
+
+    def CreateFull(self, request, context):
+        d = self.toc.create_full_snapshot()
+        return M["CreateSnapshotResponse"](
+            snapshot_description=self._describe(d), time=0.0
+        )
+
+    def ListFull(self, request, context):
+        resp = M["ListSnapshotsResponse"](time=0.0)
+        for d in self.toc.list_full_snapshots():
+            resp.snapshot_descriptions.append(self._describe(d))
+        return resp
+
+
 def _wrap(fn, req_cls):
     def handler(request, context):
         try:
@@ -876,7 +912,15 @@ def make_server(
     read_only_api_key: Optional[str] = None,
 ):
     svc = _Services(toc)
+    snap = _SnapshotServices(toc)
     services = {
+        "qdrant.Snapshots": {
+            "Create": (snap.Create, M["CreateSnapshotRequest"]),
+            "List": (snap.List, M["ListSnapshotsRequest"]),
+            "Delete": (snap.Delete, M["DeleteSnapshotRequest"]),
+            "CreateFull": (snap.CreateFull, M["CreateFullSnapshotRequest"]),
+            "ListFull": (snap.ListFull, M["ListFullSnapshotsRequest"]),
+        },
         "qdrant.Qdrant": {
             "HealthCheck": (svc.HealthCheck, M["HealthCheckRequest"]),
         },

@@ -382,3 +382,38 @@ def test_update_and_delete_vectors_rpc(grpc_env):
     unary(grpc_env, "/qdrant.Points/DeleteVectors", dv, M["PointsOperationResponse"])
     gr = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
     assert "b" not in gr.result[0].vectors.vectors.vectors
+
+
+def test_snapshots_service(grpc_env):
+    create = M["CreateCollection"](collection_name="g10")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    resp = unary(
+        grpc_env,
+        "/qdrant.Snapshots/Create",
+        M["CreateSnapshotRequest"](collection_name="g10"),
+        M["CreateSnapshotResponse"],
+    )
+    name = resp.snapshot_description.name
+    assert name and resp.snapshot_description.size > 0
+    lst = unary(
+        grpc_env,
+        "/qdrant.Snapshots/List",
+        M["ListSnapshotsRequest"](collection_name="g10"),
+        M["ListSnapshotsResponse"],
+    )
+    assert any(s.name == name for s in lst.snapshot_descriptions)
+    unary(
+        grpc_env,
+        "/qdrant.Snapshots/Delete",
+        M["DeleteSnapshotRequest"](collection_name="g10", snapshot_name=name),
+        M["DeleteSnapshotResponse"],
+    )
+    full = unary(
+        grpc_env,
+        "/qdrant.Snapshots/CreateFull",
+        M["CreateFullSnapshotRequest"](),
+        M["CreateSnapshotResponse"],
+    )
+    assert full.snapshot_description.name.startswith("full-snapshot-")
