@@ -49,7 +49,13 @@ class ScalarQuantized:
     def encode(cls, vectors: np.ndarray, quantile: float = 0.99) -> "ScalarQuantized":
         v = np.asarray(vectors, dtype=np.float32)
         if v.size:
-            bound = np.quantile(np.abs(v), quantile)
+            # quantile over a value sample — exact quantile over N×D floats is
+            # host-bound (100s at 200k×1536); 1M samples is statistically ample
+            flat = v.reshape(-1)
+            if flat.size > 1_000_000:
+                rng = np.random.default_rng(0)
+                flat = flat[rng.integers(0, flat.size, 1_000_000)]
+            bound = np.quantile(np.abs(flat), quantile)
             bound = max(float(bound), 1e-12)
         else:
             bound = 1.0
