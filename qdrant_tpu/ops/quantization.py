@@ -69,6 +69,19 @@ class ScalarQuantized:
             self._dev = (jnp.asarray(self.codes), jnp.asarray(self.norms_sq))
         return self._dev
 
+    def scan_device(self, block: int):
+        """Block-padded device arrays for the large-N scan path
+        → (codes [N_pad, D], norms [N_pad], n_pad)."""
+        if getattr(self, "_scan_dev", None) is None or self._scan_dev[2] % block:
+            n, d = self.codes.shape
+            n_pad = max((n + block - 1) // block * block, block)
+            codes = np.zeros((n_pad, d), dtype=np.int8)
+            codes[:n] = self.codes
+            norms = np.zeros(n_pad, dtype=np.float32)
+            norms[:n] = self.norms_sq
+            self._scan_dev = (jnp.asarray(codes), jnp.asarray(norms), n_pad)
+        return self._scan_dev
+
     def encode_queries(self, queries: np.ndarray) -> np.ndarray:
         return np.clip(np.round(queries / self.scale), -127, 127).astype(np.int8)
 

@@ -80,6 +80,93 @@ def scan_search(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("blk", "k", "euclid"))
+def scan_search_sq(
+    q_codes: jax.Array,  # [B, D] int8 quantized queries
+    q_norms: jax.Array,  # [B] f32 exact ||q||²
+    codes: jax.Array,  # [N, D] int8 (N multiple of blk)
+    norms: jax.Array,  # [N] f32 exact ||v||²
+    scale: jax.Array,  # scalar f32
+    mask: jax.Array,  # [N] int8
+    blk: int = DEFAULT_BLOCK,
+    k: int = 10,
+    euclid: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blocked int8 scan with the same strided group-reduction top-k — the
+    large-N path for scalar-quantized segments (SQ matmuls on the int8 MXU,
+    scores never materialize at [B, N])."""
+    b = q_codes.shape[0]
+    n = codes.shape[0]
+    nb = n // blk
+    g = blk // LANES
+    c_blocks = codes.reshape(nb, blk, codes.shape[1])
+    n_blocks = norms.reshape(nb, blk)
+    m_blocks = mask.reshape(nb, blk)
+    s2 = scale * scale
+
+    def body(carry, inp):
+        cblk, nrm, mb = inp
+        dots = jax.lax.dot_general(
+            q_codes, cblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * s2
+        if euclid:
+            s = 2.0 * dots - q_norms[:, None] - nrm[None, :]
+        else:
+            s = dots
+        s = jnp.where(mb[None, :] != 0, s, -jnp.inf)
+        s3 = s.reshape(b, g, LANES)
+        return carry, (jnp.max(s3, axis=1), jnp.argmax(s3, axis=1).astype(jnp.int32))
+
+    _, (ms, ams) = jax.lax.scan(body, None, (c_blocks, n_blocks, m_blocks))
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+    ids = (
+        jnp.arange(nb, dtype=jnp.int32)[:, None, None] * blk
+        + ams * LANES
+        + lane[None, None, :]
+    )
+    flat_s = jnp.moveaxis(ms, 0, 1).reshape(b, -1)
+    flat_i = jnp.moveaxis(ids, 0, 1).reshape(b, -1)
+    top_s, ti = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, ti, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "k_fetch", "k", "euclid"))
+def scan_search_sq_rescore(
+    q_codes: jax.Array,  # [B, D] int8
+    q_norms: jax.Array,  # [B] f32
+    codes: jax.Array,  # [N, D] int8
+    norms: jax.Array,  # [N] f32
+    scale: jax.Array,
+    mask: jax.Array,  # [N] int8
+    queries_f32: jax.Array,  # [B, D] f32 (distance-preprocessed)
+    vectors_f32: jax.Array,  # [Nf, D] f32 row-aligned with codes
+    blk: int,
+    k_fetch: int,
+    k: int,
+    euclid: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused int8 blocked scan + exact f32 rescore — one compiled program,
+    one host↔device round trip (the unfused pair is dispatch-bound)."""
+    _, cand = scan_search_sq(
+        q_codes, q_norms, codes, norms, scale, mask, blk, k_fetch, euclid
+    )
+    safe = jnp.maximum(cand, 0)
+    cv = jnp.take(vectors_f32, safe, axis=0)  # [B, kf, D]
+    q = queries_f32[:, : cv.shape[-1]]
+    if euclid:
+        diff = q[:, None, :] - cv
+        re = -jnp.sum(diff * diff, axis=-1)
+    else:
+        re = jnp.einsum("bd,bkd->bk", q, cv, preferred_element_type=jnp.float32)
+    re = jnp.where(cand >= 0, re, -jnp.inf)
+    top_s, ti = jax.lax.top_k(re, k)
+    top_i = jnp.take_along_axis(cand, ti, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("blk", "k_fetch", "k", "euclid"))
 def scan_search_rescore(
     queries: jax.Array,  # [B, D] f32

@@ -30,6 +30,7 @@ from ..ops.distances import (
 )
 from ..types import (
     BinaryQuantizationConfig,
+    Distance,
     TurboQuantizationConfig,
     CollectionParams,
     Datatype,
@@ -522,7 +523,59 @@ class Segment:
         oversampling = params.quantization_oversampling or DEFAULT_OVERSAMPLING
         k_over = min(max(int(k * oversampling), k), max(int(mask.sum()), 1))
 
-        if isinstance(quant, qops.ScalarQuantized):
+        if isinstance(quant, qops.ScalarQuantized) and len(store) >= 65536:
+            # large-N: blocked int8 scan (group-reduction top-k) + f32 rescore
+            from ..ops.scan import DEFAULT_BLOCK, scan_search_sq
+
+            codes_dev, norms_dev, n_pad = quant.scan_device(DEFAULT_BLOCK)
+            mask_pad = np.zeros(n_pad, dtype=np.int8)
+            mask_pad[: len(mask)] = mask[:n_pad]
+            q_codes = quant.encode_queries(q)
+            q_norms = (q * q).sum(axis=1).astype(np.float32)
+            scores = None
+            # group reduction keeps one winner per 128 rows — widen the
+            # candidate set so the f32 rescore recovers full recall
+            k_over = min(max(k_over, 128), max(int(mask.sum()), 1))
+            euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
+            if params.quantization_rescore:
+                from ..ops.scan import scan_search_sq_rescore
+
+                vectors_f32, _ = store.device_block()
+                top_s, top_i = scan_search_sq_rescore(
+                    jnp.asarray(q_codes),
+                    jnp.asarray(q_norms),
+                    codes_dev,
+                    norms_dev,
+                    jnp.float32(quant.scale),
+                    jnp.asarray(mask_pad),
+                    jnp.asarray(q),
+                    vectors_f32.astype(jnp.float32)
+                    if vectors_f32.dtype != jnp.float32
+                    else vectors_f32,
+                    DEFAULT_BLOCK,
+                    k_over,
+                    min(k, k_over),
+                    euclid,
+                )
+                s = np.asarray(top_s, dtype=np.float32)
+                i = np.asarray(top_i, dtype=np.int32)
+                if s.shape[1] < k:
+                    pad = k - s.shape[1]
+                    s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+                    i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+                return s, i
+            top_scores, top_ids = scan_search_sq(
+                jnp.asarray(q_codes),
+                jnp.asarray(q_norms),
+                codes_dev,
+                norms_dev,
+                jnp.float32(quant.scale),
+                jnp.asarray(mask_pad),
+                DEFAULT_BLOCK,
+                k_over,
+                euclid=euclid,
+            )
+        elif isinstance(quant, qops.ScalarQuantized):
             codes_dev, norms_dev = quant.device()
             cap = codes_dev.shape[0]
             mask_pad = np.zeros(cap, dtype=bool)
@@ -571,7 +624,8 @@ class Segment:
 
         import jax.lax
 
-        top_scores, top_ids = jax.lax.top_k(scores, k_over)
+        if scores is not None:
+            top_scores, top_ids = jax.lax.top_k(scores, k_over)
         if not params.quantization_rescore:
             s = np.asarray(top_scores)[:, :k]
             i = np.asarray(top_ids, dtype=np.int32)[:, :k]

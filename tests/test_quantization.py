@@ -151,3 +151,44 @@ def test_tq_ranking_and_roundtrip(tmp_path):
     tq2.save(str(tmp_path / "tq15"))
     loaded2 = qops.TurboQuantized.load(str(tmp_path / "tq15"))
     np.testing.assert_array_equal(tq2.codes, loaded2.codes)
+
+
+def test_sq_large_segment_scan_path():
+    """>=65536-point SQ segments route through the blocked int8 scan
+    (ops/scan.py scan_search_sq) and still rescore to exact top-k."""
+    import numpy as np
+
+    from qdrant_tpu.storage.segment import Segment
+    from qdrant_tpu.types import (
+        CollectionParams,
+        Distance,
+        ScalarQuantizationConfig,
+        VectorParams,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 70000, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    params = CollectionParams(
+        vectors={
+            "": VectorParams(
+                size=d,
+                distance=Distance.EUCLID,
+                quantization_config=ScalarQuantizationConfig(quantile=0.99),
+            )
+        }
+    )
+    seg = Segment(params)
+    for i in range(n):
+        seg.upsert_point(i + 1, i, {"": vecs[i]})
+    # encode SQ directly (skip the HNSW build — scan path under test)
+    from qdrant_tpu.ops import quantization as qops
+
+    seg.quantized[""] = qops.ScalarQuantized.encode(
+        seg.dense[""].host_array, 0.99
+    )
+    q = vecs[123] + rng.standard_normal(d).astype(np.float32) * 0.01
+    _, ids = seg.search_dense("", q[None], k=10)
+    diff = vecs - q[None]
+    exact = np.argsort((diff * diff).sum(axis=1))[:10]
+    assert len(set(ids[0].tolist()) & set(int(i) for i in exact)) >= 8
