@@ -36,6 +36,9 @@ class TableOfContent:
         self.collections: Dict[str, Collection] = {}
         self.aliases: Dict[str, str] = {}  # alias → collection name
         self._lock = threading.RLock()
+        # with a flush thread present, optimizer work (seal/merge/vacuum)
+        # moves off the write path onto that thread
+        self._background_opt = bool(flush_interval_sec)
         self._load()
         # periodic flush (reference: storage.optimizers.flush_interval_sec)
         self._flush_stop = threading.Event()
@@ -52,6 +55,23 @@ class TableOfContent:
                 self.flush_all()
             except Exception:
                 pass  # a failed background flush must not kill the server
+            try:
+                self.optimize_all()
+            except Exception:
+                pass
+
+    def _adopt(self, coll) -> None:
+        coll.defer_optimizers = self._background_opt
+        for shard in coll.shards.values():
+            shard.defer_optimizers = self._background_opt
+
+    def optimize_all(self) -> None:
+        """One optimizer pass over every shard (seal/merge/vacuum). Runs on
+        the background flush thread so index builds never stall writes
+        (reference: update_handler.rs optimizer worker)."""
+        for coll in list(self.collections.values()):
+            for shard in list(coll.shards.values()):
+                shard.maybe_optimize()
 
     # -- persistence of toc state -------------------------------------------
 
@@ -63,6 +83,7 @@ class TableOfContent:
             path = os.path.join(self.collections_path, name)
             if os.path.isfile(os.path.join(path, "collection.json")):
                 self.collections[name] = Collection.load(name, path)
+                self._adopt(self.collections[name])
         if os.path.exists(self._aliases_file()):
             with open(self._aliases_file()) as f:
                 self.aliases = json.load(f)
@@ -121,6 +142,7 @@ class TableOfContent:
                     spec.get("strict_mode_config")
                 ),
             )
+            self._adopt(coll)
             self.collections[name] = coll
             return True
 

@@ -65,6 +65,7 @@ class Collection:
         self.params = params
         self.hnsw_config = hnsw_config or HnswConfig()
         self.optimizers_config = optimizers_config or OptimizersConfig()
+        self.defer_optimizers = False
         self.wal_config = wal_config or WalConfig()
         self.strict_mode_config = strict_mode_config or StrictModeConfig()
         self.created_at = time.time()
@@ -100,6 +101,7 @@ class Collection:
         shard = LocalShard(
             self._shard_path(shard_id), self.params, self.optimizers_config
         )
+        shard.defer_optimizers = self.defer_optimizers
         self.shards[shard_id] = shard
         return shard
 
@@ -600,6 +602,7 @@ class Collection:
         coll.params = params
         coll.hnsw_config = HnswConfig.from_dict(cfg.get("hnsw_config"))
         coll.optimizers_config = OptimizersConfig.from_dict(cfg.get("optimizers_config"))
+        coll.defer_optimizers = False
         coll.wal_config = WalConfig.from_dict(cfg.get("wal_config"))
         coll.strict_mode_config = StrictModeConfig.from_dict(
             cfg.get("strict_mode_config")
@@ -619,6 +622,7 @@ class Collection:
                 coll.shards[sid] = LocalShard(
                     os.path.join(shards_root, sub), params, coll.optimizers_config
                 )
+                coll.shards[sid].defer_optimizers = coll.defer_optimizers
         if params.sharding_method != "custom":
             for sid in coll.shards:
                 coll.ring.add(sid)

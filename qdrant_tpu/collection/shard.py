@@ -68,6 +68,11 @@ class LocalShard:
         self.segments: List[Segment] = []
         self._segment_dirs: Dict[int, str] = {}  # id(segment) → dir name
         self._seg_counter = 0
+        # when True, updates never run the optimizer inline — a background
+        # loop (TableOfContent._flush_loop) drives maybe_optimize() instead,
+        # so seal/merge/vacuum index builds don't stall the write path
+        # (reference: update_handler.rs optimizer worker pool)
+        self.defer_optimizers = False
         self._load_segments()
         if not any(s.appendable for s in self.segments):
             self._add_segment(Segment(params, appendable=True))
@@ -132,8 +137,8 @@ class LocalShard:
                 op = {**op, "clock_tag": clock_tag}
             op_num = self.wal.append(op)
             self._apply(op_num, op)
-            if wait:
-                self.maybe_optimize()
+        if wait and not self.defer_optimizers:
+            self.maybe_optimize()
             return {
                 "operation_id": op_num,
                 "status": "completed" if wait else "acknowledged",
@@ -439,38 +444,59 @@ class LocalShard:
     # ------------------------------------------------------------------
 
     def maybe_optimize(self) -> bool:
+        """Run one optimization cycle: plan under the shard lock, defragment
+        under the lock (host copy, fast), build indexes with the lock RELEASED
+        (the long TPU phase), then swap in the result iff no write raced the
+        victims (segment version check) — otherwise replan. Bounded replans;
+        anything left resumes on the next cycle."""
         did = False
+        for _ in range(8):
+            with self._lock:
+                plan = self._plan_optimization()
+                if plan is None:
+                    break
+                victims, appendable, need_index = plan
+                new_seg = self._defragment_into(victims, appendable=appendable)
+                versions = [v.version for v in victims]
+            if need_index:
+                new_seg.build_indexes()  # no shard lock held — writes proceed
+            with self._lock:
+                if any(v not in self.segments for v in victims) or [
+                    v.version for v in victims
+                ] != versions:
+                    continue  # a write landed on a victim mid-build — replan
+                self._swap(victims, new_seg)
+            did = True
+        return did
+
+    def _plan_optimization(self):
+        """→ (victim segments, result appendable?, build index?) or None."""
         # indexing: seal a big appendable segment
-        for seg in list(self.segments):
-            if seg.appendable and seg.available_point_count() >= self.optimizers.indexing_threshold:
-                self._seal_segment(seg)
-                did = True
+        for seg in self.segments:
+            if (
+                seg.appendable
+                and seg.available_point_count() >= self.optimizers.indexing_threshold
+            ):
+                return [seg], False, True
         # merge: too many sealed segments → combine the smallest ones
         # (reference: merge_optimizer)
         max_segments = self.optimizers.default_segment_number or 8
         sealed = [s for s in self.segments if not s.appendable]
         if len(sealed) > max_segments:
             sealed.sort(key=lambda s: len(s))
-            n_merge = len(sealed) - max_segments + 1
-            victims = sealed[:n_merge]
-            merged = self._defragment_into(victims, appendable=False)
-            if any(v.hnsw for v in victims):
-                merged.build_indexes()
-            self._swap(victims, merged)
-            did = True
+            victims = sealed[: len(sealed) - max_segments + 1]
+            return victims, False, any(bool(v.hnsw) for v in victims)
         # vacuum: rebuild sealed segments with too many deletes
-        for seg in list(self.segments):
+        for seg in self.segments:
             total = seg.total_offsets
             if (
                 not seg.appendable
                 and total >= self.optimizers.vacuum_min_vector_number
                 and total > 0
             ):
-                deleted_frac = 1.0 - (len(seg) / total)
-                if deleted_frac > self.optimizers.deleted_threshold:
-                    self._rebuild_segment(seg)
-                    did = True
-        return did
+                if 1.0 - (len(seg) / total) > self.optimizers.deleted_threshold:
+                    return [seg], not bool(seg.hnsw), bool(seg.hnsw)
+        return None
 
     def _defragment_into(self, sources: List[Segment], appendable: bool) -> Segment:
         """New segment from the live points of `sources` (drops deleted rows —
@@ -491,26 +517,17 @@ class LocalShard:
         seg.version = max((s.version for s in sources), default=0)
         return seg
 
-    def _seal_segment(self, seg: Segment) -> None:
-        new_seg = self._defragment_into([seg], appendable=False)
-        new_seg.build_indexes()
-        self._swap([seg], new_seg)
-
-    def _rebuild_segment(self, seg: Segment) -> None:
-        had_index = bool(seg.hnsw)
-        new_seg = self._defragment_into([seg], appendable=not had_index)
-        if had_index:
-            new_seg.build_indexes()
-        self._swap([seg], new_seg)
-
     def _swap(self, old: List[Segment], new: Segment) -> None:
+        remaining = [s for s in self.segments if s not in old]
         for seg in old:
             name = self._segment_dirs.pop(id(seg), None)
-            self.segments.remove(seg)
             if name:
                 full = os.path.join(self._segments_root(), name)
                 if os.path.isdir(full):
                     shutil.rmtree(full)
+        # single reference assignment: unlocked readers iterating the old
+        # list keep a consistent snapshot
+        self.segments = remaining
         self._add_segment(new)
         self.flush()
 

@@ -207,3 +207,20 @@ def test_concurrent_updates_and_searches(tmp_path):
         t.join()
     assert not errors, errors
     assert shard.point_count() == 150
+
+
+def test_shard_defer_optimizers(tmp_path):
+    """With defer_optimizers the write path never seals; the background
+    pass (maybe_optimize) does, without losing points."""
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(60, 16)).astype(np.float32)
+    opt = OptimizersConfig(indexing_threshold=50, vacuum_min_vector_number=10**9)
+    shard = LocalShard(str(tmp_path / "s"), make_params(), opt)
+    shard.defer_optimizers = True
+    shard.update(upsert_op(list(range(60)), data))
+    assert all(s.appendable for s in shard.segments)
+    assert shard.maybe_optimize()
+    assert any(not s.appendable for s in shard.segments)
+    assert shard.point_count() == 60
+    res = shard.search_dense("", data[:1], k=1)
+    assert res[0][0][1] == 0
