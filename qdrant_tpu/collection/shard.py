@@ -75,7 +75,7 @@ class LocalShard:
         self.defer_optimizers = False
         self._load_segments()
         if not any(s.appendable for s in self.segments):
-            self._add_segment(Segment(params, appendable=True))
+            self._add_segment(self._fresh_appendable())
         self._replay_wal()
 
     # ------------------------------------------------------------------
@@ -110,12 +110,21 @@ class LocalShard:
         for op_num, op in self.wal.read_from(from_version):
             self._apply(op_num, op)
 
+    def _fresh_appendable(self) -> Segment:
+        # a new appendable is up to date with everything already applied:
+        # stamping it with the newest segment version keeps WAL replay
+        # (which starts at min(segment versions)+1) from re-running the
+        # whole log every restart
+        seg = Segment(self.params, appendable=True)
+        seg.version = max((s.version for s in self.segments), default=0)
+        return seg
+
     @property
     def appendable_segment(self) -> Segment:
         for seg in self.segments:
             if seg.appendable:
                 return seg
-        seg = Segment(self.params, appendable=True)
+        seg = self._fresh_appendable()
         self._add_segment(seg)
         return seg
 
@@ -216,6 +225,14 @@ class LocalShard:
                 payload = point.get("payload")
                 target = self._find_point(ext)
                 appendable = self.appendable_segment
+                if target is not None:
+                    cur = target.point_version(ext)
+                    if cur is not None and op_num < cur:
+                        # stale (replayed) upsert: a newer op already touched
+                        # this point — moving it anyway would duplicate it in
+                        # the appendable segment while the versioned delete
+                        # on the old segment no-ops
+                        continue
                 if target is not None and target is not appendable:
                     # move point into the appendable segment (copy-on-write
                     # semantics of the reference's proxy segments)

@@ -159,6 +159,12 @@ class Segment:
     # write ops (idempotent by op_num; reference: segment/entry.rs)
     # ------------------------------------------------------------------
 
+    def point_version(self, external_id: PointId) -> Optional[int]:
+        internal = self.id_tracker.internal_id(external_id)
+        if internal is None:
+            return None
+        return self.id_tracker.version(internal)
+
     def _stale(self, external_id: PointId, op_num: int) -> bool:
         internal = self.id_tracker.internal_id(external_id)
         if internal is None:

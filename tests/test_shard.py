@@ -224,3 +224,29 @@ def test_shard_defer_optimizers(tmp_path):
     assert shard.point_count() == 60
     res = shard.search_dense("", data[:1], k=1)
     assert res[0][0][1] == 0
+
+
+def test_wal_replay_no_duplicates_after_payload_bump(tmp_path):
+    """Restart replay must not duplicate points whose version was bumped by a
+    later set_payload: the stale upsert's move-delete no-ops (version guard)
+    while the re-insert used to land a second copy in the appendable segment."""
+    rng = np.random.default_rng(12)
+    data = rng.normal(size=(40, 16)).astype(np.float32)
+    path = str(tmp_path / "s")
+    opt = OptimizersConfig(indexing_threshold=30, vacuum_min_vector_number=10**9)
+    shard = LocalShard(path, make_params(), opt)
+    shard.update(upsert_op(list(range(40)), data))  # seals at 30
+    assert any(not s.appendable for s in shard.segments)
+    shard.update({"type": "set_payload", "ids": list(range(10)), "payload": {"tier": 1}})
+    shard.flush()
+    # simulate a restart where one segment lags (forces WAL replay from 0)
+    for seg in shard.segments:
+        if seg.appendable:
+            seg.version = 0
+    shard.flush()
+    shard2 = LocalShard(path, make_params(), opt)
+    assert shard2.point_count() == 40
+    # fresh appendable at startup must carry the newest version forward
+    shard2.flush()
+    shard3 = LocalShard(path, make_params(), opt)
+    assert shard3.point_count() == 40
