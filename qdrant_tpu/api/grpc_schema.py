@@ -726,6 +726,336 @@ def _build_pool():
         [("result", 1, "msg:BatchResult", "repeated"), ("time", 2, "double", "optional")],
     )
 
+    # ---- discover / recommend-batch (points.proto:733-847) ----
+    b.message(
+        "VectorExample",
+        [("id", 1, "msg:PointId", "optional"), ("vector", 2, "msg:Vector", "optional")],
+        oneofs={"example": ["id", "vector"]},
+    )
+    b.message(
+        "TargetVector",
+        [("single", 1, "msg:VectorExample", "optional")],
+        oneofs={"target": ["single"]},
+    )
+    b.message(
+        "ContextExamplePair",
+        [
+            ("positive", 1, "msg:VectorExample", "optional"),
+            ("negative", 2, "msg:VectorExample", "optional"),
+        ],
+    )
+    b.message(
+        "LookupLocation",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("vector_name", 2, "string", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DiscoverPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("target", 2, "msg:TargetVector", "optional"),
+            ("context", 3, "msg:ContextExamplePair", "repeated"),
+            ("filter", 4, "msg:Filter", "optional"),
+            ("limit", 5, "uint64", "optional"),
+            ("with_payload", 6, "msg:WithPayloadSelector", "optional"),
+            ("params", 7, "msg:SearchParams", "optional"),
+            ("offset", 8, "uint64", "proto3opt"),
+            ("using", 9, "string", "proto3opt"),
+            ("with_vectors", 10, "msg:WithVectorsSelector", "proto3opt"),
+            ("lookup_from", 11, "msg:LookupLocation", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DiscoverResponse",
+        [("result", 1, "msg:ScoredPoint", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "DiscoverBatchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("discover_points", 2, "msg:DiscoverPoints", "repeated"),
+        ],
+    )
+    b.message(
+        "DiscoverBatchResponse",
+        [("result", 1, "msg:BatchResult", "repeated"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "RecommendBatchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("recommend_points", 2, "msg:RecommendPoints", "repeated"),
+        ],
+    )
+    b.message(
+        "RecommendBatchResponse",
+        [("result", 1, "msg:BatchResult", "repeated"), ("time", 2, "double", "optional")],
+    )
+
+    # ---- groups (points.proto:576-612, 743-787, 1155-1196, 1425-1448) ----
+    b.message(
+        "WithLookup",
+        [
+            ("collection", 1, "string", "optional"),
+            ("with_payload", 2, "msg:WithPayloadSelector", "proto3opt"),
+            ("with_vectors", 3, "msg:WithVectorsSelector", "proto3opt"),
+        ],
+    )
+    b.message(
+        "SearchPointGroups",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("vector", 2, "float", "repeated"),
+            ("filter", 3, "msg:Filter", "optional"),
+            ("limit", 4, "uint32", "optional"),
+            ("with_payload", 5, "msg:WithPayloadSelector", "optional"),
+            ("params", 6, "msg:SearchParams", "optional"),
+            ("score_threshold", 7, "float", "proto3opt"),
+            ("vector_name", 8, "string", "proto3opt"),
+            ("with_vectors", 9, "msg:WithVectorsSelector", "proto3opt"),
+            ("group_by", 10, "string", "optional"),
+            ("group_size", 11, "uint32", "optional"),
+            ("with_lookup", 13, "msg:WithLookup", "proto3opt"),
+        ],
+    )
+    b.message(
+        "RecommendPointGroups",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("positive", 2, "msg:PointId", "repeated"),
+            ("negative", 3, "msg:PointId", "repeated"),
+            ("filter", 4, "msg:Filter", "optional"),
+            ("limit", 5, "uint32", "optional"),
+            ("with_payload", 6, "msg:WithPayloadSelector", "optional"),
+            ("params", 7, "msg:SearchParams", "optional"),
+            ("score_threshold", 8, "float", "proto3opt"),
+            ("using", 9, "string", "proto3opt"),
+            ("with_vectors", 10, "msg:WithVectorsSelector", "proto3opt"),
+            ("lookup_from", 11, "msg:LookupLocation", "proto3opt"),
+            ("group_by", 12, "string", "optional"),
+            ("group_size", 13, "uint32", "optional"),
+            ("with_lookup", 15, "msg:WithLookup", "proto3opt"),
+            ("strategy", 17, "enum:RecommendStrategy", "proto3opt"),
+            ("positive_vectors", 18, "msg:Vector", "repeated"),
+            ("negative_vectors", 19, "msg:Vector", "repeated"),
+        ],
+    )
+    b.message(
+        "QueryPointGroups",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("prefetch", 2, "msg:PrefetchQuery", "repeated"),
+            ("query", 3, "msg:Query", "proto3opt"),
+            ("using", 4, "string", "proto3opt"),
+            ("filter", 5, "msg:Filter", "proto3opt"),
+            ("params", 6, "msg:SearchParams", "proto3opt"),
+            ("score_threshold", 7, "float", "proto3opt"),
+            ("with_payload", 8, "msg:WithPayloadSelector", "optional"),
+            ("with_vectors", 9, "msg:WithVectorsSelector", "proto3opt"),
+            ("lookup_from", 10, "msg:LookupLocation", "proto3opt"),
+            ("limit", 11, "uint64", "proto3opt"),
+            ("group_size", 12, "uint64", "proto3opt"),
+            ("group_by", 13, "string", "optional"),
+            ("with_lookup", 15, "msg:WithLookup", "proto3opt"),
+        ],
+    )
+    b.message(
+        "GroupId",
+        [
+            ("unsigned_value", 1, "uint64", "optional"),
+            ("integer_value", 2, "int64", "optional"),
+            ("string_value", 3, "string", "optional"),
+        ],
+        oneofs={"kind": ["unsigned_value", "integer_value", "string_value"]},
+    )
+    b.message(
+        "PointGroup",
+        [
+            ("id", 1, "msg:GroupId", "optional"),
+            ("hits", 2, "msg:ScoredPoint", "repeated"),
+            ("lookup", 3, "msg:RetrievedPoint", "optional"),
+        ],
+    )
+    b.message("GroupsResult", [("groups", 1, "msg:PointGroup", "repeated")])
+    for n in ("SearchGroupsResponse", "RecommendGroupsResponse", "QueryGroupsResponse"):
+        b.message(
+            n,
+            [
+                ("result", 1, "msg:GroupsResult", "optional"),
+                ("time", 2, "double", "optional"),
+            ],
+        )
+
+    # ---- facets (points.proto:1197-1232) ----
+    b.message(
+        "FacetCounts",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("key", 2, "string", "optional"),
+            ("filter", 3, "msg:Filter", "proto3opt"),
+            ("limit", 4, "uint64", "proto3opt"),
+            ("exact", 5, "bool", "proto3opt"),
+        ],
+    )
+    b.message(
+        "FacetValue",
+        [
+            ("string_value", 1, "string", "optional"),
+            ("integer_value", 2, "int64", "optional"),
+            ("bool_value", 3, "bool", "optional"),
+        ],
+        oneofs={"variant": ["string_value", "integer_value", "bool_value"]},
+    )
+    b.message(
+        "FacetHit",
+        [("value", 1, "msg:FacetValue", "optional"), ("count", 2, "uint64", "optional")],
+    )
+    b.message(
+        "FacetResponse",
+        [("hits", 1, "msg:FacetHit", "repeated"), ("time", 2, "double", "optional")],
+    )
+
+    # ---- distance matrix (points.proto:1234-1276) ----
+    b.message(
+        "SearchMatrixPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("filter", 2, "msg:Filter", "proto3opt"),
+            ("sample", 3, "uint64", "proto3opt"),
+            ("limit", 4, "uint64", "proto3opt"),
+            ("using", 5, "string", "proto3opt"),
+        ],
+    )
+    b.message(
+        "SearchMatrixPair",
+        [
+            ("a", 1, "msg:PointId", "optional"),
+            ("b", 2, "msg:PointId", "optional"),
+            ("score", 3, "float", "optional"),
+        ],
+    )
+    b.message("SearchMatrixPairs", [("pairs", 1, "msg:SearchMatrixPair", "repeated")])
+    b.message(
+        "SearchMatrixOffsets",
+        [
+            ("offsets_row", 1, "uint64", "repeated"),
+            ("offsets_col", 2, "uint64", "repeated"),
+            ("scores", 3, "float", "repeated"),
+            ("ids", 4, "msg:PointId", "repeated"),
+        ],
+    )
+    b.message(
+        "SearchMatrixPairsResponse",
+        [
+            ("result", 1, "msg:SearchMatrixPairs", "optional"),
+            ("time", 2, "double", "optional"),
+        ],
+    )
+    b.message(
+        "SearchMatrixOffsetsResponse",
+        [
+            ("result", 1, "msg:SearchMatrixOffsets", "optional"),
+            ("time", 2, "double", "optional"),
+        ],
+    )
+
+    # ---- batch update (points.proto:1278-1366; nested operation messages
+    # are modeled as top-level types — wire format is identical) ----
+    b.message(
+        "PointStructList",
+        [("points", 1, "msg:PointStruct", "repeated")],
+    )
+    b.message(
+        "SetPayloadOp",
+        [
+            ("payload", 1, "map:string,Value", "repeated"),
+            ("points_selector", 2, "msg:PointsSelector", "proto3opt"),
+            ("key", 4, "string", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DeletePayloadOp",
+        [
+            ("keys", 1, "string", "repeated"),
+            ("points_selector", 2, "msg:PointsSelector", "proto3opt"),
+        ],
+    )
+    b.message("UpdateVectorsOp", [("points", 1, "msg:PointVectors", "repeated")])
+    b.message(
+        "DeleteVectorsOp",
+        [
+            ("points_selector", 1, "msg:PointsSelector", "optional"),
+            ("vectors", 2, "msg:VectorsSelector", "optional"),
+        ],
+    )
+    b.message("DeletePointsOp", [("points", 1, "msg:PointsSelector", "optional")])
+    b.message("ClearPayloadOp", [("points", 1, "msg:PointsSelector", "optional")])
+    b.message(
+        "PointsUpdateOperation",
+        [
+            ("upsert", 1, "msg:PointStructList", "optional"),
+            ("delete_deprecated", 2, "msg:PointsSelector", "optional"),
+            ("set_payload", 3, "msg:SetPayloadOp", "optional"),
+            ("overwrite_payload", 4, "msg:SetPayloadOp", "optional"),
+            ("delete_payload", 5, "msg:DeletePayloadOp", "optional"),
+            ("clear_payload_deprecated", 6, "msg:PointsSelector", "optional"),
+            ("update_vectors", 7, "msg:UpdateVectorsOp", "optional"),
+            ("delete_vectors", 8, "msg:DeleteVectorsOp", "optional"),
+            ("delete_points", 9, "msg:DeletePointsOp", "optional"),
+            ("clear_payload", 10, "msg:ClearPayloadOp", "optional"),
+        ],
+        oneofs={
+            "operation": [
+                "upsert", "delete_deprecated", "set_payload", "overwrite_payload",
+                "delete_payload", "clear_payload_deprecated", "update_vectors",
+                "delete_vectors", "delete_points", "clear_payload",
+            ]
+        },
+    )
+    b.message(
+        "UpdateBatchPoints",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("wait", 2, "bool", "proto3opt"),
+            ("operations", 3, "msg:PointsUpdateOperation", "repeated"),
+        ],
+    )
+    b.message(
+        "UpdateBatchResponse",
+        [("result", 1, "msg:UpdateResult", "repeated"), ("time", 2, "double", "optional")],
+    )
+
+    # ---- collection update diffs (collections.proto:229-331, 575-596) ----
+    b.message(
+        "HnswConfigDiff",
+        [
+            ("m", 1, "uint64", "proto3opt"),
+            ("ef_construct", 2, "uint64", "proto3opt"),
+            ("full_scan_threshold", 3, "uint64", "proto3opt"),
+            ("payload_m", 6, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "OptimizersConfigDiff",
+        [
+            ("deleted_threshold", 1, "double", "proto3opt"),
+            ("vacuum_min_vector_number", 2, "uint64", "proto3opt"),
+            ("default_segment_number", 3, "uint64", "proto3opt"),
+            ("indexing_threshold", 6, "uint64", "proto3opt"),
+            ("flush_interval_sec", 7, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "UpdateCollection",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("optimizers_config", 2, "msg:OptimizersConfigDiff", "proto3opt"),
+            ("hnsw_config", 5, "msg:HnswConfigDiff", "proto3opt"),
+        ],
+    )
+
     # ---- collections (collections.proto subset) ----
     b.message("GetCollectionInfoRequest", [("collection_name", 1, "string", "optional")])
     b.message("CollectionExistsRequest", [("collection_name", 1, "string", "optional")])
@@ -948,6 +1278,20 @@ _MESSAGE_NAMES = [
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",
     "CollectionOperationResponse", "HealthCheckRequest", "HealthCheckReply",
+    "VectorExample", "TargetVector", "ContextExamplePair", "LookupLocation",
+    "DiscoverPoints", "DiscoverResponse", "DiscoverBatchPoints",
+    "DiscoverBatchResponse", "RecommendBatchPoints", "RecommendBatchResponse",
+    "WithLookup", "SearchPointGroups", "RecommendPointGroups",
+    "QueryPointGroups", "GroupId", "PointGroup", "GroupsResult",
+    "SearchGroupsResponse", "RecommendGroupsResponse", "QueryGroupsResponse",
+    "FacetCounts", "FacetValue", "FacetHit", "FacetResponse",
+    "SearchMatrixPoints", "SearchMatrixPair", "SearchMatrixPairs",
+    "SearchMatrixOffsets", "SearchMatrixPairsResponse",
+    "SearchMatrixOffsetsResponse", "PointStructList", "SetPayloadOp",
+    "DeletePayloadOp", "UpdateVectorsOp", "DeleteVectorsOp", "DeletePointsOp",
+    "ClearPayloadOp", "PointsUpdateOperation", "UpdateBatchPoints",
+    "UpdateBatchResponse", "HnswConfigDiff", "OptimizersConfigDiff",
+    "UpdateCollection",
 ]
 
 MESSAGES: Dict[str, type] = {

@@ -320,6 +320,27 @@ class _Services:
         ok = self.toc.create_collection(request.collection_name, spec)
         return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
 
+    def CollectionsUpdate(self, request, context):
+        spec: Dict[str, Any] = {}
+        if request.HasField("optimizers_config"):
+            oc = request.optimizers_config
+            d = {}
+            for f in ("deleted_threshold", "vacuum_min_vector_number",
+                      "default_segment_number", "indexing_threshold",
+                      "flush_interval_sec"):
+                if oc.HasField(f):
+                    d[f] = getattr(oc, f)
+            spec["optimizers_config"] = d
+        if request.HasField("hnsw_config"):
+            hc = request.hnsw_config
+            d = {}
+            for f in ("m", "ef_construct", "full_scan_threshold", "payload_m"):
+                if hc.HasField(f):
+                    d[f] = getattr(hc, f)
+            spec["hnsw_config"] = d
+        ok = self.toc.update_collection(request.collection_name, spec)
+        return M["CollectionOperationResponse"](result=ok, time=0.0)
+
     def CollectionsDelete(self, request, context):
         ok = self.toc.delete_collection(request.collection_name)
         return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
@@ -611,6 +632,15 @@ class _Services:
         }
         return self._op_response(coll.update_op(op))
 
+    def PointsOverwritePayload(self, request, context):
+        coll = self.toc.get_collection(request.collection_name)
+        op = {
+            "type": "overwrite_payload",
+            "payload": {k: value_to_py(v) for k, v in request.payload.items()},
+            **self._selector_to_op(request.points_selector),
+        }
+        return self._op_response(coll.update_op(op))
+
     def PointsDeletePayload(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         op = {
@@ -807,6 +837,274 @@ class _Services:
             batch.result.extend(single.result)
         return resp
 
+    # -- discover / batch recommend (reference: points_service.proto:65-111) --
+
+    def _example_to_py(self, ex):
+        if ex.HasField("id"):
+            return point_id_to_py(ex.id)
+        return vector_to_py(ex.vector)
+
+    def _fill_scored(self, container, hits):
+        for h in hits:
+            sp = container.add(
+                id=py_to_point_id(h["id"]),
+                score=float(h.get("score", 0.0)),
+                version=h.get("version", 0),
+            )
+            for k, v in (h.get("payload") or {}).items():
+                sp.payload[k].CopyFrom(py_to_value(v))
+
+    def _discover_body(self, request) -> Dict[str, Any]:
+        body: Dict[str, Any] = {
+            "context": [
+                {
+                    "positive": self._example_to_py(p.positive),
+                    "negative": self._example_to_py(p.negative),
+                }
+                for p in request.context
+            ],
+            "limit": request.limit or 10,
+            "offset": request.offset if request.HasField("offset") else 0,
+            "using": request.using if request.HasField("using") else "",
+            "filter": filter_to_dict(request.filter),
+            "with_payload": with_payload_to_py(request.with_payload),
+        }
+        if request.HasField("target") and request.target.HasField("single"):
+            body["target"] = self._example_to_py(request.target.single)
+        return body
+
+    def PointsDiscover(self, request, context):
+        from .rest import h_discover
+
+        hits = h_discover(
+            self.toc, {"name": request.collection_name}, self._discover_body(request), {}
+        )
+        resp = M["DiscoverResponse"](time=0.0)
+        self._fill_scored(resp.result, hits)
+        return resp
+
+    def PointsDiscoverBatch(self, request, context):
+        resp = M["DiscoverBatchResponse"](time=0.0)
+        for sub in request.discover_points:
+            if not sub.collection_name:
+                sub.collection_name = request.collection_name
+            single = self.PointsDiscover(sub, context)
+            resp.result.add().result.extend(single.result)
+        return resp
+
+    def PointsRecommendBatch(self, request, context):
+        resp = M["RecommendBatchResponse"](time=0.0)
+        for sub in request.recommend_points:
+            if not sub.collection_name:
+                sub.collection_name = request.collection_name
+            single = self.PointsRecommend(sub, context)
+            resp.result.add().result.extend(single.result)
+        return resp
+
+    # -- groups (reference: points_service.proto:56-58, 79-81, 128-130) --
+
+    def _fill_groups(self, resp, groups):
+        res = resp.result
+        for g in groups:
+            pg = res.groups.add()
+            gid = g.get("id")
+            if isinstance(gid, bool):
+                pg.id.string_value = str(gid).lower()
+            elif isinstance(gid, int):
+                if gid >= 0:
+                    pg.id.unsigned_value = gid
+                else:
+                    pg.id.integer_value = gid
+            else:
+                pg.id.string_value = str(gid)
+            self._fill_scored(pg.hits, g.get("hits") or [])
+        return resp
+
+    def PointsSearchGroups(self, request, context):
+        from .rest import h_search_groups
+
+        body = {
+            "vector": (
+                {"name": request.vector_name, "vector": list(request.vector)}
+                if request.HasField("vector_name")
+                else list(request.vector)
+            ),
+            "filter": filter_to_dict(request.filter),
+            "limit": request.limit or 3,
+            "group_by": request.group_by,
+            "group_size": request.group_size or 3,
+            "with_payload": with_payload_to_py(request.with_payload),
+            "score_threshold": (
+                request.score_threshold
+                if request.HasField("score_threshold")
+                else None
+            ),
+        }
+        out = h_search_groups(self.toc, {"name": request.collection_name}, body, {})
+        return self._fill_groups(M["SearchGroupsResponse"](time=0.0), out["groups"])
+
+    def PointsRecommendGroups(self, request, context):
+        from .rest import h_recommend_groups
+
+        body = {
+            "positive": [point_id_to_py(p) for p in request.positive]
+            + [vector_to_py(v) for v in request.positive_vectors],
+            "negative": [point_id_to_py(p) for p in request.negative]
+            + [vector_to_py(v) for v in request.negative_vectors],
+            "filter": filter_to_dict(request.filter),
+            "limit": request.limit or 3,
+            "using": request.using if request.HasField("using") else "",
+            "group_by": request.group_by,
+            "group_size": request.group_size or 3,
+            "with_payload": with_payload_to_py(request.with_payload),
+        }
+        out = h_recommend_groups(self.toc, {"name": request.collection_name}, body, {})
+        return self._fill_groups(M["RecommendGroupsResponse"](time=0.0), out["groups"])
+
+    def PointsQueryGroups(self, request, context):
+        from ..collection.query import QueryExecutor, QueryRequest
+
+        coll = self.toc.get_collection(request.collection_name)
+        d: Dict[str, Any] = {
+            "using": request.using if request.HasField("using") else "",
+            "filter": filter_to_dict(request.filter)
+            if request.HasField("filter")
+            else None,
+            "limit": request.limit if request.HasField("limit") else 3,
+            "group_by": request.group_by,
+            "group_size": request.group_size if request.HasField("group_size") else 3,
+            "with_payload": with_payload_to_py(request.with_payload)
+            if request.HasField("with_payload")
+            else False,
+        }
+        if request.prefetch:
+            d["prefetch"] = [self._prefetch_to_dict(p) for p in request.prefetch]
+        if request.HasField("query"):
+            d["query"] = self._query_to_dict(request.query)
+        groups = QueryExecutor(coll, self.toc).query_groups(QueryRequest(d))
+        return self._fill_groups(M["QueryGroupsResponse"](time=0.0), groups)
+
+    # -- facets + distance matrix (reference: points_service.proto:132-138) --
+
+    def PointsFacet(self, request, context):
+        from .rest import h_facet
+
+        body = {
+            "key": request.key,
+            "limit": request.limit if request.HasField("limit") else 10,
+            "filter": filter_to_dict(request.filter)
+            if request.HasField("filter")
+            else None,
+        }
+        out = h_facet(self.toc, {"name": request.collection_name}, body, {})
+        resp = M["FacetResponse"](time=0.0)
+        for hit in out["hits"]:
+            fh = resp.hits.add(count=hit["count"])
+            val = hit["value"]
+            if isinstance(val, bool):
+                fh.value.bool_value = val
+            elif isinstance(val, int):
+                fh.value.integer_value = val
+            else:
+                fh.value.string_value = str(val)
+        return resp
+
+    def _matrix_body(self, request) -> Dict[str, Any]:
+        return {
+            "sample": request.sample if request.HasField("sample") else 10,
+            "limit": request.limit if request.HasField("limit") else 3,
+            "using": request.using if request.HasField("using") else "",
+            "filter": filter_to_dict(request.filter)
+            if request.HasField("filter")
+            else None,
+        }
+
+    def PointsSearchMatrixPairs(self, request, context):
+        from .rest import h_matrix_pairs
+
+        out = h_matrix_pairs(
+            self.toc, {"name": request.collection_name}, self._matrix_body(request), {}
+        )
+        resp = M["SearchMatrixPairsResponse"](time=0.0)
+        for pair in out["pairs"]:
+            resp.result.pairs.add(
+                a=py_to_point_id(pair["a"]),
+                b=py_to_point_id(pair["b"]),
+                score=pair["score"],
+            )
+        return resp
+
+    def PointsSearchMatrixOffsets(self, request, context):
+        from .rest import h_matrix_offsets
+
+        out = h_matrix_offsets(
+            self.toc, {"name": request.collection_name}, self._matrix_body(request), {}
+        )
+        resp = M["SearchMatrixOffsetsResponse"](time=0.0)
+        resp.result.offsets_row.extend(out["offsets_row"])
+        resp.result.offsets_col.extend(out["offsets_col"])
+        resp.result.scores.extend(out["scores"])
+        for pid in out["ids"]:
+            resp.result.ids.add().CopyFrom(py_to_point_id(pid))
+        return resp
+
+    # -- batch update (reference: points_service.proto:116) --
+
+    def PointsUpdateBatch(self, request, context):
+        resp = M["UpdateBatchResponse"](time=0.0)
+        coll_name = request.collection_name
+        for op in request.operations:
+            which = op.WhichOneof("operation")
+            sub_resp = None
+            if which == "upsert":
+                req = M["UpsertPoints"](collection_name=coll_name)
+                req.points.extend(op.upsert.points)
+                sub_resp = self.PointsUpsert(req, context)
+            elif which in ("delete_deprecated", "delete_points"):
+                sel = op.delete_deprecated if which == "delete_deprecated" else op.delete_points.points
+                req = M["DeletePoints"](collection_name=coll_name)
+                req.points.CopyFrom(sel)
+                sub_resp = self.PointsDelete(req, context)
+            elif which in ("set_payload", "overwrite_payload"):
+                sub = getattr(op, which)
+                req = M["SetPayloadPoints"](collection_name=coll_name)
+                for k, v in sub.payload.items():
+                    req.payload[k].CopyFrom(v)
+                if sub.HasField("points_selector"):
+                    req.points_selector.CopyFrom(sub.points_selector)
+                sub_resp = (
+                    self.PointsSetPayload(req, context)
+                    if which == "set_payload"
+                    else self.PointsOverwritePayload(req, context)
+                )
+            elif which == "delete_payload":
+                req = M["DeletePayloadPoints"](collection_name=coll_name)
+                req.keys.extend(op.delete_payload.keys)
+                if op.delete_payload.HasField("points_selector"):
+                    req.points_selector.CopyFrom(op.delete_payload.points_selector)
+                sub_resp = self.PointsDeletePayload(req, context)
+            elif which in ("clear_payload", "clear_payload_deprecated"):
+                sel = (
+                    op.clear_payload.points
+                    if which == "clear_payload"
+                    else op.clear_payload_deprecated
+                )
+                req = M["ClearPayloadPoints"](collection_name=coll_name)
+                req.points.CopyFrom(sel)
+                sub_resp = self.PointsClearPayload(req, context)
+            elif which == "update_vectors":
+                req = M["UpdatePointVectors"](collection_name=coll_name)
+                req.points.extend(op.update_vectors.points)
+                sub_resp = self.PointsUpdateVectors(req, context)
+            elif which == "delete_vectors":
+                req = M["DeletePointVectors"](collection_name=coll_name)
+                req.points_selector.CopyFrom(op.delete_vectors.points_selector)
+                req.vectors.CopyFrom(op.delete_vectors.vectors)
+                sub_resp = self.PointsDeleteVectors(req, context)
+            if sub_resp is not None:
+                resp.result.add().CopyFrom(sub_resp.result)
+        return resp
+
     def PointsCount(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         from ..types import parse_filter
@@ -930,6 +1228,7 @@ def make_server(
             "Create": (svc.CollectionsCreate, M["CreateCollection"]),
             "Delete": (svc.CollectionsDelete, M["DeleteCollection"]),
             "CollectionExists": (svc.CollectionsExists, M["CollectionExistsRequest"]),
+            "Update": (svc.CollectionsUpdate, M["UpdateCollection"]),
             "UpdateAliases": (svc.CollectionsUpdateAliases, M["ChangeAliases"]),
             "ListAliases": (svc.CollectionsListAliases, M["ListAliasesRequest"]),
             "ListCollectionAliases": (
@@ -953,8 +1252,22 @@ def make_server(
             "DeleteFieldIndex": (svc.PointsDeleteFieldIndex, M["DeleteFieldIndexCollection"]),
             "QueryBatch": (svc.PointsQueryBatch, M["QueryBatchPoints"]),
             "SetPayload": (svc.PointsSetPayload, M["SetPayloadPoints"]),
+            "OverwritePayload": (svc.PointsOverwritePayload, M["SetPayloadPoints"]),
             "DeletePayload": (svc.PointsDeletePayload, M["DeletePayloadPoints"]),
             "ClearPayload": (svc.PointsClearPayload, M["ClearPayloadPoints"]),
+            "Discover": (svc.PointsDiscover, M["DiscoverPoints"]),
+            "DiscoverBatch": (svc.PointsDiscoverBatch, M["DiscoverBatchPoints"]),
+            "RecommendBatch": (svc.PointsRecommendBatch, M["RecommendBatchPoints"]),
+            "SearchGroups": (svc.PointsSearchGroups, M["SearchPointGroups"]),
+            "RecommendGroups": (svc.PointsRecommendGroups, M["RecommendPointGroups"]),
+            "QueryGroups": (svc.PointsQueryGroups, M["QueryPointGroups"]),
+            "Facet": (svc.PointsFacet, M["FacetCounts"]),
+            "SearchMatrixPairs": (svc.PointsSearchMatrixPairs, M["SearchMatrixPoints"]),
+            "SearchMatrixOffsets": (
+                svc.PointsSearchMatrixOffsets,
+                M["SearchMatrixPoints"],
+            ),
+            "UpdateBatch": (svc.PointsUpdateBatch, M["UpdateBatchPoints"]),
         },
     }
     interceptors = []

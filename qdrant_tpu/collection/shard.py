@@ -148,10 +148,10 @@ class LocalShard:
             self._apply(op_num, op)
         if wait and not self.defer_optimizers:
             self.maybe_optimize()
-            return {
-                "operation_id": op_num,
-                "status": "completed" if wait else "acknowledged",
-            }
+        return {
+            "operation_id": op_num,
+            "status": "completed" if wait else "acknowledged",
+        }
 
     def _load_clock_map(self) -> ClockMap:
         import json as _json

@@ -417,3 +417,129 @@ def test_snapshots_service(grpc_env):
         M["CreateSnapshotResponse"],
     )
     assert full.snapshot_description.name.startswith("full-snapshot-")
+
+
+def _mk_coll(grpc_env, name, n=8, dim=4):
+    create = M["CreateCollection"](collection_name=name)
+    create.vectors_config.params.size = dim
+    create.vectors_config.params.distance = 3  # Dot
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name=name)
+    for i in range(n):
+        p = up.points.add()
+        p.id.num = i
+        vec = [0.0] * dim
+        vec[i % dim] = 1.0
+        p.vectors.vector.dense.data.extend(vec)
+        p.payload["grp"].string_value = f"g{i % 2}"
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+
+def test_discover_and_batches(grpc_env):
+    _mk_coll(grpc_env, "gd")
+    # discover with target + context pair
+    d = M["DiscoverPoints"](collection_name="gd", limit=3)
+    d.target.single.id.num = 0
+    pair = d.context.add()
+    pair.positive.id.num = 1
+    pair.negative.id.num = 2
+    r = unary(grpc_env, "/qdrant.Points/Discover", d, M["DiscoverResponse"])
+    assert len(r.result) == 3
+
+    db = M["DiscoverBatchPoints"](collection_name="gd")
+    sub = db.discover_points.add(limit=2)
+    sub.target.single.id.num = 1
+    rb = unary(grpc_env, "/qdrant.Points/DiscoverBatch", db, M["DiscoverBatchResponse"])
+    assert len(rb.result) == 1 and len(rb.result[0].result) == 2
+
+    reb = M["RecommendBatchPoints"](collection_name="gd")
+    rp = reb.recommend_points.add(limit=2)
+    rp.positive.add().num = 0
+    rr = unary(grpc_env, "/qdrant.Points/RecommendBatch", reb, M["RecommendBatchResponse"])
+    assert len(rr.result) == 1 and len(rr.result[0].result) == 2
+
+
+def test_groups_over_grpc(grpc_env):
+    _mk_coll(grpc_env, "gg")
+    sg = M["SearchPointGroups"](
+        collection_name="gg", vector=[1, 0, 0, 0], limit=2,
+        group_by="grp", group_size=2,
+    )
+    r = unary(grpc_env, "/qdrant.Points/SearchGroups", sg, M["SearchGroupsResponse"])
+    assert len(r.result.groups) == 2
+    gids = {g.id.string_value for g in r.result.groups}
+    assert gids == {"g0", "g1"}
+    assert all(len(g.hits) == 2 for g in r.result.groups)
+
+    qg = M["QueryPointGroups"](collection_name="gg", group_by="grp", limit=2, group_size=1)
+    qg.query.nearest.dense.data.extend([0, 1, 0, 0])
+    r2 = unary(grpc_env, "/qdrant.Points/QueryGroups", qg, M["QueryGroupsResponse"])
+    assert len(r2.result.groups) == 2
+
+    rg = M["RecommendPointGroups"](collection_name="gg", group_by="grp", limit=2, group_size=1)
+    rg.positive.add().num = 0
+    r3 = unary(grpc_env, "/qdrant.Points/RecommendGroups", rg, M["RecommendGroupsResponse"])
+    assert len(r3.result.groups) == 2
+
+
+def test_facet_and_matrix_over_grpc(grpc_env):
+    _mk_coll(grpc_env, "gf")
+    fc = M["FacetCounts"](collection_name="gf", key="grp")
+    r = unary(grpc_env, "/qdrant.Points/Facet", fc, M["FacetResponse"])
+    counts = {h.value.string_value: h.count for h in r.hits}
+    assert counts == {"g0": 4, "g1": 4}
+
+    mp = M["SearchMatrixPoints"](collection_name="gf", sample=4, limit=2)
+    rp = unary(grpc_env, "/qdrant.Points/SearchMatrixPairs", mp, M["SearchMatrixPairsResponse"])
+    assert len(rp.result.pairs) > 0
+    ro = unary(grpc_env, "/qdrant.Points/SearchMatrixOffsets", mp, M["SearchMatrixOffsetsResponse"])
+    assert len(ro.result.ids) == 4
+    assert len(ro.result.scores) == len(ro.result.offsets_row)
+
+
+def test_update_batch_over_grpc(grpc_env):
+    _mk_coll(grpc_env, "gu")
+    ub = M["UpdateBatchPoints"](collection_name="gu")
+    # op 1: upsert a new point
+    op1 = ub.operations.add()
+    p = op1.upsert.points.add()
+    p.id.num = 100
+    p.vectors.vector.dense.data.extend([1, 1, 0, 0])
+    # op 2: set payload on it
+    op2 = ub.operations.add()
+    op2.set_payload.payload["tier"].integer_value = 9
+    op2.set_payload.points_selector.points.ids.add().num = 100
+    # op 3: delete another point
+    op3 = ub.operations.add()
+    op3.delete_points.points.points.ids.add().num = 0
+    r = unary(grpc_env, "/qdrant.Points/UpdateBatch", ub, M["UpdateBatchResponse"])
+    assert len(r.result) == 3
+    count = unary(grpc_env, "/qdrant.Points/Count", M["CountPoints"](collection_name="gu"),
+                  M["CountResponse"])
+    assert count.result.count == 8  # +1 upsert, -1 delete
+    get = M["GetPoints"](collection_name="gu")
+    get.ids.add().num = 100
+    get.with_payload.enable = True
+    gr = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
+    assert gr.result[0].payload["tier"].integer_value == 9
+
+    # overwrite payload RPC
+    ow = M["SetPayloadPoints"](collection_name="gu")
+    ow.payload["fresh"].bool_value = True
+    ow.points_selector.points.ids.add().num = 100
+    unary(grpc_env, "/qdrant.Points/OverwritePayload", ow, M["PointsOperationResponse"])
+    gr2 = unary(grpc_env, "/qdrant.Points/Get", get, M["GetResponse"])
+    assert "tier" not in gr2.result[0].payload
+    assert gr2.result[0].payload["fresh"].bool_value is True
+
+
+def test_collections_update_over_grpc(grpc_env):
+    _mk_coll(grpc_env, "gc")
+    upd = M["UpdateCollection"](collection_name="gc")
+    upd.optimizers_config.indexing_threshold = 123
+    r = unary(grpc_env, "/qdrant.Collections/Update", upd, M["CollectionOperationResponse"])
+    assert r.result
+    info = unary(grpc_env, "/qdrant.Collections/Get",
+                 M["GetCollectionInfoRequest"](collection_name="gc"),
+                 M["GetCollectionInfoResponse"])
+    assert info.result is not None

@@ -217,7 +217,8 @@ def test_shard_defer_optimizers(tmp_path):
     opt = OptimizersConfig(indexing_threshold=50, vacuum_min_vector_number=10**9)
     shard = LocalShard(str(tmp_path / "s"), make_params(), opt)
     shard.defer_optimizers = True
-    shard.update(upsert_op(list(range(60)), data))
+    res = shard.update(upsert_op(list(range(60)), data))
+    assert res["status"] == "completed" and res["operation_id"] == 1
     assert all(s.appendable for s in shard.segments)
     assert shard.maybe_optimize()
     assert any(not s.appendable for s in shard.segments)
