@@ -453,8 +453,20 @@ def h_search(toc, m, body, q):
     return ex.query(QueryRequest(_legacy_search_to_query(body)))
 
 
+def _check_batchsize(coll, n):
+    sm = coll.strict_mode_config
+    if sm.enabled and sm.search_max_batchsize and n > sm.search_max_batchsize:
+        from ..types import StrictModeError
+
+        raise StrictModeError(
+            f"batch of {n} searches exceeds strict mode search_max_batchsize "
+            f"{sm.search_max_batchsize}"
+        )
+
+
 def h_search_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
+    _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
     return [
         ex.query(QueryRequest(_legacy_search_to_query(sub)))
@@ -494,6 +506,7 @@ def h_recommend(toc, m, body, q):
 
 def h_recommend_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
+    _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
     return [
         ex.query(QueryRequest(_legacy_recommend_to_query(sub)))
@@ -544,6 +557,7 @@ def h_query(toc, m, body, q):
 
 def h_query_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
+    _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
     return [
         {"points": ex.query(QueryRequest(sub))}

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..storage.segment import SearchParams
 from ..types import (
+    RateLimitError,
     CollectionParams,
     FieldCondition,
     Filter,
@@ -68,6 +69,7 @@ class Collection:
         self.defer_optimizers = False
         self.wal_config = wal_config or WalConfig()
         self.strict_mode_config = strict_mode_config or StrictModeConfig()
+        self._rate_limiters: Dict[str, Any] = {}
         self.created_at = time.time()
         os.makedirs(path, exist_ok=True)
         # default per-vector hnsw config from collection default
@@ -209,12 +211,36 @@ class Collection:
                         f"Index required but not found for \"{key}\""
                     )
 
+    def _rate_limiter(self, kind: str):
+        sm = self.strict_mode_config
+        rate = sm.read_rate_limit if kind == "read" else sm.write_rate_limit
+        if not rate:
+            return None
+        from ..utils.rate_limiter import RateLimiter
+
+        lim = self._rate_limiters.get(kind)
+        if lim is None or lim.rate != float(rate):
+            lim = RateLimiter(rate)
+            self._rate_limiters[kind] = lim
+        return lim
+
+    def check_rate_limit(self, kind: str, cost: float = 1.0) -> None:
+        if not self.strict_mode_config.enabled:
+            return
+        lim = self._rate_limiter(kind)
+        if lim is not None and not lim.try_consume(cost):
+            raise RateLimitError(
+                f"Rate limiting exceeded: {kind} operations limit is "
+                f"{int(lim.rate)} per minute"
+            )
+
     def check_strict_query(
         self, limit: int, hnsw_ef: Optional[int], exact: bool, flt: Optional[Filter]
     ) -> None:
         sm = self.strict_mode_config
         if not sm.enabled:
             return
+        self.check_rate_limit("read")
         if sm.max_query_limit and limit > sm.max_query_limit:
             raise StrictModeError(
                 f"limit {limit} exceeds strict mode max_query_limit {sm.max_query_limit}"
@@ -231,11 +257,24 @@ class Collection:
         sm = self.strict_mode_config
         if not sm.enabled:
             return
+        self.check_rate_limit("write", cost=max(1.0, float(n_points)))
         if sm.upsert_max_batchsize and n_points > sm.upsert_max_batchsize:
             raise StrictModeError(
                 f"batch of {n_points} exceeds strict mode upsert_max_batchsize "
                 f"{sm.upsert_max_batchsize}"
             )
+        if sm.max_collection_vector_size_bytes:
+            total = sum(
+                shard_seg.dense[name].host_array.nbytes
+                for shard in self.shards.values()
+                for shard_seg in shard.segments
+                for name in shard_seg.dense
+            )
+            if total > sm.max_collection_vector_size_bytes:
+                raise StrictModeError(
+                    f"collection vector storage {total} bytes exceeds strict "
+                    f"mode limit {sm.max_collection_vector_size_bytes}"
+                )
         if sm.max_points_count:
             total = sum(s.point_count() for s in self.shards.values())
             if total + n_points > sm.max_points_count:
@@ -604,6 +643,7 @@ class Collection:
         coll.optimizers_config = OptimizersConfig.from_dict(cfg.get("optimizers_config"))
         coll.defer_optimizers = False
         coll.wal_config = WalConfig.from_dict(cfg.get("wal_config"))
+        coll._rate_limiters = {}
         coll.strict_mode_config = StrictModeConfig.from_dict(
             cfg.get("strict_mode_config")
         )

@@ -701,6 +701,12 @@ class StrictModeConfig:
     max_points_count: Optional[int] = None
     filter_max_conditions: Optional[int] = None
     condition_max_size: Optional[int] = None
+    search_max_batchsize: Optional[int] = None
+    # ops per minute per replica (reference: types.rs:1371-1380)
+    read_rate_limit: Optional[int] = None
+    write_rate_limit: Optional[int] = None
+    max_collection_vector_size_bytes: Optional[int] = None
+    max_collection_payload_size_bytes: Optional[int] = None
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -714,6 +720,10 @@ class StrictModeConfig:
 
 class StrictModeError(Exception):
     status_code = 400
+
+
+class RateLimitError(StrictModeError):
+    status_code = 429
 
 
 @dataclass

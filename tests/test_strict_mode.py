@@ -122,3 +122,50 @@ def test_strict_persisted(coll, tmp_path):
     assert loaded.strict_mode_config.enabled
     assert loaded.strict_mode_config.max_query_limit == 50
     loaded.close()
+
+
+def test_strict_mode_rate_limits(tmp_path):
+    from qdrant_tpu.api.toc import TableOfContent
+    from qdrant_tpu.types import RateLimitError
+
+    toc = TableOfContent(str(tmp_path / "s"))
+    toc.create_collection(
+        "rl",
+        {
+            "vectors": {"size": 4, "distance": "Dot"},
+            "strict_mode_config": {"enabled": True, "read_rate_limit": 2,
+                                   "write_rate_limit": 3},
+        },
+    )
+    coll = toc.get_collection("rl")
+    coll.upsert([{"id": 1, "vectors": {"": [1, 0, 0, 0]}}])
+    coll.upsert([{"id": 2, "vectors": {"": [0, 1, 0, 0]}}])
+    with pytest.raises(RateLimitError):  # 4th write token unavailable
+        coll.upsert([{"id": 3, "vectors": {"": [0, 0, 1, 0]}},
+                     {"id": 4, "vectors": {"": [0, 0, 0, 1]}}])
+    coll.check_strict_query(1, None, False, None)
+    coll.check_strict_query(1, None, False, None)
+    with pytest.raises(RateLimitError):
+        coll.check_strict_query(1, None, False, None)
+    assert RateLimitError.status_code == 429
+    toc.close()
+
+
+def test_strict_mode_search_batch_limit(tmp_path):
+    from qdrant_tpu.api.rest import _check_batchsize
+    from qdrant_tpu.api.toc import TableOfContent
+    from qdrant_tpu.types import StrictModeError
+
+    toc = TableOfContent(str(tmp_path / "s"))
+    toc.create_collection(
+        "sb",
+        {
+            "vectors": {"size": 4, "distance": "Dot"},
+            "strict_mode_config": {"enabled": True, "search_max_batchsize": 2},
+        },
+    )
+    coll = toc.get_collection("sb")
+    _check_batchsize(coll, 2)
+    with pytest.raises(StrictModeError):
+        _check_batchsize(coll, 3)
+    toc.close()
