@@ -20,6 +20,12 @@ def main(argv=None) -> int:
     parser.add_argument("--storage-dir", help="override storage.storage_path")
     parser.add_argument("--http-port", type=int, help="override service.http_port")
     parser.add_argument("--host", help="override service.host")
+    parser.add_argument("--uri", help="this peer's public URL (enables cluster mode)")
+    parser.add_argument(
+        "--bootstrap",
+        help="URL of an existing peer to join (reference: src/main.rs --bootstrap)",
+    )
+    parser.add_argument("--peer-id", type=int, help="stable peer id (default: derived from uri)")
     args = parser.parse_args(argv)
 
     if args.config_path:
@@ -51,6 +57,41 @@ def main(argv=None) -> int:
     )
     host = settings.get_path("service.host", "127.0.0.1")
     port = int(settings.get_path("service.http_port", 6333))
+
+    cluster_enabled = bool(settings.get_path("cluster.enabled", False)) or bool(args.uri)
+    cluster_node = None
+    if cluster_enabled and args.uri:
+        import binascii
+
+        from .cluster.node import ClusterNode
+
+        peer_id = args.peer_id or (
+            binascii.crc32(args.uri.encode()) & 0x7FFFFFFF
+        )
+        peer_urls = {peer_id: args.uri}
+        if args.bootstrap:
+            # announce ourselves to an existing peer and adopt its membership
+            import json as _json
+            import urllib.request as _rq
+
+            req = _rq.Request(
+                args.bootstrap.rstrip("/") + "/cluster/bootstrap",
+                method="POST",
+                data=_json.dumps({"peer_id": peer_id, "url": args.uri}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with _rq.urlopen(req, timeout=10) as resp:
+                peers = _json.loads(resp.read())["result"]["peers"]
+            peer_urls.update({int(k): v for k, v in peers.items()})
+        cluster_node = ClusterNode(
+            peer_id,
+            toc,
+            peer_urls,
+            tick_period=float(settings.get_path("cluster.consensus.tick_period_ms", 100)) / 1000.0,
+            raft_storage=os.path.join(storage_path, "raft"),
+        )
+        cluster_node.start()
+        log.info("cluster mode: peer %d at %s (%d peers)", peer_id, args.uri, len(peer_urls))
     server = RestServer(
         toc,
         host=host,
@@ -73,6 +114,8 @@ def main(argv=None) -> int:
 
     def shutdown(signum, frame):
         log.info("shutting down; flushing collections")
+        if cluster_node is not None:
+            cluster_node.stop()
         if grpc_server is not None:
             grpc_server.stop(2)
         toc.close()

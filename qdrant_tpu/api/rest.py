@@ -680,6 +680,25 @@ def h_recover_snapshot(toc, m, body, q):
     return toc.recover_snapshot(m["name"], location)
 
 
+def h_cluster_bootstrap(toc, m, body, q):
+    """A new peer announces itself: commit add_peer through consensus and
+    return the current membership so the joiner can start its node
+    (reference: src/main.rs --bootstrap flow over the internal p2p API)."""
+    node = getattr(toc, "cluster_node", None)
+    if node is None:
+        raise ApiError("cluster mode is not enabled on this peer", 400)
+    body = body or {}
+    peer_id = int(body["peer_id"])
+    url = body["url"]
+    peers = dict(node.transport.peer_urls)
+    peers[node.peer_id] = body.get("this_peer_url") or peers.get(node.peer_id, "")
+    node.dispatcher.submit({"type": "add_peer", "peer_id": peer_id, "url": url})
+    return {
+        "peers": {str(k): v for k, v in node.transport.peer_urls.items() if k != peer_id},
+        "this_peer_id": node.peer_id,
+    }
+
+
 def h_raft_message(toc, m, body, q):
     node = getattr(toc, "cluster_node", None)
     if node is None:
@@ -905,6 +924,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
+    ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
     ("GET", re.compile(r"^/issues$"), h_get_issues),
     ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
     ("GET", re.compile(r"^/locks$"), h_get_locks),
@@ -1061,6 +1081,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
 # access level per handler: "read" (default), "write" (collection-scoped
 # mutation), "manage" (global/meta operations). Reference: rbac/ops_checks.rs.
 ACCESS_LEVELS = {
+    h_cluster_bootstrap: "manage",
     h_create_collection: "manage",
     h_update_collection: "manage",
     h_delete_collection: "manage",

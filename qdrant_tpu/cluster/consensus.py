@@ -22,6 +22,7 @@ class ConsensusManager:
         self.toc = toc
         self.applied_ops: List[dict] = []
         self.on_collection_created = None  # hook: ClusterNode replication
+        self.on_peer_added = None  # hook: ClusterNode membership
 
     def apply(self, op: dict) -> None:
         t = op.get("type")
@@ -50,11 +51,47 @@ class ConsensusManager:
             elif t == "set_shard_replica_state":
                 # recorded for the replica-set layer to pick up
                 pass
+            elif t == "add_peer":
+                if self.on_peer_added is not None:
+                    self.on_peer_added(int(op["peer_id"]), op["url"])
             self.applied_ops.append(op)
         except Exception:
             # a malformed/duplicate committed op must not wedge the state
             # machine — reference behavior: log and continue applying
             self.applied_ops.append({"failed": op})
+
+
+    # -- state snapshot for raft log compaction --------------------------
+
+    def snapshot_state(self) -> dict:
+        """Cluster-metadata snapshot: everything `apply` can affect
+        (reference: consensus_manager.rs SnapshotData)."""
+        collections = {}
+        for name in self.toc.list_collections():
+            coll = self.toc.get_collection(name)
+            collections[name] = {
+                "spec": {
+                    "vectors": {
+                        n: vp.to_dict() for n, vp in coll.params.vectors.items()
+                    },
+                    "sparse_vectors": {
+                        n: sp.to_dict()
+                        for n, sp in (coll.params.sparse_vectors or {}).items()
+                    },
+                    "shard_number": coll.params.shard_number,
+                    "replication_factor": coll.params.replication_factor,
+                },
+            }
+        return {"collections": collections, "aliases": dict(self.toc.aliases)}
+
+    def restore_state(self, state: dict) -> None:
+        for name, meta in (state.get("collections") or {}).items():
+            if not self.toc.has_collection(name):
+                self.toc.create_collection(name, meta.get("spec") or {})
+                if self.on_collection_created is not None:
+                    self.on_collection_created(name)
+        for alias, target in (state.get("aliases") or {}).items():
+            self.toc.aliases[alias] = target
 
 
 class Dispatcher:

@@ -76,6 +76,8 @@ class ClusterNode:
             self.transport,
             apply_fn=self.manager.apply,
             storage_path=raft_storage,
+            snapshot_fn=self.manager.snapshot_state,
+            restore_fn=self.manager.restore_state,
         )
         self.dispatcher = Dispatcher(toc, raft=self.raft, manager=self.manager)
         self.tick_period = tick_period
@@ -86,6 +88,7 @@ class ClusterNode:
         for name in toc.list_collections():
             self.attach_replication(name)
         self.manager.on_collection_created = self.attach_replication
+        self.manager.on_peer_added = self.add_peer
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -133,6 +136,16 @@ class ClusterNode:
                     ReplicaState.ACTIVE,
                 )
             coll.replica_sets[sid] = rs
+
+    def add_peer(self, peer_id: int, url: str) -> None:
+        """Committed add_peer op: extend transport + raft membership and
+        wire the new peer into every replicated collection."""
+        if peer_id == self.peer_id:
+            return
+        self.transport.peer_urls[peer_id] = url
+        self.raft.add_peer(peer_id)
+        for name in self.toc.list_collections():
+            self.attach_replication(name)
 
     def cluster_info(self) -> dict:
         return {

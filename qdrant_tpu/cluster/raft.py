@@ -63,6 +63,9 @@ class RaftNode:
         apply_fn: Callable[[Any], None],
         storage_path: Optional[str] = None,
         seed: Optional[int] = None,
+        snapshot_fn: Optional[Callable[[], Any]] = None,
+        restore_fn: Optional[Callable[[Any], None]] = None,
+        compact_threshold: int = 256,
     ):
         self.node_id = node_id
         self.peers = [p for p in peers if p != node_id]
@@ -70,11 +73,18 @@ class RaftNode:
         self.apply_fn = apply_fn
         self.storage_path = storage_path
         self._rng = random.Random(seed if seed is not None else node_id * 7919)
+        # log compaction (reference: consensus snapshotting via
+        # raft-rs Storage::snapshot + src/consensus.rs InstallSnapshot)
+        self.snapshot_fn = snapshot_fn
+        self.restore_fn = restore_fn
+        self.compact_threshold = compact_threshold
 
         # persistent state
         self.term = 0
         self.voted_for: Optional[int] = None
         self.log: List[LogEntry] = []
+        self.snapshot_index = 0  # last log index folded into the snapshot
+        self.snapshot_term = 0
 
         # volatile
         self.role = FOLLOWER
@@ -105,6 +115,9 @@ class RaftNode:
     def _log_file(self) -> str:
         return os.path.join(self.storage_path, "raft_log.msgpack")
 
+    def _snapshot_file(self) -> str:
+        return os.path.join(self.storage_path, "raft_snapshot.msgpack")
+
     def _persist(self) -> None:
         if not self.storage_path:
             return
@@ -115,6 +128,8 @@ class RaftNode:
                     "term": self.term,
                     "voted_for": self.voted_for,
                     "commit_index": self.commit_index,
+                    "snapshot_index": self.snapshot_index,
+                    "snapshot_term": self.snapshot_term,
                 },
                 f,
             )
@@ -130,8 +145,17 @@ class RaftNode:
             self.term = st["term"]
             self.voted_for = st.get("voted_for")
             self.commit_index = st.get("commit_index", 0)
+            self.snapshot_index = st.get("snapshot_index", 0)
+            self.snapshot_term = st.get("snapshot_term", 0)
         except (OSError, json.JSONDecodeError, KeyError):
             return
+        if self.snapshot_index and self.restore_fn is not None:
+            try:
+                with open(self._snapshot_file(), "rb") as f:
+                    self.restore_fn(msgpack.unpackb(f.read(), raw=False))
+            except OSError:
+                pass
+        self.last_applied = self.snapshot_index
         try:
             with open(self._log_file(), "rb") as f:
                 self.log = [
@@ -142,7 +166,7 @@ class RaftNode:
             self.log = []
         # re-apply committed entries on restart
         for entry in self.log:
-            if entry.index <= self.commit_index:
+            if self.last_applied < entry.index <= self.commit_index:
                 self.apply_fn(entry.operation)
                 self.last_applied = entry.index
 
@@ -151,14 +175,15 @@ class RaftNode:
     # ------------------------------------------------------------------
 
     def _last_log_index(self) -> int:
-        return self.log[-1].index if self.log else 0
+        return self.log[-1].index if self.log else self.snapshot_index
 
     def _last_log_term(self) -> int:
-        return self.log[-1].term if self.log else 0
+        return self.log[-1].term if self.log else self.snapshot_term
 
     def _entry_at(self, index: int) -> Optional[LogEntry]:
-        if 1 <= index <= len(self.log):
-            return self.log[index - 1]
+        pos = index - self.snapshot_index - 1
+        if 0 <= pos < len(self.log):
+            return self.log[pos]
         return None
 
     # ------------------------------------------------------------------
@@ -206,6 +231,7 @@ class RaftNode:
                 "request_vote_response": self._on_vote_response,
                 "append_entries": self._on_append_entries,
                 "append_entries_response": self._on_append_response,
+                "install_snapshot": self._on_install_snapshot,
             }.get(t)
             if handler:
                 handler(message)
@@ -288,10 +314,31 @@ class RaftNode:
 
     def _send_append(self, peer: int) -> None:
         nxt = self.next_index.get(peer, self._last_log_index() + 1)
+        if nxt <= self.snapshot_index:
+            # follower is behind the compacted log — ship the snapshot
+            # (reference: raft InstallSnapshot RPC)
+            data = self.snapshot_fn() if self.snapshot_fn is not None else None
+            self.transport(
+                peer,
+                {
+                    "type": "install_snapshot",
+                    "term": self.term,
+                    "leader": self.node_id,
+                    "snapshot_index": self.snapshot_index,
+                    "snapshot_term": self.snapshot_term,
+                    "data": data,
+                },
+            )
+            return
         prev_index = nxt - 1
         prev_entry = self._entry_at(prev_index)
-        prev_term = prev_entry.term if prev_entry else 0
-        entries = [e.to_wire() for e in self.log[prev_index:]]
+        if prev_entry is not None:
+            prev_term = prev_entry.term
+        elif prev_index == self.snapshot_index:
+            prev_term = self.snapshot_term
+        else:
+            prev_term = 0
+        entries = [e.to_wire() for e in self.log[prev_index - self.snapshot_index :]]
         self.transport(
             peer,
             {
@@ -323,7 +370,7 @@ class RaftNode:
         self._ticks_since_heard = 0
 
         prev_index = msg["prev_log_index"]
-        if prev_index > 0:
+        if prev_index > 0 and prev_index != self.snapshot_index:
             prev = self._entry_at(prev_index)
             if prev is None or prev.term != msg["prev_log_term"]:
                 self.transport(
@@ -340,9 +387,11 @@ class RaftNode:
         # append / overwrite conflicting suffix
         for wire in msg["entries"]:
             entry = LogEntry.from_wire(wire)
+            if entry.index <= self.snapshot_index:
+                continue  # already folded into our snapshot
             existing = self._entry_at(entry.index)
             if existing is not None and existing.term != entry.term:
-                del self.log[entry.index - 1 :]
+                del self.log[entry.index - self.snapshot_index - 1 :]
                 existing = None
             if existing is None:
                 self.log.append(entry)
@@ -358,6 +407,36 @@ class RaftNode:
                 "follower": self.node_id,
                 "success": True,
                 "match_index": self._last_log_index(),
+            },
+        )
+
+    def _on_install_snapshot(self, msg: dict) -> None:
+        if msg["term"] < self.term:
+            return
+        self.role = FOLLOWER
+        self.leader_id = msg["leader"]
+        self._ticks_since_heard = 0
+        if msg["snapshot_index"] <= self.snapshot_index:
+            return
+        if self.restore_fn is not None and msg.get("data") is not None:
+            self.restore_fn(msg["data"])
+        self.log = []
+        self.snapshot_index = msg["snapshot_index"]
+        self.snapshot_term = msg["snapshot_term"]
+        self.commit_index = max(self.commit_index, self.snapshot_index)
+        self.last_applied = self.snapshot_index
+        self._persist()
+        if self.storage_path and msg.get("data") is not None:
+            with open(self._snapshot_file(), "wb") as f:
+                f.write(msgpack.packb(msg["data"], use_bin_type=True))
+        self.transport(
+            msg["leader"],
+            {
+                "type": "append_entries_response",
+                "term": self.term,
+                "follower": self.node_id,
+                "success": True,
+                "match_index": self.snapshot_index,
             },
         )
 
@@ -395,8 +474,48 @@ class RaftNode:
             entry = self._entry_at(self.last_applied)
             if entry is not None:
                 self.apply_fn(entry.operation)
+        self._maybe_compact()
         if self.storage_path:
             self._persist()
+
+    def _maybe_compact(self) -> None:
+        """Fold applied entries into a state snapshot once the retained log
+        exceeds compact_threshold (reference: consensus log compaction via
+        ConsensusManager::snapshot)."""
+        if self.snapshot_fn is None:
+            return
+        if self.last_applied - self.snapshot_index < self.compact_threshold:
+            return
+        data = self.snapshot_fn()
+        boundary = self._entry_at(self.last_applied)
+        self.snapshot_term = boundary.term if boundary else self.term
+        del self.log[: self.last_applied - self.snapshot_index]
+        self.snapshot_index = self.last_applied
+        if self.storage_path:
+            os.makedirs(self.storage_path, exist_ok=True)
+            with open(self._snapshot_file(), "wb") as f:
+                f.write(msgpack.packb(data, use_bin_type=True))
+
+    # ------------------------------------------------------------------
+    # membership (single-server changes; reference: consensus.rs AddPeer)
+    # ------------------------------------------------------------------
+
+    def add_peer(self, peer_id: int) -> None:
+        with self._lock:
+            if peer_id == self.node_id or peer_id in self.peers:
+                return
+            self.peers.append(peer_id)
+            if self.role == LEADER:
+                self.next_index[peer_id] = self._last_log_index() + 1
+                self.match_index[peer_id] = 0
+                self._send_append(peer_id)
+
+    def remove_peer(self, peer_id: int) -> None:
+        with self._lock:
+            if peer_id in self.peers:
+                self.peers.remove(peer_id)
+                self.next_index.pop(peer_id, None)
+                self.match_index.pop(peer_id, None)
 
 
 class NotLeader(Exception):

@@ -155,3 +155,54 @@ def test_replicated_collection_end_to_end(cluster):
     call(f_port, "POST", "/collections/repl2/points/delete", {"points": [0]})
     for t in tocs:
         assert t.get_collection("repl2").count() == 5
+
+
+def test_peer_bootstrap_joins_cluster(cluster, tmp_path):
+    """A fourth peer bootstraps via POST /cluster/bootstrap: membership
+    commits through consensus and the joiner receives existing collections
+    through snapshot/log catch-up."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+
+    call(leader_port, "PUT", "/collections/boot", {
+        "vectors": {"size": 4, "distance": "Dot"}})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+        t.has_collection("boot") for t in tocs):
+        time.sleep(0.05)
+
+    # new peer: own toc + rest server, announces itself to the leader
+    toc4 = TableOfContent(str(tmp_path / "p4"))
+    srv4 = RestServer(toc4, port=0)
+    srv4.start_background()
+    me = 4
+    my_url = f"http://127.0.0.1:{srv4.port}"
+    resp = call(leader_port, "POST", "/cluster/bootstrap",
+                {"peer_id": me, "url": my_url})["result"]
+    peers = {int(k): v for k, v in resp["peers"].items()}
+    peers[me] = my_url
+    node4 = ClusterNode(me, toc4, peers, tick_period=0.02)
+    node4.start()
+    try:
+        # existing peers learn the new member through the committed op
+        deadline = time.time() + 10
+        while time.time() < deadline and not all(
+            4 in n.transport.peer_urls for n in nodes):
+            time.sleep(0.05)
+        assert all(4 in n.transport.peer_urls for n in nodes)
+        # the joiner catches up on the collection metadata
+        deadline = time.time() + 15
+        while time.time() < deadline and not toc4.has_collection("boot"):
+            time.sleep(0.05)
+        assert toc4.has_collection("boot")
+        # and subsequent consensus ops reach it too
+        call(leader_port, "PUT", "/collections/boot2", {
+            "vectors": {"size": 4, "distance": "Dot"}})
+        deadline = time.time() + 10
+        while time.time() < deadline and not toc4.has_collection("boot2"):
+            time.sleep(0.05)
+        assert toc4.has_collection("boot2")
+    finally:
+        node4.stop()
+        srv4.shutdown()
+        toc4.close()

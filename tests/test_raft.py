@@ -161,3 +161,88 @@ def test_persistence_restart(tmp_path):
     assert replay[nid] == [{"op": "durable"}]
     assert node2.term >= leader.term
     assert node2.commit_index == leader.commit_index
+
+
+def test_log_compaction_and_snapshot_join(tmp_path):
+    """Leader compacts its log past the threshold; a peer that joins later
+    (empty log, behind the snapshot boundary) catches up via
+    install_snapshot + remaining entries."""
+    net = Network()
+    applied = {}
+    states = {}
+
+    def mk(i, ids):
+        net.nodes[i] = RaftNode(
+            i,
+            ids,
+            net.transport_for(i),
+            apply_fn=lambda op, i=i: applied.setdefault(i, []).append(op),
+            snapshot_fn=lambda i=i: {"count": len(applied.get(i, []))},
+            restore_fn=lambda data, i=i: states.__setitem__(i, data),
+            compact_threshold=10,
+            seed=i,
+        )
+
+    for i in (1, 2):
+        mk(i, [1, 2])
+    leader = run_until_leader(net)
+    for k in range(25):
+        leader = leader_of(net) or leader
+        leader.propose({"n": k})
+        net.tick_all(2)
+    net.tick_all(10)
+    # both nodes compacted: retained log well under total proposals
+    assert leader.snapshot_index >= 10
+    assert len(leader.log) < 25
+    assert len(applied[1]) == 25 and len(applied[2]) == 25
+
+    # late joiner: becomes a peer, starts empty → snapshot install
+    mk(3, [1, 2, 3])
+    for n in net.nodes.values():
+        n.add_peer(3)
+    net.tick_all(30)
+    n3 = net.nodes[3]
+    assert n3.snapshot_index == leader.snapshot_index
+    assert states.get(3, {}).get("count", 0) >= 10  # restored from snapshot
+    # entries after the snapshot replayed normally
+    assert len(applied.get(3, [])) == 25 - n3.snapshot_index
+
+    # new proposals replicate to all three
+    leader = leader_of(net)
+    leader.propose({"n": 99})
+    net.tick_all(5)
+    assert applied[3][-1] == {"n": 99}
+
+
+def test_compaction_persistence_restart(tmp_path):
+    """Snapshot + truncated log survive restart: restore_fn runs, then the
+    retained suffix replays."""
+    applied = {}
+    states = {}
+    net = Network()
+    net.nodes[1] = RaftNode(
+        1, [1], net.transport_for(1),
+        apply_fn=lambda op: applied.setdefault(1, []).append(op),
+        snapshot_fn=lambda: {"count": len(applied.get(1, []))},
+        restore_fn=lambda d: states.__setitem__(1, d),
+        compact_threshold=5,
+        storage_path=str(tmp_path / "n1"),
+        seed=1,
+    )
+    for k in range(12):
+        net.nodes[1].propose({"n": k})
+    assert net.nodes[1].snapshot_index >= 5
+    applied2 = {}
+    states2 = {}
+    reloaded = RaftNode(
+        1, [1], net.transport_for(1),
+        apply_fn=lambda op: applied2.setdefault(1, []).append(op),
+        snapshot_fn=lambda: {"count": 0},
+        restore_fn=lambda d: states2.__setitem__(1, d),
+        compact_threshold=5,
+        storage_path=str(tmp_path / "n1"),
+        seed=1,
+    )
+    assert states2[1]["count"] >= 5  # snapshot restored
+    # replayed suffix + snapshot covers all 12 ops
+    assert states2[1]["count"] + len(applied2.get(1, [])) == 12
