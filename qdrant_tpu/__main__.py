@@ -55,6 +55,17 @@ def main(argv=None) -> int:
         storage_path,
         flush_interval_sec=settings.get_path("storage.optimizers.flush_interval_sec", 5),
     )
+    inf_cfg = settings.get("inference") or {}
+    if inf_cfg.get("address"):
+        from .utils import inference as _inference
+
+        _inference.configure(
+            inf_cfg["address"],
+            token=inf_cfg.get("token"),
+            timeout=float(inf_cfg.get("timeout") or 10.0),
+        )
+        log.info("inference service: %s", inf_cfg["address"])
+
     host = settings.get_path("service.host", "127.0.0.1")
     port = int(settings.get_path("service.http_port", 6333))
 

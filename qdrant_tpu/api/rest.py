@@ -31,6 +31,7 @@ from .issues import ISSUES
 from .metrics import METRICS
 from .toc import TableOfContent
 from ..utils.hw_counter import measure
+from ..utils.inference import InferenceError
 
 VERSION = "1.19.0-tpu"
 
@@ -46,6 +47,17 @@ class ApiError(Exception):
 # ---------------------------------------------------------------------------
 
 
+def _is_inference_input(vec: dict) -> bool:
+    """Document/Image/InferenceObject vs a named-vector map (reference:
+    VectorStruct untagged variants — a string `text`/`image` field or an
+    `object` field marks an inference input, api/src/rest/schema.rs)."""
+    return (
+        isinstance(vec.get("text"), str)
+        or isinstance(vec.get("image"), str)
+        or ("object" in vec and not isinstance(vec.get("object"), (list, tuple)))
+    )
+
+
 def _points_from_upsert(body: dict) -> List[dict]:
     if "points" in body and body["points"] is not None:
         out = []
@@ -56,7 +68,7 @@ def _points_from_upsert(body: dict) -> List[dict]:
                 if (
                     isinstance(vec, dict)
                     and "indices" not in vec
-                    and not isinstance(vec.get("text"), str)
+                    and not _is_inference_input(vec)
                 ):
                     vectors = vec  # named map
                 elif vec is None:
@@ -200,7 +212,7 @@ def h_update_vectors(toc, m, body, q):
             vec
             if isinstance(vec, dict)
             and "indices" not in vec
-            and not isinstance(vec.get("text"), str)
+            and not _is_inference_input(vec)
             else {"": vec}
         )
         pts.append({"id": p["id"], "vectors": vectors})
@@ -1182,7 +1194,7 @@ class _Handler(BaseHTTPRequestHandler):
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 401, elapsed)
                 self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
-            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, ValueError) as e:
+            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, InferenceError, ValueError) as e:
                 status = getattr(e, "status_code", 400)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, status, elapsed)

@@ -283,10 +283,38 @@ class Collection:
                     f"{sm.max_points_count}"
                 )
 
+    @staticmethod
+    def _resolve_inference(points: List[Dict[str, Any]]) -> None:
+        """Replace remote-model Document/Image/InferenceObject inputs with
+        their embeddings BEFORE the op hits the WAL — replaying a log must
+        never call back out to the inference service (reference: inference
+        resolves in the API conversion layer, src/common/inference/
+        update_requests.rs). Local BM25 documents stay as-is (deterministic
+        to re-embed at apply time)."""
+        from ..utils.inference import embed_value
+
+        def needs_remote(v) -> bool:
+            if not isinstance(v, dict):
+                return False
+            if "image" in v or "object" in v:
+                return True
+            if "text" in v and isinstance(v.get("text"), str):
+                model = (v.get("model") or "").lower()
+                return model not in ("", "bm25", "qdrant/bm25")
+            return False
+
+        for p in points:
+            vecs = p.get("vectors")
+            if isinstance(vecs, dict):
+                for name, v in list(vecs.items()):
+                    if needs_remote(v):
+                        vecs[name] = embed_value(v, inference="update")
+
     def upsert(
         self, points: List[Dict[str, Any]], shard_key: Any = None, wait: bool = True
     ) -> Dict[str, Any]:
         self.check_strict_upsert(len(points))
+        self._resolve_inference(points)
         by_shard: Dict[int, List[dict]] = {}
         for p in points:
             pid = normalize_point_id(p["id"])

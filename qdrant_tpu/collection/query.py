@@ -121,10 +121,15 @@ class QueryExecutor:
         ({"text": ...} → server-side BM25 embedding), or a point id."""
         if isinstance(ref, dict) and "indices" in ref:
             return SparseVector.from_dict(ref)
-        if isinstance(ref, dict) and "text" in ref:
-            from ..utils.bm25 import Bm25
+        if isinstance(ref, dict) and (
+            "text" in ref or "image" in ref or "object" in ref
+        ):
+            from ..utils.inference import embed_value
 
-            return Bm25(**(ref.get("options") or {})).embed_query(ref["text"])
+            out = embed_value(ref, inference="search")
+            if isinstance(out, list):
+                return np.asarray(out, dtype=np.float32)
+            return out
         if isinstance(ref, SparseVector):
             return ref
         if isinstance(ref, list):
@@ -302,7 +307,7 @@ class QueryExecutor:
                 if mmr is not None:
                     return self._mmr(nearest, mmr, req, limit)
                 return self._nearest(nearest, req, limit)
-            if "indices" in q or "text" in q:
+            if "indices" in q or "text" in q or "image" in q or "object" in q:
                 return self._nearest(q, req, limit)
             raise QueryError(f"unknown query {list(q.keys())}")
         # plain vector / id / multivector
