@@ -54,6 +54,10 @@ def main(argv=None) -> int:
     toc = TableOfContent(
         storage_path,
         flush_interval_sec=settings.get_path("storage.optimizers.flush_interval_sec", 5),
+        snapshots_config={
+            "snapshots_storage": settings.get_path("storage.snapshots_storage", "local"),
+            "s3_config": settings.get_path("storage.s3_config", None),
+        },
     )
     inf_cfg = settings.get("inference") or {}
     if inf_cfg.get("address"):

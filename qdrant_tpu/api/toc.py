@@ -27,10 +27,23 @@ from ..types import (
 
 
 class TableOfContent:
-    def __init__(self, storage_path: str, flush_interval_sec: Optional[float] = None):
+    def __init__(
+        self,
+        storage_path: str,
+        flush_interval_sec: Optional[float] = None,
+        snapshots_config: Optional[Dict[str, Any]] = None,
+    ):
         self.storage_path = storage_path
         self.collections_path = os.path.join(storage_path, "collections")
         self.snapshots_path = os.path.join(storage_path, "snapshots")
+        # remote snapshot mirror (reference: snapshots_manager.rs
+        # SnapshotStorageCloud); local files stay as the working copy
+        self.snapshot_store = None
+        cfg = snapshots_config or {}
+        if cfg.get("snapshots_storage") == "s3":
+            from ..storage.object_store import S3SnapshotStorage
+
+            self.snapshot_store = S3SnapshotStorage(cfg.get("s3_config") or {})
         os.makedirs(self.collections_path, exist_ok=True)
         os.makedirs(self.snapshots_path, exist_ok=True)
         self.collections: Dict[str, Collection] = {}
@@ -221,6 +234,8 @@ class TableOfContent:
         target = os.path.join(self.snapshots_path, coll.name)
         fname = coll.create_snapshot(target)
         full = os.path.join(target, fname)
+        if self.snapshot_store is not None:
+            self.snapshot_store.store(coll.name, fname, full)
         return {
             "name": fname,
             "size": os.path.getsize(full),
@@ -229,6 +244,8 @@ class TableOfContent:
 
     def list_snapshots(self, name: str) -> List[Dict[str, Any]]:
         coll = self.get_collection(name)
+        if self.snapshot_store is not None:
+            return self.snapshot_store.list(coll.name)
         target = os.path.join(self.snapshots_path, coll.name)
         out = []
         if os.path.isdir(target):
@@ -246,6 +263,11 @@ class TableOfContent:
     def delete_snapshot(self, name: str, snapshot: str) -> bool:
         coll = self.get_collection(name)
         full = os.path.join(self.snapshots_path, coll.name, snapshot)
+        if self.snapshot_store is not None:
+            self.snapshot_store.delete(coll.name, snapshot)
+            if os.path.isfile(full):
+                os.remove(full)
+            return True
         if not os.path.isfile(full):
             raise NotFoundError(f"snapshot {snapshot} not found")
         os.remove(full)
@@ -298,6 +320,12 @@ class TableOfContent:
     def snapshot_file(self, collection: Optional[str], snapshot: str) -> str:
         sub = "_full" if collection is None else self.get_collection(collection).name
         full = os.path.join(self.snapshots_path, sub, snapshot)
+        if self.snapshot_store is not None and not os.path.isfile(full):
+            # pull the remote copy down to the local working dir
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            data = self.snapshot_store.retrieve(sub, snapshot)
+            with open(full, "wb") as f:
+                f.write(data)
         if not os.path.isfile(full):
             raise NotFoundError(f"snapshot {snapshot} not found")
         return full
