@@ -606,7 +606,7 @@ class Collection:
             len(seg)
             for s in self.shards.values()
             for seg in s.segments
-            if seg.hnsw
+            if seg.hnsw or seg.hnsw_multi or seg.quantized
         )
         status = "green"
         return {

@@ -109,6 +109,7 @@ class Segment:
         # filterable-HNSW payload-block subgraphs:
         # vector name → {(field, value_repr): HnswIndex over that block}
         # (reference: hnsw/build.rs:364-530 additional payload-block graphs)
+        self.hnsw_multi: Dict[str, HnswIndex] = {}
         self.hnsw_blocks: Dict[str, Dict[Tuple[str, str], HnswIndex]] = {}
         self.quantized: Dict[str, Any] = {}
         self.sparse_index: Dict[str, SparseIndex] = {}
@@ -676,6 +677,40 @@ class Segment:
         q = preprocess_vectors(
             np.atleast_2d(np.asarray(query, dtype=np.float32)), store.distance
         )
+        idx = self.hnsw_multi.get(name)
+        vp = self.params.vectors[name]
+        threshold = (
+            vp.hnsw_config.full_scan_threshold
+            if vp.hnsw_config
+            else DEFAULT_FULL_SCAN_THRESHOLD
+        )
+        if idx is not None and len(store) >= threshold:
+            # pooled graph walk → exact max-sim rescore of oversampled winners
+            pooled_q = preprocess_vectors(
+                np.asarray(query, dtype=np.float32).mean(axis=0, keepdims=True),
+                store.distance,
+            )
+            k_over = min(max(4 * k, 64), max(int(combined.sum()), 1))
+            _, cand = idx.search(pooled_q, k_over, filter_mask=combined)
+            cand_ids = cand[0][cand[0] >= 0]
+            if cand_ids.size:
+                sub_tokens = jnp.take(tokens, jnp.asarray(cand_ids), axis=0)
+                sub_tmask = jnp.take(token_mask, jnp.asarray(cand_ids), axis=0)
+                sub_valid = jnp.take(valid, jnp.asarray(cand_ids), axis=0)
+                sub_scores = score_multivector_maxsim(
+                    jnp.asarray(q), sub_tokens, sub_tmask,
+                    store.distance.value, sub_valid,
+                )
+                import jax.lax as _lax
+
+                kk = min(k, int(cand_ids.size))
+                top_s, ti = _lax.top_k(sub_scores, kk)
+                s = np.full((1, k), -np.inf, dtype=np.float32)
+                i = np.full((1, k), -1, dtype=np.int32)
+                s[0, :kk] = np.asarray(top_s, dtype=np.float32)
+                i[0, :kk] = cand_ids[np.asarray(ti, dtype=np.int64)]
+                i[0] = np.where(np.isfinite(s[0]), i[0], -1)
+                return s, i
         scores = score_multivector_maxsim(
             jnp.asarray(q), tokens, token_mask, store.distance.value, valid
         )
@@ -708,6 +743,19 @@ class Segment:
     # ------------------------------------------------------------------
 
     def build_indexes(self, default_hnsw: Optional[HnswConfig] = None) -> None:
+        # multivector stores: HNSW over the pooled proxy (see
+        # PooledMultiVectorStore — pooled graph walk + exact max-sim rescore)
+        for name, vp in self.params.vectors.items():
+            mstore = self.multi.get(name)
+            if mstore is None or mstore.available_count == 0:
+                continue
+            from .vectors import PooledMultiVectorStore
+
+            cfg = vp.hnsw_config or default_hnsw or HnswConfig()
+            proxy = PooledMultiVectorStore(mstore)
+            idx = HnswIndex(proxy, cfg)
+            idx.build()
+            self.hnsw_multi[name] = idx
         for name, vp in self.params.vectors.items():
             if name not in self.dense:
                 continue
@@ -767,6 +815,7 @@ class Segment:
             },
             "deferred": sorted(self.deferred),
             "hnsw": list(self.hnsw.keys()),
+            "hnsw_multi": list(self.hnsw_multi.keys()),
             "hnsw_blocks": {
                 name: [
                     [field, vkey, f"hnsw_block_{_safe(name)}_{i}"]
@@ -790,6 +839,8 @@ class Segment:
             store.save(os.path.join(path, f"sparse_{_safe(name)}"))
         for name, idx in self.hnsw.items():
             idx.save(os.path.join(path, f"hnsw_{_safe(name)}"))
+        for name, idx in self.hnsw_multi.items():
+            idx.save(os.path.join(path, f"hnsw_multi_{_safe(name)}"))
         for name, blocks in self.hnsw_blocks.items():
             for i, sub in enumerate(blocks.values()):
                 sub.save(os.path.join(path, f"hnsw_block_{_safe(name)}_{i}"))
@@ -832,6 +883,19 @@ class Segment:
             cfg = vp.hnsw_config or HnswConfig()
             seg.hnsw[name] = HnswIndex.load(
                 os.path.join(path, f"hnsw_{_safe(name)}"), seg.dense[name], cfg
+            )
+        for name in meta.get("hnsw_multi", []):
+            from .vectors import PooledMultiVectorStore
+
+            mstore = seg.multi.get(name)
+            if mstore is None:
+                continue
+            vp = params.vectors[name]
+            cfg = vp.hnsw_config or HnswConfig()
+            seg.hnsw_multi[name] = HnswIndex.load(
+                os.path.join(path, f"hnsw_multi_{_safe(name)}"),
+                PooledMultiVectorStore(mstore),
+                cfg,
             )
         for name, blocks in meta.get("hnsw_blocks", {}).items():
             vp = params.vectors[name]

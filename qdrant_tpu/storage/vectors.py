@@ -350,3 +350,59 @@ class MultiVectorStore:
         store._count = n
         store._deleted_count = int(deleted.sum())
         return store
+
+
+class PooledMultiVectorStore:
+    """Dense single-vector view of a MultiVectorStore: mean-pooled token
+    matrices, distance-preprocessed. Serves as the HNSW proxy store for
+    multivectors — on TPU the graph walks pooled vectors (1 row per point,
+    gather-friendly) and the exact max-sim rescore runs on the oversampled
+    winners, instead of the reference's max-sim-native graph traversal
+    (multi_metric_query_scorer.rs): token-wise graph gathers would multiply
+    the gather-wall cost by tokens-per-point."""
+
+    def __init__(self, multi: "MultiVectorStore"):
+        from ..ops.distances import preprocess_vectors
+
+        self.multi = multi
+        self.dim = multi.dim
+        self.distance = multi.distance
+        self.datatype = Datatype.FLOAT32
+        n = len(multi)
+        pooled = np.zeros((n, multi.dim), dtype=np.float32)
+        for i in range(n):
+            start, ln = multi._ranges[i]
+            if ln > 0:
+                pooled[i] = multi._flat[start : start + ln].mean(axis=0)
+        self._host = preprocess_vectors(pooled, multi.distance) if n else pooled
+        self._dev = None
+
+    def __len__(self) -> int:
+        return len(self.multi)
+
+    @property
+    def available_count(self) -> int:
+        return self.multi.available_count
+
+    @property
+    def deleted_mask(self) -> np.ndarray:
+        return self.multi._deleted[: len(self.multi)]
+
+    @property
+    def host_array(self) -> np.ndarray:
+        return self._host
+
+    def get_batch(self, ids: np.ndarray) -> np.ndarray:
+        return self._host[np.asarray(ids, dtype=np.int64)]
+
+    def device_block(self):
+        if self._dev is None:
+            n = max(1, len(self._host))
+            cap = 1 << (n - 1).bit_length() if n > 1 else 1
+            cap = max(cap, 8)
+            buf = np.zeros((cap, self.dim), dtype=np.float32)
+            buf[: len(self._host)] = self._host
+            mask = np.zeros(cap, dtype=bool)
+            mask[: len(self.multi)] = ~self.deleted_mask
+            self._dev = (jnp.asarray(buf), jnp.asarray(mask))
+        return self._dev

@@ -31,6 +31,8 @@ def _inspect_one(path: str) -> None:
         print(f"  sparse[{name or '<default>'}]")
     for name, store in seg.multi.items():
         print(f"  multi[{name or '<default>'}]: dim={store.dim}")
+        if name in seg.hnsw_multi:
+            print("    hnsw (pooled proxy): built")
     fields = seg.payload_index.indexed_fields()
     if fields:
         print(f"  payload indexes: {', '.join(f'{k}:{v.type.value}' for k, v in fields.items())}")
