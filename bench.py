@@ -148,6 +148,67 @@ def main():
                 }
                 break
 
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        # BASELINE.md config 1: exact full-scan, 100k GloVe-like 100-d cosine
+        n1, d1 = 100_000, 100
+        g_data = rng.standard_normal((n1, d1)).astype(np.float32)
+        g_q = (g_data[rng.integers(0, n1, N_BATCH)]
+               + 0.05 * rng.standard_normal((N_BATCH, d1)).astype(np.float32))
+        gn = g_data / np.linalg.norm(g_data, axis=1, keepdims=True)
+        qn_ = g_q[:N_TRUTH] / np.linalg.norm(g_q[:N_TRUTH], axis=1, keepdims=True)
+        g_truth = np.argsort(-(qn_ @ gn.T), axis=1)[:, :K]
+        g_store = DenseVectorStore(d1, Distance.COSINE)
+        g_store.add(g_data)
+        g_idx = PlainIndex(g_store)
+        g_idx.search(g_q[:N_BATCH], k=K)
+        t0 = time.perf_counter()
+        _, g_ids = g_idx.search(g_q[:N_BATCH], k=K)
+        g_elapsed = time.perf_counter() - t0
+        g_recall = recall(g_ids[:N_TRUTH], g_truth)
+        detail["exact_100k_glove100_cosine"] = {
+            "qps": round(N_BATCH / g_elapsed, 1),
+            "recall_at_10": round(g_recall, 4),
+        }
+        log(f"exact 100k glove100 cosine: qps={N_BATCH / g_elapsed:.0f} "
+            f"recall={g_recall:.4f}")
+
+        # BASELINE.md config 3: SQ-int8 + oversampled f32 rescore, 1536-d dot
+        import jax.numpy as jnp
+
+        from qdrant_tpu.ops import quantization as qops
+        from qdrant_tpu.ops.scan import DEFAULT_BLOCK, scan_search_sq_rescore
+
+        n3 = int(os.environ.get("BENCH_SQ_N", 200_000))
+        d3 = 1536
+        centers3 = rng.standard_normal((256, d3)).astype(np.float32)
+        sq_data = (centers3[rng.integers(0, 256, n3)]
+                   + rng.standard_normal((n3, d3)).astype(np.float32))
+        sq_q = (centers3[rng.integers(0, 256, 256)]
+                + rng.standard_normal((256, d3)).astype(np.float32))
+        quant = qops.ScalarQuantized.encode(sq_data, 0.99)
+        codes_dev, norms_dev, n_pad = quant.scan_device(DEFAULT_BLOCK)
+        mask3 = np.zeros(n_pad, np.int8)
+        mask3[:n3] = 1
+        vecs_f32 = jnp.asarray(sq_data)
+        qc = jnp.asarray(quant.encode_queries(sq_q))
+        qn3 = jnp.asarray((sq_q * sq_q).sum(axis=1).astype(np.float32))
+        args3 = (qc, qn3, codes_dev, norms_dev, jnp.float32(quant.scale),
+                 jnp.asarray(mask3), jnp.asarray(sq_q), vecs_f32,
+                 DEFAULT_BLOCK, 128, K, False)
+        np.asarray(scan_search_sq_rescore(*args3)[1])
+        t0 = time.perf_counter()
+        sq_ids = np.asarray(scan_search_sq_rescore(*args3)[1])
+        sq_elapsed = time.perf_counter() - t0
+        gt3 = np.argsort(-(sq_q[:64] @ sq_data.T), axis=1)[:, :K]
+        sq_recall = recall(sq_ids[:64], gt3)
+        detail["sq_int8_1536_dot"] = {
+            "n": n3,
+            "qps": round(256 / sq_elapsed, 1),
+            "recall_at_10": round(sq_recall, 4),
+        }
+        log(f"sq-int8 {n3}x1536 dot: qps={256 / sq_elapsed:.0f} "
+            f"recall={sq_recall:.4f}")
+
     if r < TARGET_RECALL:
         log("WARNING: scan recall below target")
         qps = 0.0
