@@ -90,3 +90,103 @@ class PayloadStorage:
             with open(file, "rb") as f:
                 storage._payloads = msgpack.unpackb(f.read(), raw=False, strict_map_key=False)
         return storage
+
+
+class GridPayloadStorage:
+    """On-disk payload storage over the native page-based blob store
+    (reference: payload_storage/on_disk via lib/blobstore Gridstore).
+    Payloads live on disk as per-offset msgpack blobs; reads go straight to
+    the store (OS page cache absorbs hot offsets), so sealed segments with
+    `on_disk_payload: true` hold no payload JSON in RAM."""
+
+    def __init__(self, directory: str):
+        from ..native import GridStore
+
+        self.directory = directory
+        self._store = GridStore(directory)
+
+    def __len__(self) -> int:
+        return self._store.capacity()
+
+    def _read(self, offset: int) -> Optional[Dict[str, Any]]:
+        raw = self._store.get(offset)
+        if raw is None:
+            return None
+        return msgpack.unpackb(raw, raw=False, strict_map_key=False)
+
+    def _write(self, offset: int, payload: Optional[Dict[str, Any]]) -> None:
+        if payload:
+            self._store.put(offset, msgpack.packb(payload, use_bin_type=True))
+        else:
+            self._store.delete(offset)
+
+    def set(self, offset: int, payload: Dict[str, Any]) -> None:
+        cur = self._read(offset) or {}
+        cur.update(payload)
+        self._write(offset, cur)
+
+    def set_by_key(self, offset: int, payload: Dict[str, Any], key: str) -> None:
+        cur = self._read(offset) or {}
+        existing = json_path.get_values(cur, key)
+        if existing and isinstance(existing[0], dict):
+            existing[0].update(payload)
+        else:
+            json_path.set_value(cur, key, dict(payload))
+        self._write(offset, cur)
+
+    def overwrite(self, offset: int, payload: Optional[Dict[str, Any]]) -> None:
+        self._write(offset, dict(payload) if payload else None)
+
+    def get(self, offset: int) -> Dict[str, Any]:
+        return self._read(offset) or {}
+
+    def has_payload(self, offset: int) -> bool:
+        return self._store.get(offset) is not None
+
+    def delete_key(self, offset: int, key: str) -> bool:
+        cur = self._read(offset)
+        if cur is None:
+            return False
+        ok = json_path.delete_path(cur, key)
+        if ok:
+            self._write(offset, cur)
+        return ok
+
+    def clear(self, offset: int) -> None:
+        self._store.delete(offset)
+
+    def iter_items(self):
+        for off in range(self._store.capacity()):
+            p = self._read(off)
+            if p is not None:
+                yield off, p
+
+    def flush(self) -> None:
+        self._store.flush()
+
+    # -- persistence: the store IS the on-disk representation ----------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self._store.flush()
+        target = os.path.join(path, "payload_grid")
+        if os.path.abspath(target) != os.path.abspath(self.directory):
+            import shutil
+
+            os.makedirs(target, exist_ok=True)
+            for fname in ("gridstore.bin", "gridstore.tracker"):
+                srcf = os.path.join(self.directory, fname)
+                if os.path.exists(srcf):
+                    shutil.copy2(srcf, os.path.join(target, fname))
+
+    @classmethod
+    def load(cls, path: str) -> "GridPayloadStorage":
+        return cls(os.path.join(path, "payload_grid"))
+
+    @classmethod
+    def from_memory(cls, directory: str, mem: PayloadStorage) -> "GridPayloadStorage":
+        out = cls(directory)
+        for off, p in mem.iter_items():
+            out._write(off, p)
+        out.flush()
+        return out

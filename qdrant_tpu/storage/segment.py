@@ -826,10 +826,36 @@ class Segment:
             "quantized": {
                 name: type(q).__name__ for name, q in self.quantized.items()
             },
+            "payload_backend": (
+                "gridstore"
+                if self.params.on_disk_payload
+                and not isinstance(self.payload_storage, PayloadStorage)
+                else "memory"
+            ),
         }
         with open(os.path.join(path, "segment.json"), "w") as f:
             json.dump(meta, f)
         self.id_tracker.save(path)
+        if self.params.on_disk_payload and isinstance(
+            self.payload_storage, PayloadStorage
+        ):
+            # on_disk_payload: move payload JSON out of RAM into the native
+            # page store at persist time (reference: Gridstore-backed
+            # on-disk payload storage). Falls back to msgpack without the
+            # native toolchain.
+            try:
+                from .payload import GridPayloadStorage
+
+                self.payload_storage = GridPayloadStorage.from_memory(
+                    os.path.join(path, "payload_grid"), self.payload_storage
+                )
+                with open(os.path.join(path, "segment.json")) as f:
+                    m2 = json.load(f)
+                m2["payload_backend"] = "gridstore"
+                with open(os.path.join(path, "segment.json"), "w") as f:
+                    json.dump(m2, f)
+            except Exception:
+                pass
         self.payload_storage.save(path)
         for name, store in self.dense.items():
             store.save(os.path.join(path, f"dense_{_safe(name)}"))
@@ -856,7 +882,12 @@ class Segment:
         seg.version = meta["version"]
         seg.deferred = set(meta.get("deferred", []))
         seg.id_tracker = IdTracker.load(path)
-        seg.payload_storage = PayloadStorage.load(path)
+        if meta.get("payload_backend") == "gridstore":
+            from .payload import GridPayloadStorage
+
+            seg.payload_storage = GridPayloadStorage.load(path)
+        else:
+            seg.payload_storage = PayloadStorage.load(path)
         for name, vp in params.vectors.items():
             sub = os.path.join(path, f"dense_{_safe(name)}")
             if vp.multivector_config is not None:

@@ -207,3 +207,34 @@ def test_sparse_indexed_vs_plain_equivalence():
         assert set(got.tolist()) == set(want[: len(got)].tolist()), trial
         for rank, off in enumerate(got):
             np.testing.assert_allclose(scores[0][rank], brute[off], rtol=1e-4)
+
+
+def test_on_disk_payload_gridstore(tmp_path):
+    """on_disk_payload: payloads persist via the native page store and are
+    served from disk after load (no payload msgpack in RAM)."""
+    pytest.importorskip("ctypes")
+    from qdrant_tpu.native import load as native_load
+
+    if native_load() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(8)
+    params = make_params()
+    params.on_disk_payload = True
+    seg = Segment(params)
+    data = rng.normal(size=(50, 16)).astype(np.float32)
+    for i in range(50):
+        seg.upsert_point(i + 1, i, {"": data[i]}, {"k": i, "blob": "x" * (i * 10)})
+    seg.save(str(tmp_path / "seg"))
+    import os
+    assert os.path.exists(str(tmp_path / "seg" / "payload_grid" / "gridstore.bin"))
+    loaded = Segment.load(str(tmp_path / "seg"))
+    from qdrant_tpu.storage.payload import GridPayloadStorage
+    assert isinstance(loaded.payload_storage, GridPayloadStorage)
+    assert loaded.get_payload(7) == {"k": 7, "blob": "x" * 70}
+    # filters still work over the on-disk payloads
+    flt = parse_filter({"must": [{"key": "k", "range": {"gte": 10, "lt": 12}}]})
+    _, ids = loaded.search_dense("", data[10:11], k=3, flt=flt)
+    assert 10 in ids[0].tolist()
+    # mutations write through
+    loaded.set_payload(100, 7, {"extra": True}, None)
+    assert loaded.get_payload(7)["extra"] is True
