@@ -884,6 +884,14 @@ def h_set_locks(toc, m, body, q):
     return prev
 
 
+def h_openapi(toc, m, body, q):
+    """Generated OpenAPI 3 spec for this server (reference:
+    src/schema_generator.rs → openapi.json)."""
+    from .openapi import build_spec
+
+    return build_spec(version="1.15.1-tpu")
+
+
 def h_telemetry(toc, m, body, q):
     detail = int(q.get("details_level", 2))
     collections = []
@@ -933,6 +941,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/livez$"), h_healthz),
     ("GET", re.compile(r"^/readyz$"), h_healthz),
     ("GET", re.compile(r"^/telemetry$"), h_telemetry),
+    ("GET", re.compile(r"^/openapi.json$"), h_openapi),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),

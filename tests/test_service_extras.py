@@ -151,3 +151,22 @@ def test_telemetry_detail_levels(server):
     assert full["collections"]["collections"]
     light = call(server, "GET", "/telemetry?details_level=0")["result"]
     assert light["collections"]["collections"] == []
+
+
+def test_openapi_spec(server):
+    """GET /openapi.json: valid OpenAPI 3 document covering every route."""
+    spec = call(server, "GET", "/openapi.json")["result"]
+    assert spec["openapi"].startswith("3.")
+    paths = spec["paths"]
+    # spot-check shape: core endpoints present with typed request bodies
+    assert "/collections/{name}/points/search" in paths
+    body = paths["/collections/{name}/points/search"]["post"]["requestBody"]
+    assert body["content"]["application/json"]["schema"]["$ref"].endswith("SearchRequest")
+    assert "/collections/{name}" in paths
+    p = paths["/collections/{name}"]["put"]["parameters"]
+    assert p[0]["name"] == "name" and p[0]["in"] == "path"
+    # every ROUTES entry is represented
+    from qdrant_tpu.api.rest import ROUTES
+    assert sum(len(ms) for ms in paths.values()) == len(ROUTES)
+    # schemas referenced exist
+    assert "SearchRequest" in spec["components"]["schemas"]
