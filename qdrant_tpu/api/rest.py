@@ -193,14 +193,22 @@ def h_delete_index(toc, m, body, q):
 def h_upsert_points(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     points = _points_from_upsert(body or {})
-    res = coll.upsert(points, shard_key=(body or {}).get("shard_key"))
+    res = coll.upsert(
+        points,
+        shard_key=(body or {}).get("shard_key"),
+        ordering=(q.get("ordering") or "weak"),
+    )
     return res
 
 
 def h_delete_points(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     op = {"type": "delete", **_selector(body or {})}
-    return coll.update_op(op, shard_key=(body or {}).get("shard_key"))
+    return coll.update_op(
+        op,
+        shard_key=(body or {}).get("shard_key"),
+        ordering=(q.get("ordering") or "weak"),
+    )
 
 
 def h_update_vectors(toc, m, body, q):
@@ -711,6 +719,21 @@ def h_cluster_bootstrap(toc, m, body, q):
     }
 
 
+def h_internal_update_forward(toc, m, body, q):
+    """Leader execution of a forwarded write: lease OUR clock and fan out
+    (reference: update.rs forwarded updates for medium/strong ordering)."""
+    coll = toc.get_collection(m["name"])
+    sid = int(m["sid"])
+    op = (body or {}).get("op") or {}
+    rs = coll.replica_sets.get(sid)
+    if rs is not None:
+        return rs.update(op)
+    shard = coll.shards.get(sid)
+    if shard is None:
+        raise ApiError(f"shard {sid} not found", 404)
+    return shard.update(op)
+
+
 def h_raft_message(toc, m, body, q):
     node = getattr(toc, "cluster_node", None)
     if node is None:
@@ -952,6 +975,13 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/locks$"), h_set_locks),
     (
         "POST",
+        re.compile(
+            r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/update_forward$"
+        ),
+        h_internal_update_forward,
+    ),
+    (
+        "POST",
         re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/update$"),
         h_internal_update,
     ),
@@ -1126,6 +1156,7 @@ ACCESS_LEVELS = {
     h_create_full_snapshot: "manage",
     h_set_locks: "manage",
     h_internal_update: "write",
+    h_internal_update_forward: "write",
     h_internal_snapshot_recover: "write",
 }
 

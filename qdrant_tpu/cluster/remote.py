@@ -60,6 +60,12 @@ class RemoteReplica(ShardOperations):
 
     # -- ShardOperations ------------------------------------------------
 
+    def forward_update(self, op: dict) -> dict:
+        """Hand the whole write to this peer: it leases its own clock and
+        fans out from there (leader execution for medium/strong ordering,
+        reference: update.rs forward_update)."""
+        return self._call("update_forward", {"op": op})
+
     def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
         return self._call("update", {"operation": op, "clock_tag": clock_tag})
 

@@ -179,9 +179,38 @@ class ShardReplicaSet:
 
     # -- writes ----------------------------------------------------------
 
-    def update(self, op: dict, max_retries: int = 3) -> dict:
+    def leader_for(self, ordering: str) -> Optional[int]:
+        """Peer that must drive this write (reference: update.rs:218-238
+        leader_peer_for_update): weak → this peer; medium → highest ALIVE
+        replica; strong → highest replica, alive or not."""
+        with self._lock:
+            if ordering == "medium":
+                alive = [
+                    p
+                    for p, s in self.states.items()
+                    if s.is_readable and p not in self.locally_disabled
+                ]
+                return max(alive) if alive else None
+            if ordering == "strong":
+                return max(self.states) if self.states else None
+            return self.this_peer_id
+
+    def update(self, op: dict, max_retries: int = 3, ordering: str = "weak") -> dict:
         """Clock-tagged fan-out write (reference: update.rs:254-430,
-        including the stale-tick retry loop)."""
+        including the stale-tick retry loop). Medium/strong ordering routes
+        the write through the designated leader replica first."""
+        if ordering in ("medium", "strong"):
+            leader = self.leader_for(ordering)
+            if leader is None:
+                raise ReplicaError(f"no leader available for {ordering} ordering")
+            if leader != self.this_peer_id:
+                replica = self.replicas.get(leader)
+                forward = getattr(replica, "forward_update", None)
+                if forward is None:
+                    raise ReplicaError(
+                        f"peer {leader} cannot accept forwarded writes"
+                    )
+                return forward(op)
         clock_id, clock = self.clock_set.lease()
         try:
             for attempt in range(max_retries):

@@ -311,7 +311,11 @@ class Collection:
                         vecs[name] = embed_value(v, inference="update")
 
     def upsert(
-        self, points: List[Dict[str, Any]], shard_key: Any = None, wait: bool = True
+        self,
+        points: List[Dict[str, Any]],
+        shard_key: Any = None,
+        wait: bool = True,
+        ordering: str = "weak",
     ) -> Dict[str, Any]:
         self.check_strict_upsert(len(points))
         self._resolve_inference(points)
@@ -326,13 +330,17 @@ class Collection:
             op = {"type": "upsert", "points": pts}
             rs = self.replica_sets.get(sid)
             if rs is not None:
-                result = rs.update(op)
+                result = rs.update(op, ordering=ordering)
             else:
                 result = self.shards[sid].update(op, wait=wait)
         return result
 
     def update_op(
-        self, op: Dict[str, Any], shard_key: Any = None, wait: bool = True
+        self,
+        op: Dict[str, Any],
+        shard_key: Any = None,
+        wait: bool = True,
+        ordering: str = "weak",
     ) -> Dict[str, Any]:
         """Route a non-upsert update op: by ids when present, else broadcast."""
         result: Dict[str, Any] = {"operation_id": 0, "status": "completed"}
@@ -348,7 +356,9 @@ class Collection:
                 sub["ids"] = ids
                 rs = self.replica_sets.get(sid)
                 result = (
-                    rs.update(sub) if rs is not None else self.shards[sid].update(sub, wait=wait)
+                    rs.update(sub, ordering=ordering)
+                    if rs is not None
+                    else self.shards[sid].update(sub, wait=wait)
                 )
         else:
             targets = self._shards_for_read(shard_key)
@@ -357,7 +367,9 @@ class Collection:
                     continue
                 rs = self.replica_sets.get(sid)
                 result = (
-                    rs.update(dict(op)) if rs is not None else shard.update(op, wait=wait)
+                    rs.update(dict(op), ordering=ordering)
+                    if rs is not None
+                    else shard.update(op, wait=wait)
                 )
         return result
 

@@ -165,3 +165,38 @@ def test_read_consistency_resolution(tmp_path):
     entry = next(t for t in res[0] if t[1] == 0)
     assert entry[2] == 5  # the newer version from replica 2 (s1 has version 1)
     assert rs.count(None, consistency=2) == 4
+
+
+def test_write_ordering_leader_selection(tmp_path):
+    """Weak → this peer; medium → highest ALIVE replica; strong → highest
+    replica even if dead (reference: update.rs:218-238)."""
+    from qdrant_tpu.cluster.replica_set import (
+        LocalReplica,
+        ReplicaState,
+        ShardReplicaSet,
+    )
+
+    class _Fwd:
+        def __init__(self):
+            self.forwarded = []
+
+        def forward_update(self, op):
+            self.forwarded.append(op)
+            return {"status": "completed", "operation_id": 99}
+
+    shard = make_shard(tmp_path, "ord")
+    rs = ShardReplicaSet(0, this_peer_id=2, local=LocalReplica(shard))
+    remote5 = _Fwd()
+    rs.add_replica(5, remote5, ReplicaState.ACTIVE)
+    rs.add_replica(9, _Fwd(), ReplicaState.DEAD)
+
+    assert rs.leader_for("weak") == 2
+    assert rs.leader_for("medium") == 5   # 9 is dead
+    assert rs.leader_for("strong") == 9   # highest regardless
+
+    res = rs.update({"type": "delete", "ids": [1]}, ordering="medium")
+    assert res["operation_id"] == 99
+    assert remote5.forwarded  # executed on the leader, not locally
+    # weak executes locally (fans out; remote forward not used)
+    rs.states[5] = ReplicaState.DEAD
+    rs.update({"type": "delete", "ids": [1]}, ordering="weak")
