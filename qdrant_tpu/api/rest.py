@@ -915,6 +915,18 @@ def h_openapi(toc, m, body, q):
     return build_spec(version="1.15.1-tpu")
 
 
+def h_readyz(toc, m, body, q):
+    """Readiness: in cluster mode, ready only once consensus has a known
+    leader and this peer has applied up to the commit index (reference:
+    src/common/health.rs:16-45); trivial pass single-node."""
+    node = getattr(toc, "cluster_node", None)
+    if node is not None:
+        raft = node.raft
+        if raft.leader_id is None or raft.last_applied < raft.commit_index:
+            raise ApiError("not ready: consensus catching up", 503)
+    return "all shards are ready"
+
+
 def h_telemetry(toc, m, body, q):
     detail = int(q.get("details_level", 2))
     collections = []
@@ -962,7 +974,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/$"), h_root),
     ("GET", re.compile(r"^/healthz$"), h_healthz),
     ("GET", re.compile(r"^/livez$"), h_healthz),
-    ("GET", re.compile(r"^/readyz$"), h_healthz),
+    ("GET", re.compile(r"^/readyz$"), h_readyz),
     ("GET", re.compile(r"^/telemetry$"), h_telemetry),
     ("GET", re.compile(r"^/openapi.json$"), h_openapi),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
