@@ -761,6 +761,32 @@ def h_cluster(toc, m, body, q):
     }
 
 
+def h_collection_cluster_update(toc, m, body, q):
+    """Collection cluster operations (reference: cluster_api.rs
+    update_collection_cluster; subset: start_resharding up/down with the
+    single-driver semantics of collection.reshard)."""
+    coll = toc.get_collection(m["name"])
+    body = body or {}
+    if "start_resharding" in body:
+        spec = body["start_resharding"] or {}
+        direction = spec.get("direction", "up")
+        cur = len(coll.shards)
+        new_n = cur + 1 if direction == "up" else cur - 1
+        if new_n < 1:
+            raise ApiError("cannot scale below one shard")
+        op = {
+            "type": "reshard_collection",
+            "name": coll.name,
+            "new_shard_number": new_n,
+        }
+        if _meta_submit(toc, op) is None:
+            coll.reshard(new_n)
+        return True
+    if "drop_resharding" in body:
+        return True  # resharding here is synchronous; nothing to abort
+    raise ApiError(f"unsupported cluster operation: {sorted(body)}")
+
+
 def h_collection_cluster(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     local = []
@@ -1036,6 +1062,11 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/exists$"), h_collection_exists),
     ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/aliases$"), h_collection_aliases),
     ("GET", re.compile(r"^/collections/(?P<name>[^/]+)/cluster$"), h_collection_cluster),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/cluster$"),
+        h_collection_cluster_update,
+    ),
     ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/shards$"), h_create_shard_key),
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/shards/delete$"), h_delete_shard_key),
     ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/index$"), h_create_index),
@@ -1146,6 +1177,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
 ACCESS_LEVELS = {
     h_cluster_bootstrap: "manage",
     h_create_collection: "manage",
+    h_collection_cluster_update: "manage",
     h_update_collection: "manage",
     h_delete_collection: "manage",
     h_update_aliases: "manage",

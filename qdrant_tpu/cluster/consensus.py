@@ -54,6 +54,12 @@ class ConsensusManager:
             elif t == "add_peer":
                 if self.on_peer_added is not None:
                     self.on_peer_added(int(op["peer_id"]), op["url"])
+            elif t == "reshard_collection":
+                coll = self.toc.get_collection(op["name"])
+                coll.reshard(int(op["new_shard_number"]))
+                if self.on_collection_created is not None:
+                    # re-wire replica sets over the new shard layout
+                    self.on_collection_created(op["name"])
             self.applied_ops.append(op)
         except Exception:
             # a malformed/duplicate committed op must not wedge the state

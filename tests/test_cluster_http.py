@@ -206,3 +206,31 @@ def test_peer_bootstrap_joins_cluster(cluster, tmp_path):
         node4.stop()
         srv4.shutdown()
         toc4.close()
+
+
+def test_resharding_through_consensus(cluster):
+    """start_resharding scales the collection on every peer through the
+    committed reshard op; points survive and stay routable."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/rs", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 2})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(t.has_collection("rs") for t in tocs):
+        time.sleep(0.05)
+    call(leader_port, "PUT", "/collections/rs/points?wait=true", {
+        "points": [{"id": i, "vector": [1.0 * i, 0, 0, 0]} for i in range(30)]})
+    r = call(leader_port, "POST", "/collections/rs/cluster",
+             {"start_resharding": {"direction": "up"}})
+    assert r["result"] is True
+    deadline = time.time() + 15
+    while time.time() < deadline and not all(
+        len(t.get_collection("rs").shards) == 3 for t in tocs):
+        time.sleep(0.1)
+    for t in tocs:
+        assert len(t.get_collection("rs").shards) == 3
+    # points intact on the proposing peer and routable
+    cnt = call(leader_port, "POST", "/collections/rs/points/count", {})
+    assert cnt["result"]["count"] == 30
+    pt = call(leader_port, "GET", "/collections/rs/points/17")
+    assert pt["result"]["id"] == 17
