@@ -75,6 +75,13 @@ class PlainIndex:
                 filter_mask[: len(self.store)], dtype=bool
             )
             mask_dev = scan.mask_device(combined)
+        if scan.mesh is not None:
+            # multi-device: SPMD sharded scan + per-shard rescore + ICI merge
+            b = q.shape[0]
+            b_pad = max(8, (b + 7) // 8 * 8)
+            qp = np.zeros((b_pad, scan.d_pad), dtype=np.float32)
+            qp[:b, : q.shape[1]] = q
+            return scan._search_mesh(qp, q, b, k, mask_dev)
         k_fetch = min(max(2 * k, k + 8), scan.n)
         k_eff = min(k, k_fetch)
         vectors, _ = self.store.device_block()

@@ -211,11 +211,25 @@ class ScanIndex:
         euclid: bool = False,
         block: int = DEFAULT_BLOCK,
     ):
+        import os
+
         n, d = vectors.shape
         self.n = n
         self.block = block
         d_pad = max((d + 127) // 128 * 128, 128)
-        n_pad = max((n + block - 1) // block * block, block)
+        # multi-chip: shard the scan over every addressable device via a 1-D
+        # mesh — each device scans its slice, candidates merge over ICI
+        # (parallel/mesh.py::sharded_scan_rescore). Single chip: local scan.
+        n_dev = jax.device_count()
+        self.mesh = None
+        if n_dev > 1 and os.environ.get("QDRANT_TPU_MESH", "1") != "0":
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            chunk = block * n_dev
+            n_pad = max((n + chunk - 1) // chunk * chunk, chunk)
+        else:
+            n_pad = max((n + block - 1) // block * block, block)
         v = np.zeros((n_pad, d_pad), dtype=np.float32)
         v[:n, :d] = vectors
         self.euclid = euclid
@@ -227,8 +241,19 @@ class ScanIndex:
         self.d = d
         self.d_pad = d_pad
         self.n_pad = n_pad
-        self._v = jnp.asarray(v, dtype=jnp.bfloat16)
-        self._vsq = jnp.asarray(vsq)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            row = NamedSharding(self.mesh, PartitionSpec("shard"))
+            self._v = jax.device_put(v.astype(jnp.bfloat16), row)
+            self._vsq = jax.device_put(vsq, row)
+            self._v_f32 = jax.device_put(v, row)
+            self._row_sharding = row
+        else:
+            self._v = jnp.asarray(v, dtype=jnp.bfloat16)
+            self._vsq = jnp.asarray(vsq)
+            self._v_f32 = None
+            self._row_sharding = None
         self._mask = self.mask_device(valid_mask)
 
     def mask_device(self, valid_mask: Optional[np.ndarray]) -> jax.Array:
@@ -237,6 +262,8 @@ class ScanIndex:
             mask[: self.n] = 1
         else:
             mask[: self.n] = valid_mask[: self.n].astype(np.int8)
+        if self._row_sharding is not None:
+            return jax.device_put(mask, self._row_sharding)
         return jnp.asarray(mask)
 
     def update_mask(self, valid_mask: np.ndarray) -> None:
@@ -252,6 +279,8 @@ class ScanIndex:
         b_pad = max(8, (b + 7) // 8 * 8)
         q = np.zeros((b_pad, self.d_pad), dtype=np.float32)
         q[:b, :d] = queries
+        if self.mesh is not None:
+            return self._search_mesh(q, queries, b, k, mask)
         s, ids = scan_search(
             jnp.asarray(q),
             self._v,
@@ -265,6 +294,36 @@ class ScanIndex:
         if self.euclid:
             q_sq = (queries * queries).sum(axis=1, keepdims=True)
             s = s - q_sq
+        if k > s.shape[1]:
+            pad = k - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return s, ids
+
+    def _search_mesh(
+        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..parallel.mesh import sharded_scan_rescore
+
+        k_eff = min(k, self.n)
+        k_fetch = min(max(2 * k_eff, k_eff + 8), max(self.n_pad // jax.device_count(), 1))
+        s, ids = sharded_scan_rescore(
+            self.mesh,
+            jnp.asarray(q),
+            self._v,
+            self._vsq,
+            mask if mask is not None else self._mask,
+            self._v_f32,
+            self.block,
+            k_fetch,
+            k_eff,
+            self.euclid,
+        )
+        s = np.asarray(s, dtype=np.float32)[:b]
+        ids = np.asarray(ids, dtype=np.int32)[:b]
+        if self.euclid:
+            # rescore already returns exact -(q-v)^2
+            pass
         if k > s.shape[1]:
             pad = k - s.shape[1]
             s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)

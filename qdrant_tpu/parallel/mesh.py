@@ -177,3 +177,62 @@ def sharded_build_step(
         check_vma=False,
     )
     return fn(batch_queries, vectors, links, entries)
+
+
+# ---------------------------------------------------------------------------
+# sharded blocked scan + rescore (the ScanIndex hot path over a device mesh)
+# ---------------------------------------------------------------------------
+
+
+def sharded_scan_rescore(
+    mesh: Mesh,
+    queries: jax.Array,      # [B, Dp] f32 (replicated)
+    v_bf16: jax.Array,       # [S*Np, Dp] bf16 (sharded axis 0)
+    vsq: jax.Array,          # [S*Np] f32 (sharded)
+    mask: jax.Array,         # [S*Np] int8 (sharded)
+    v_f32: jax.Array,        # [S*Np, Dp] f32 (sharded; rescore truth)
+    blk: int,
+    k_fetch: int,
+    k: int,
+    euclid: bool,
+):
+    """Each device runs the blocked group-reduction scan + exact f32 rescore
+    over ITS shard of the vectors, then the per-device top-k candidates are
+    all-gathered and merged — one SPMD program, collectives on ICI
+    (reference equivalence: segments_searcher.rs fan-out + coordinator
+    merge). Returns (scores [B, k], global ids [B, k])."""
+    from ..ops.scan import scan_search
+
+    def local(q, v, vs, m, vf):
+        np_local = v.shape[0]
+        _, cand = scan_search(q, v, vs, m, blk, k_fetch)
+        safe = jnp.maximum(cand, 0)
+        cv = jnp.take(vf, safe, axis=0)
+        qq = q[:, : cv.shape[-1]]
+        if euclid:
+            diff = qq[:, None, :] - cv
+            re = -jnp.sum(diff * diff, axis=-1)
+        else:
+            re = jnp.einsum("bd,bkd->bk", qq, cv, preferred_element_type=jnp.float32)
+        re = jnp.where(cand >= 0, re, -jnp.inf)
+        s, ti = jax.lax.top_k(re, k)
+        lids = jnp.take_along_axis(cand, ti, axis=1)
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        gids = jnp.where(lids >= 0, lids + shard * np_local, -1)
+        all_s = jax.lax.all_gather(s, SHARD_AXIS)       # [S, B, k]
+        all_g = jax.lax.all_gather(gids, SHARD_AXIS)
+        b = q.shape[0]
+        flat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
+        flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
+        ms, mi = jax.lax.top_k(flat_s, k)
+        mg = jnp.take_along_axis(flat_g, mi, axis=1)
+        return ms, jnp.where(jnp.isfinite(ms), mg, -1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, v_bf16, vsq, mask, v_f32)

@@ -95,3 +95,28 @@ def test_sharded_build_step_runs(mesh8):
     sel = np.asarray(sel)
     assert sel.shape == (s * bb, m0)
     assert (sel >= -1).all() and (sel < np_local).all()
+
+
+def test_scan_index_auto_mesh():
+    """With >1 device visible, ScanIndex shards the scan over the mesh and
+    the SPMD path returns exact-rescored results."""
+    import numpy as np
+
+    from qdrant_tpu.ops.scan import ScanIndex
+
+    assert jax.device_count() > 1
+    rng = np.random.default_rng(0)
+    n, d = 70_000, 24
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ScanIndex(vecs, euclid=True)
+    assert idx.mesh is not None  # auto-sharded
+    q = vecs[1234:1238] + 0.01 * rng.standard_normal((4, d)).astype(np.float32)
+    s, ids = idx.search(q, k=5)
+    diff = vecs - q[0]
+    exact0 = np.argsort((diff * diff).sum(axis=1))[:5]
+    assert ids[0, 0] == 1234
+    assert set(ids[0].tolist()) == set(int(x) for x in exact0)
+    # scores are the exact euclid form
+    np.testing.assert_allclose(
+        s[0, 0], -((vecs[1234] - q[0]) ** 2).sum(), rtol=1e-4
+    )
