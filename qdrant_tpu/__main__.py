@@ -93,7 +93,14 @@ def main(argv=None) -> int:
                 args.bootstrap.rstrip("/") + "/cluster/bootstrap",
                 method="POST",
                 data=_json.dumps({"peer_id": peer_id, "url": args.uri}).encode(),
-                headers={"Content-Type": "application/json"},
+                headers={
+                    "Content-Type": "application/json",
+                    **(
+                        {"api-key": settings.get_path("service.api_key")}
+                        if settings.get_path("service.api_key")
+                        else {}
+                    ),
+                },
             )
             with _rq.urlopen(req, timeout=10) as resp:
                 peers = _json.loads(resp.read())["result"]["peers"]
@@ -104,6 +111,7 @@ def main(argv=None) -> int:
             peer_urls,
             tick_period=float(settings.get_path("cluster.consensus.tick_period_ms", 100)) / 1000.0,
             raft_storage=os.path.join(storage_path, "raft"),
+            api_key=settings.get_path("service.api_key"),
         )
         cluster_node.start()
         log.info("cluster mode: peer %d at %s (%d peers)", peer_id, args.uri, len(peer_urls))
@@ -121,7 +129,13 @@ def main(argv=None) -> int:
         from .api.grpc_server import make_server
 
         grpc_port = int(settings.get_path("service.grpc_port", 6334))
-        grpc_server, bound = make_server(toc, host=host, port=grpc_port)
+        grpc_server, bound = make_server(
+            toc,
+            host=host,
+            port=grpc_port,
+            api_key=settings.get_path("service.api_key"),
+            read_only_api_key=settings.get_path("service.read_only_api_key"),
+        )
         grpc_server.start()
         log.info("qdrant-tpu gRPC listening on %s:%d", host, bound)
     except Exception as e:  # grpc runtime optional

@@ -1149,8 +1149,74 @@ class _SnapshotServices:
         return resp
 
 
-def _wrap(fn, req_cls):
+# access level per RPC ("read" default): mirrors ACCESS_LEVELS in rest.py
+# and the reference's tonic RBAC checks (lib/storage/src/rbac/ops_checks.rs).
+GRPC_ACCESS_LEVELS = {
+    "Create": "manage",
+    "Delete": "manage",  # Collections.Delete; Points.Delete overridden below
+    "Update": "manage",
+    "UpdateAliases": "manage",
+    "CreateFull": "manage",
+    "ListFull": "manage",
+}
+GRPC_POINTS_ACCESS = {
+    "Upsert": "write",
+    "Delete": "write",
+    "UpdateVectors": "write",
+    "DeleteVectors": "write",
+    "SetPayload": "write",
+    "OverwritePayload": "write",
+    "DeletePayload": "write",
+    "ClearPayload": "write",
+    "UpdateBatch": "write",
+    "CreateFieldIndex": "write",
+    "DeleteFieldIndex": "write",
+}
+GRPC_SNAPSHOT_ACCESS = {
+    "Create": "write",
+    "Delete": "write",
+    "CreateFull": "manage",
+    "ListFull": "manage",
+}
+
+
+def _method_access_level(service_name: str, method: str) -> str:
+    if service_name == "qdrant.Points":
+        return GRPC_POINTS_ACCESS.get(method, "read")
+    if service_name == "qdrant.Snapshots":
+        return GRPC_SNAPSHOT_ACCESS.get(method, "read")
+    if service_name == "qdrant.Collections":
+        return GRPC_ACCESS_LEVELS.get(method, "read")
+    return "read"
+
+
+def _wrap(fn, req_cls, toc=None, authenticator=None, level="read"):
     def handler(request, context):
+        if authenticator is not None and authenticator.enabled:
+            from .auth import AuthError
+
+            meta = {k: v for k, v in (context.invocation_metadata() or [])}
+            headers = {
+                "api-key": meta.get("api-key"),
+                "Authorization": meta.get("authorization"),
+            }
+            try:
+                access = authenticator.authenticate(headers)
+            except AuthError as e:
+                context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
+            try:
+                if level == "manage":
+                    access.check_manage()
+                else:
+                    cname = getattr(request, "collection_name", "") or None
+                    if cname is not None and toc is not None:
+                        access.check_collection(
+                            toc.resolve_name(cname), write=(level == "write")
+                        )
+                    elif level == "write" and not access.write:
+                        raise AuthError("write access denied")
+            except AuthError as e:
+                context.abort(grpc.StatusCode.PERMISSION_DENIED, str(e))
         try:
             return fn(request, context)
         except Exception as e:  # engine errors → gRPC status
@@ -1271,15 +1337,26 @@ def make_server(
         },
     }
     interceptors = []
+    authenticator = None
     if api_key or read_only_api_key:
+        from .auth import Authenticator
+
         interceptors.append(_AuthInterceptor(api_key, read_only_api_key))
+        authenticator = Authenticator(api_key, read_only_api_key)
     server = grpc.server(
         futures.ThreadPoolExecutor(max_workers=max_workers),
         interceptors=interceptors,
     )
     for service_name, methods in services.items():
         handlers = {
-            name: _wrap(fn, req_cls) for name, (fn, req_cls) in methods.items()
+            name: _wrap(
+                fn,
+                req_cls,
+                toc=toc,
+                authenticator=authenticator,
+                level=_method_access_level(service_name, name),
+            )
+            for name, (fn, req_cls) in methods.items()
         }
         server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(service_name, handlers),)

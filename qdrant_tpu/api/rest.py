@@ -1199,9 +1199,19 @@ ACCESS_LEVELS = {
     h_delete_snapshot: "write",
     h_create_full_snapshot: "manage",
     h_set_locks: "manage",
-    h_internal_update: "write",
-    h_internal_update_forward: "write",
-    h_internal_snapshot_recover: "write",
+    # Internal peer-to-peer plane: the reference exposes these only on a
+    # separate p2p gRPC API. Here they share the HTTP port, so they require
+    # full (manage) credentials — a read-only key or collection-scoped JWT
+    # must not be able to inject raft messages or internal shard ops.
+    h_raft_message: "manage",
+    h_internal_update: "manage",
+    h_internal_update_forward: "manage",
+    h_internal_snapshot_recover: "manage",
+    h_internal_snapshot: "manage",
+    # internal reads: manage-level auth, but not subject to the write lock
+    h_internal_search: "internal-read",
+    h_internal_count: "internal-read",
+    h_internal_scroll: "internal-read",
 }
 
 
@@ -1243,7 +1253,7 @@ class _Handler(BaseHTTPRequestHandler):
                     if path not in ("/healthz", "/livez", "/readyz"):
                         access = self.authenticator.authenticate(self.headers)
                         level = ACCESS_LEVELS.get(handler, "read")
-                        if level == "manage":
+                        if level in ("manage", "internal-read"):
                             access.check_manage()
                         elif "name" in groups:
                             access.check_collection(

@@ -105,15 +105,23 @@ class ClockMap:
 
     def advance(self, tag: Optional[ClockTag]) -> bool:
         """→ True if the operation must be applied; False if stale-rejected."""
+        return self.advance_result(tag)[0]
+
+    def advance_result(self, tag: Optional[ClockTag]) -> Tuple[bool, int]:
+        """→ (accepted, current tick for the tag's clock). The tick is echoed
+        back to the sender on stale rejection so a restarted peer (whose
+        ClockSet restarted at 0) can advance its clock past this shard's
+        high-water mark and retry — reference: replica_set/update.rs's
+        rejected-tick retry loop + clock_set.rs advance semantics."""
         if tag is None:
-            return True
+            return True, 0
         key = (tag.peer_id, tag.clock_id)
         with self._lock:
             current = self._ticks.get(key, 0)
             if tag.clock_tick <= current and not tag.force:
-                return False
+                return False, current
             self._ticks[key] = max(current, tag.clock_tick)
-            return True
+            return True, self._ticks[key]
 
     def recovery_point(self) -> Dict[Tuple[int, int], int]:
         with self._lock:

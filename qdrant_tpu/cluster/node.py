@@ -27,11 +27,17 @@ class HttpRaftTransport:
     back deadlocks the cluster. Unreachable peers are dropped silently (raft
     tolerates message loss)."""
 
-    def __init__(self, peer_urls: Dict[int, str], timeout: float = 2.0):
+    def __init__(
+        self,
+        peer_urls: Dict[int, str],
+        timeout: float = 2.0,
+        api_key: Optional[str] = None,
+    ):
         import queue
 
         self.peer_urls = dict(peer_urls)
         self.timeout = timeout
+        self.api_key = api_key
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
@@ -51,6 +57,8 @@ class HttpRaftTransport:
                 method="POST",
             )
             req.add_header("Content-Type", "application/json")
+            if self.api_key:
+                req.add_header("api-key", self.api_key)
             try:
                 urllib.request.urlopen(req, timeout=self.timeout).read()
             except OSError:
@@ -65,11 +73,13 @@ class ClusterNode:
         peer_urls: Dict[int, str],
         tick_period: float = 0.05,
         raft_storage: Optional[str] = None,
+        api_key: Optional[str] = None,
     ):
         self.peer_id = peer_id
         self.toc = toc
+        self.api_key = api_key
         self.manager = ConsensusManager(toc)
-        self.transport = HttpRaftTransport(peer_urls)
+        self.transport = HttpRaftTransport(peer_urls, api_key=api_key)
         self.raft = RaftNode(
             peer_id,
             sorted(set(peer_urls.keys()) | {peer_id}),
@@ -132,7 +142,7 @@ class ClusterNode:
                     continue
                 rs.add_replica(
                     peer_id,
-                    RemoteReplica(url, collection_name, sid),
+                    RemoteReplica(url, collection_name, sid, api_key=self.api_key),
                     ReplicaState.ACTIVE,
                 )
             coll.replica_sets[sid] = rs

@@ -217,7 +217,7 @@ class ShardReplicaSet:
                 tag = self.clock_set.tag_for(clock_id)
                 if attempt == max_retries - 1:
                     tag.force = True
-                results, stale = self._fan_out(op, tag)
+                results, stale, stale_tick = self._fan_out(op, tag)
                 if not stale:
                     successes = [r for r in results.values() if r is not None]
                     if len(successes) < self.write_consistency_factor:
@@ -226,12 +226,18 @@ class ShardReplicaSet:
                             f"need {self.write_consistency_factor}"
                         )
                     return successes[0] if successes else {"status": "completed"}
-                # a replica saw a newer tick: advance and retry with a fresh tag
+                # a replica saw a newer tick (e.g. this peer restarted and its
+                # clocks reset): adopt the echoed high-water mark so the next
+                # tag_for() ticks PAST it — reference update.rs retry loop
+                if stale_tick is not None:
+                    clock.advance_to(stale_tick)
             raise ReplicaError("write kept being rejected as stale")
         finally:
             self.clock_set.release(clock_id)
 
-    def _fan_out(self, op: dict, tag: ClockTag) -> Tuple[Dict[int, Optional[dict]], bool]:
+    def _fan_out(
+        self, op: dict, tag: ClockTag
+    ) -> Tuple[Dict[int, Optional[dict]], bool, Optional[int]]:
         with self._lock:
             targets = [
                 (p, r)
@@ -242,18 +248,22 @@ class ShardReplicaSet:
             raise ReplicaError(f"no updatable replicas for shard {self.shard_id}")
         results: Dict[int, Optional[dict]] = {}
         stale = False
+        stale_tick: Optional[int] = None
         for peer_id, replica in targets:
             try:
                 res = replica.update_with_clock(op, tag.to_dict())
                 if res.get("status") == "stale":
                     stale = True
                     results[peer_id] = None
+                    echoed = res.get("current_tick")
+                    if echoed is not None:
+                        stale_tick = max(stale_tick or 0, int(echoed))
                 else:
                     results[peer_id] = res
             except Exception:
                 results[peer_id] = None
                 self._handle_failure(peer_id)
-        return results, stale
+        return results, stale, stale_tick
 
     def _handle_failure(self, peer_id: int) -> None:
         """Failed write → locally disable; consensus later confirms Dead

@@ -101,7 +101,10 @@ class Collection:
 
     def _create_shard(self, shard_id: int) -> LocalShard:
         shard = LocalShard(
-            self._shard_path(shard_id), self.params, self.optimizers_config
+            self._shard_path(shard_id),
+            self.params,
+            self.optimizers_config,
+            wal_sync=self.wal_config.wal_sync,
         )
         shard.defer_optimizers = self.defer_optimizers
         self.shards[shard_id] = shard
@@ -700,7 +703,10 @@ class Collection:
             for sub in sorted(os.listdir(shards_root), key=lambda x: int(x)):
                 sid = int(sub)
                 coll.shards[sid] = LocalShard(
-                    os.path.join(shards_root, sub), params, coll.optimizers_config
+                    os.path.join(shards_root, sub),
+                    params,
+                    coll.optimizers_config,
+                    wal_sync=coll.wal_config.wal_sync,
                 )
                 coll.shards[sid].defer_optimizers = coll.defer_optimizers
         if params.sharding_method != "custom":

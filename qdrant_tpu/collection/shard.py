@@ -52,10 +52,13 @@ class LocalShard:
         path: str,
         params: CollectionParams,
         optimizers: Optional[OptimizersConfig] = None,
+        wal_sync: bool = True,
     ):
         self.path = path
         self.params = params
         self.optimizers = optimizers or OptimizersConfig()
+        # fsync the WAL before acknowledging writes (WalConfig.wal_sync)
+        self.wal_sync = wal_sync
         os.makedirs(path, exist_ok=True)
         # coarse per-shard lock: updates/optimizer/flush are exclusive with
         # searches (reference: per-segment RwLocks; coarse is correct and
@@ -141,10 +144,18 @@ class LocalShard:
         with self._lock:
             if clock_tag is not None:
                 tag = ClockTag.from_dict(clock_tag)
-                if not self.clock_map.advance(tag):
-                    return {"operation_id": 0, "status": "stale"}
+                accepted, current_tick = self.clock_map.advance_result(tag)
+                if not accepted:
+                    # echo the shard's tick so the sender can advance + retry
+                    return {
+                        "operation_id": 0,
+                        "status": "stale",
+                        "current_tick": current_tick,
+                    }
                 op = {**op, "clock_tag": clock_tag}
             op_num = self.wal.append(op)
+            if self.wal_sync and wait:
+                self.wal.sync()
             self._apply(op_num, op)
         if wait and not self.defer_optimizers:
             self.maybe_optimize()
@@ -561,8 +572,14 @@ class LocalShard:
         os.makedirs(root, exist_ok=True)
         for seg in self.segments:
             name = self._segment_dirs[id(seg)]
-            seg.save(os.path.join(root, name))
+            seg_dir = os.path.join(root, name)
+            seg.save(seg_dir)
+            if self.wal_sync:
+                _fsync_tree(seg_dir)
         persisted = min((s.version for s in self.segments), default=0)
+        # segments are durably on disk — only now may the covering WAL
+        # records be dropped (otherwise a kernel crash between save and ack
+        # loses acknowledged writes)
         self.wal.ack(persisted)
         self._save_clock_map()
 
@@ -603,6 +620,20 @@ class LocalShard:
             self._add_segment(Segment(self.params, appendable=True))
         # snapshot supersedes local WAL history
         self.wal.ack(self.wal.next_op_num - 1)
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every regular file under `path` (segment durability barrier)."""
+    for dirpath, _, filenames in os.walk(path):
+        for fname in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
 
 
 def _decode_vectors(vectors: Dict[str, Any]) -> Dict[str, Any]:

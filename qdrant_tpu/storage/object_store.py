@@ -119,7 +119,12 @@ class S3Client:
         path = f"/{self.bucket}" + (f"/{key}" if key else "")
         payload_hash = _sha256(body)
         headers = self._sign(method, path, query, payload_hash)
-        qs = urllib.parse.urlencode(sorted(query.items()))
+        # must match the canonical-request encoding (quote, not quote_plus):
+        # keys/prefixes with spaces or '+' otherwise break the signature
+        qs = "&".join(
+            f"{urllib.parse.quote(k, safe='')}={urllib.parse.quote(v, safe='')}"
+            for k, v in sorted(query.items())
+        )
         url = f"{self.endpoint}{urllib.parse.quote(path)}" + (f"?{qs}" if qs else "")
         req = urllib.request.Request(
             url, method=method, data=body if body else None, headers=headers

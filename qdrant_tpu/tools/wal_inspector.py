@@ -8,7 +8,9 @@ import json
 import sys
 
 
-def print_collection_wal(path: str) -> int:
+def print_collection_wal(path: str, from_op: int = 0, limit: int = 0) -> int:
+    """JSON-lines on stdout ({"op_num", "operation"}), summary on stderr —
+    machine-parseable, like the reference's wal_inspector."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -18,18 +20,19 @@ def print_collection_wal(path: str) -> int:
     first = None
     count = 0
     last = 0
-    for op_num, op in wal.read_from(0):
+    for op_num, op in wal.read_from(from_op):
+        if limit and count >= limit:
+            break
         if first is None:
             first = op_num
         last = op_num
         count += 1
-        summary = {k: v for k, v in op.items() if k != "points"}
-        if "points" in op:
-            summary["points"] = f"<{len(op['points'])} points>"
-        print(f"op #{op_num}: {json.dumps(summary, default=str)}")
-    print("==========================")
-    print(f"entries: {count} (first: {first}, last: {last})")
-    print(f"next op num: {wal.next_op_num}")
+        print(json.dumps({"op_num": op_num, "operation": op}, default=str))
+    print(
+        f"{count} records (first: {first}, last: {last}, "
+        f"next op num: {wal.next_op_num})",
+        file=sys.stderr,
+    )
     return 0
 
 
@@ -55,19 +58,18 @@ def print_raft_wal(path: str) -> int:
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
-    if not argv:
-        print("usage: python -m qdrant_tpu.tools.wal_inspector <wal_dir> "
-              "[collection|raft]", file=sys.stderr)
-        return 2
-    path = argv[0]
-    kind = argv[1] if len(argv) > 1 else "collection"
-    if kind == "collection":
-        return print_collection_wal(path)
-    if kind == "raft":
-        return print_raft_wal(path)
-    print(f"unknown wal type: {kind}", file=sys.stderr)
-    return 2
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="wal_inspector")
+    parser.add_argument("path")
+    parser.add_argument("kind", nargs="?", default="collection",
+                        choices=["collection", "raft"])
+    parser.add_argument("--from", dest="from_op", type=int, default=0)
+    parser.add_argument("--limit", type=int, default=0)
+    args = parser.parse_args(argv)
+    if args.kind == "collection":
+        return print_collection_wal(args.path, args.from_op, args.limit)
+    return print_raft_wal(args.path)
 
 
 if __name__ == "__main__":

@@ -673,6 +673,10 @@ class OptimizersConfig:
 class WalConfig:
     wal_capacity_mb: int = 32
     wal_segments_ahead: int = 0
+    # fsync the WAL before acknowledging a write as completed — acknowledged
+    # writes survive power loss, not just process crash. Disable for bulk
+    # ingest where throughput beats durability.
+    wal_sync: bool = True
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

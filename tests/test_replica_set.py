@@ -200,3 +200,41 @@ def test_write_ordering_leader_selection(tmp_path):
     # weak executes locally (fans out; remote forward not used)
     rs.states[5] = ReplicaState.DEAD
     rs.update({"type": "delete", "ids": [1]}, ordering="weak")
+
+
+def test_restarted_sender_clock_catches_up(tmp_path):
+    """A peer restart resets its ClockSet to 0 while shards remember higher
+    ticks. The stale rejection must echo the shard's tick so the sender
+    advances and the retried write is applied with a FRESH (higher) tick —
+    not force-applied below the recovery point (ADVICE r1 #3)."""
+    shard = make_shard(tmp_path, "a")
+    rs = ShardReplicaSet(0, this_peer_id=1, local=LocalReplica(shard))
+    for i in range(5):
+        rs.update(upsert_op(i, [float(i)] * 8))
+    high = max(shard.clock_map.recovery_point().values())
+    assert high == 5
+
+    # simulate sender restart: fresh ClockSet starting at 0
+    rs.clock_set = ClockSet(1)
+    res = rs.update(upsert_op(99, [9.0] * 8))
+    assert res["status"] == "completed"
+    # the write advanced the shard's clock PAST the old high-water mark, so
+    # wal_ops_since(old recovery point) includes it (WAL-delta correctness)
+    new_high = max(shard.clock_map.recovery_point().values())
+    assert new_high > high
+    old_recovery = {"1:0": high}
+    delta_ids = [
+        p["id"]
+        for op, _ in shard.wal_ops_since(old_recovery)
+        for p in op.get("points", [])
+    ]
+    assert 99 in delta_ids
+
+
+def test_stale_result_echoes_current_tick(tmp_path):
+    shard = make_shard(tmp_path, "a")
+    res = shard.update(upsert_op(1, [0.0] * 8), clock_tag={"peer_id": 1, "clock_id": 0, "clock_tick": 7})
+    assert res["status"] == "completed"
+    stale = shard.update(upsert_op(2, [0.0] * 8), clock_tag={"peer_id": 1, "clock_id": 0, "clock_tick": 3})
+    assert stale["status"] == "stale"
+    assert stale["current_tick"] == 7

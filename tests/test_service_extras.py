@@ -93,7 +93,7 @@ def test_wal_inspect_cli(tmp_path):
     wal.append({"type": "delete", "ids": [2]})
     wal.close()
     out = subprocess.run(
-        [sys.executable, "-m", "qdrant_tpu.tools.wal_inspect", path],
+        [sys.executable, "-m", "qdrant_tpu.tools.wal_inspector", path],
         capture_output=True,
         text=True,
         cwd="/root/repo",
