@@ -81,6 +81,9 @@ class HnswIndex:
         self._upper_dev: Optional[jax.Array] = None
         self._rank_dev: Optional[jax.Array] = None
         self._stack_counts_dev: Optional[jax.Array] = None
+        # fused link+code table (ops/hnsw_inline.py): None = undecided,
+        # False = disabled for this index, dict = built state
+        self._inline = None
 
     # ------------------------------------------------------------------
     # helpers
@@ -126,6 +129,8 @@ class HnswIndex:
 
     def _scatter(self, level: int, rows: np.ndarray, values: np.ndarray) -> None:
         """Write full link rows (host mirror + device)."""
+        if self._inline:
+            self._inline = None  # graph mutated: drop the fused table
         counts = (values >= 0).sum(axis=1).astype(np.int32)
         if level == 0:
             self.links0[rows] = values
@@ -481,6 +486,50 @@ class HnswIndex:
     # search
     # ------------------------------------------------------------------
 
+    def _inline_state(self) -> Optional[dict]:
+        """Build (lazily) the fused link+code table for level-0 beam search
+        (ops/hnsw_inline.py — the reference's CompressedWithVectors layout,
+        graph_links/format.rs:11-14). TPU-only; invalidated on any link
+        mutation; skipped when the table would not fit comfortably in HBM."""
+        if self._inline is not None:
+            return self._inline or None
+        import os
+
+        from ..ops.pallas_scan import is_tpu_backend
+
+        d = self.store.dim
+        m0 = self.config.m0
+        enable = os.environ.get("QDRANT_TPU_INLINE", "1")
+        if (
+            enable == "0"
+            or (not is_tpu_backend() and enable != "force")
+            or self.links0 is None
+            or self.distance is Distance.MANHATTAN
+        ):
+            self._inline = False
+            return None
+        rows = self.links0.shape[0]
+        table_bytes = rows * (8 * m0 + m0 * d)
+        max_bytes = int(
+            os.environ.get("QDRANT_TPU_INLINE_MAX_BYTES", 6_000_000_000)
+        )
+        if table_bytes > max_bytes:
+            self._inline = False
+            return None
+        from ..ops import quantization as qops
+        from ..ops.hnsw_inline import pack_linkcodes
+
+        data = self.store._data[: len(self.store)]
+        sq = qops.ScalarQuantized.encode(data)
+        table = pack_linkcodes(self.links0, sq.codes, sq.norms_sq)
+        self._inline = {
+            "table": jnp.asarray(table),
+            "scale": sq.scale,
+            "m0": m0,
+            "d": d,
+        }
+        return self._inline
+
     def search(
         self,
         queries: np.ndarray,  # [B, D] raw queries
@@ -527,6 +576,7 @@ class HnswIndex:
             mask_dev = jnp.asarray(fm)
 
         max_iters = 2 * ef_eff + 16
+        inline = None if (acorn and mask_dev is not None) else self._inline_state()
         if acorn and mask_dev is not None:
             beam_scores, beam_ids = hnsw_ops.beam_search_acorn(
                 q_dev,
@@ -538,6 +588,38 @@ class HnswIndex:
                 max_iters,
                 dist,
                 compact_of=self._rank_device(),
+            )
+        elif inline is not None:
+            from ..ops.hnsw_inline import beam_search_inline
+
+            scale = inline["scale"]
+            q_i8 = jnp.asarray(
+                np.clip(np.round(q / scale), -127, 127).astype(np.int8)
+            )
+            euclid = self.distance is Distance.EUCLID
+            fbias = None
+            if filter_mask is not None:
+                cap = vectors.shape[0]
+                fb = np.full(cap, -np.inf, dtype=np.float32)
+                fb[: len(filter_mask)] = np.where(filter_mask, 0.0, -np.inf)
+                fbias = jnp.asarray(fb)
+            expand = 4
+            beam_scores, beam_ids = beam_search_inline(
+                q_dev,
+                q_i8,
+                inline["table"],
+                jnp.float32((2.0 if euclid else 1.0) * scale * scale),
+                self._rank_device(),
+                vectors,
+                cur[:, None],
+                fbias,
+                m=inline["m0"],
+                d=inline["d"],
+                ef=ef_eff,
+                iters=max(max_iters // expand, 8),
+                expand=expand,
+                euclid=euclid,
+                k=ef_eff,
             )
         else:
             beam_scores, beam_ids = hnsw_ops.beam_search_level(

@@ -82,6 +82,21 @@ class ScalarQuantized:
             self._scan_dev = (jnp.asarray(codes), jnp.asarray(norms), n_pad)
         return self._scan_dev
 
+    def pallas_device(self, block: int = 4096):
+        """Device arrays for the fused Pallas int8 scan (ops/pallas_scan.py)
+        → (codes [n_pad, d_pad] int8 device, norms [n_pad] f32 host, n_pad).
+        Rows padded to the kernel block, dims to the 128-lane width."""
+        if getattr(self, "_pallas_dev", None) is None:
+            n, d = self.codes.shape
+            n_pad = max((n + block - 1) // block * block, block)
+            d_pad = max((d + 127) // 128 * 128, 128)
+            codes = np.zeros((n_pad, d_pad), dtype=np.int8)
+            codes[:n, :d] = self.codes
+            norms = np.zeros(n_pad, dtype=np.float32)
+            norms[:n] = self.norms_sq
+            self._pallas_dev = (jnp.asarray(codes), norms, n_pad)
+        return self._pallas_dev
+
     def encode_queries(self, queries: np.ndarray) -> np.ndarray:
         return np.clip(np.round(queries / self.scale), -127, 127).astype(np.int8)
 

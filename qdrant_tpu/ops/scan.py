@@ -222,6 +222,7 @@ class ScanIndex:
         # (parallel/mesh.py::sharded_scan_rescore). Single chip: local scan.
         n_dev = jax.device_count()
         self.mesh = None
+        self.use_pallas = False
         if n_dev > 1 and os.environ.get("QDRANT_TPU_MESH", "1") != "0":
             from ..parallel.mesh import make_mesh
 
@@ -229,6 +230,18 @@ class ScanIndex:
             chunk = block * n_dev
             n_pad = max((n + chunk - 1) // chunk * chunk, chunk)
         else:
+            # single-device TPU: the fused Pallas kernel (score + in-VMEM
+            # running top-k, ops/pallas_scan.py) — ~3x the XLA scan at 1M
+            from .pallas_scan import DEFAULT_BLK as PBLK, is_tpu_backend
+
+            self.use_pallas = (
+                is_tpu_backend()
+                and n >= 32768
+                and os.environ.get("QDRANT_TPU_PALLAS", "1") != "0"
+            )
+            if self.use_pallas:
+                block = PBLK
+                self.block = block
             n_pad = max((n + block - 1) // block * block, block)
         v = np.zeros((n_pad, d_pad), dtype=np.float32)
         v[:n, :d] = vectors
@@ -249,6 +262,14 @@ class ScanIndex:
             self._vsq = jax.device_put(vsq, row)
             self._v_f32 = jax.device_put(v, row)
             self._row_sharding = row
+        elif self.use_pallas:
+            # euclid pre-scales V by 2 so the kernel's matmul yields 2*q.v
+            # and its entire epilogue is one bias add (-||v||^2 + mask)
+            self._v = jnp.asarray(2.0 * v if euclid else v, dtype=jnp.bfloat16)
+            self._vsq_host = vsq  # host copy to rebuild bias on mask updates
+            self._vsq = None
+            self._v_f32 = None
+            self._row_sharding = None
         else:
             self._v = jnp.asarray(v, dtype=jnp.bfloat16)
             self._vsq = jnp.asarray(vsq)
@@ -262,6 +283,12 @@ class ScanIndex:
             mask[: self.n] = 1
         else:
             mask[: self.n] = valid_mask[: self.n].astype(np.int8)
+        if self.use_pallas:
+            from .pallas_scan import NEG_INF as PNEG
+
+            # valid rows: -||v||^2 (zeros unless euclid); deleted: NEG_INF
+            bias = np.where(mask != 0, -self._vsq_host, PNEG).astype(np.float32)
+            return jnp.asarray(bias)
         if self._row_sharding is not None:
             return jax.device_put(mask, self._row_sharding)
         return jnp.asarray(mask)
@@ -281,6 +308,8 @@ class ScanIndex:
         q[:b, :d] = queries
         if self.mesh is not None:
             return self._search_mesh(q, queries, b, k, mask)
+        if self.use_pallas and k <= 1024:
+            return self._search_pallas(q, queries, b, k, mask)
         s, ids = scan_search(
             jnp.asarray(q),
             self._v,
@@ -294,6 +323,42 @@ class ScanIndex:
         if self.euclid:
             q_sq = (queries * queries).sum(axis=1, keepdims=True)
             s = s - q_sq
+        if k > s.shape[1]:
+            pad = k - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return s, ids
+
+    def _search_pallas(
+        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from .pallas_scan import DEFAULT_QT, pallas_scan_topk
+
+        b_pad = q.shape[0]
+        if b_pad >= 128:
+            # query-tile must divide the padded batch; tiles of 128/256 keep
+            # VMEM bounded ([qt, blk] f32 scores + [qt, 2048]x2 scratch)
+            if b_pad % 128:
+                q = np.concatenate(
+                    [q, np.zeros((128 - b_pad % 128, q.shape[1]), q.dtype)]
+                )
+                b_pad = q.shape[0]
+            qt = DEFAULT_QT if b_pad % DEFAULT_QT == 0 else 128
+        else:
+            qt = b_pad  # small batches: one query tile
+        s, ids = pallas_scan_topk(
+            jnp.asarray(q),
+            self._v,
+            mask if mask is not None else self._mask,
+            min(k, self.n),
+            qt=qt,
+        )
+        s = np.asarray(s, dtype=np.float32)[:b]
+        ids = np.asarray(ids, dtype=np.int32)[:b]
+        if self.euclid:
+            q_sq = (queries * queries).sum(axis=1, keepdims=True)
+            s = s - q_sq
+            s = np.where(ids >= 0, s, -np.inf)
         if k > s.shape[1]:
             pad = k - s.shape[1]
             s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)

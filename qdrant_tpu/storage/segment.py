@@ -513,6 +513,81 @@ class Segment:
         cardinality = int(combined_mask.sum())
         return cardinality >= threshold
 
+    def _search_sq_pallas(
+        self, quant, store, q: np.ndarray, k: int, k_over: int,
+        mask: np.ndarray, params: SearchParams,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """SQ large-N on TPU: fused Pallas int8 scan (ops/pallas_scan.py) +
+        optional exact f32 rescore of the oversampled winners."""
+        import jax.numpy as jnp
+
+        from ..ops import pallas_scan as ps
+
+        codes_dev, norms_host, n_pad = quant.pallas_device()
+        d_pad = codes_dev.shape[1]
+        euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
+        mask_pad = np.zeros(n_pad, dtype=bool)
+        mask_pad[: len(mask)] = mask[:n_pad]
+        bias = np.where(
+            mask_pad, -norms_host if euclid else 0.0, ps.NEG_INF
+        ).astype(np.float32)
+        scale_sq = jnp.float32(
+            (2.0 if euclid else 1.0) * quant.scale * quant.scale
+        )
+        b = q.shape[0]
+        b_pad = max(8, (b + 7) // 8 * 8)
+        if b_pad >= 128 and b_pad % 128:
+            b_pad = (b_pad + 127) // 128 * 128
+        qt = (
+            ps.DEFAULT_QT
+            if b_pad % ps.DEFAULT_QT == 0
+            else (128 if b_pad % 128 == 0 and b_pad >= 128 else b_pad)
+        )
+        q_codes = np.zeros((b_pad, d_pad), dtype=np.int8)
+        q_codes[:b, : q.shape[1]] = quant.encode_queries(q)
+        k_over = min(max(k_over, 128), 1024)
+        if params.quantization_rescore:
+            vectors_f32, _ = store.device_block()
+            q_f32 = np.zeros((b_pad, vectors_f32.shape[1]), dtype=np.float32)
+            q_f32[:b, : q.shape[1]] = q
+            top_s, top_i = ps.pallas_scan_rescore(
+                jnp.asarray(q_f32),
+                jnp.asarray(q_codes),
+                codes_dev,
+                jnp.asarray(bias),
+                vectors_f32.astype(jnp.float32)
+                if vectors_f32.dtype != jnp.float32
+                else vectors_f32,
+                k_over,
+                min(k, k_over),
+                scale_sq=scale_sq,
+                qt=qt,
+                euclid=euclid,
+                int8_mode=True,
+            )
+            s = np.asarray(top_s, dtype=np.float32)[:b]
+            i = np.asarray(top_i, dtype=np.int32)[:b]
+        else:
+            top_s, top_i = ps.pallas_scan_topk(
+                jnp.asarray(q_codes),
+                codes_dev,
+                jnp.asarray(bias),
+                min(k, k_over),
+                scale_sq=scale_sq,
+                qt=qt,
+                int8_mode=True,
+            )
+            s = np.asarray(top_s, dtype=np.float32)[:b]
+            i = np.asarray(top_i, dtype=np.int32)[:b]
+            if euclid:
+                q_sq = (q * q).sum(axis=1, keepdims=True)
+                s = np.where(i >= 0, s - q_sq, -np.inf)
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        return s, i
+
     def _search_quantized(
         self,
         name: str,
@@ -531,6 +606,12 @@ class Segment:
         k_over = min(max(int(k * oversampling), k), max(int(mask.sum()), 1))
 
         if isinstance(quant, qops.ScalarQuantized) and len(store) >= 65536:
+            import os as _os
+
+            from ..ops.pallas_scan import is_tpu_backend
+
+            if is_tpu_backend() and _os.environ.get("QDRANT_TPU_PALLAS", "1") != "0":
+                return self._search_sq_pallas(quant, store, q, k, k_over, mask, params)
             # large-N: blocked int8 scan (group-reduction top-k) + f32 rescore
             from ..ops.scan import DEFAULT_BLOCK, scan_search_sq
 
