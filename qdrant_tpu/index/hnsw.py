@@ -22,12 +22,14 @@ graph_layers_builder.rs) and the GPU batched builder
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..ops import hnsw as hnsw_ops
@@ -73,6 +75,12 @@ class HnswIndex:
         self.entry: int = -1
         self.max_level: int = -1
         self.level_counts: Dict[int, int] = {}
+        # host adjacency mirrors are LAZY: after a device build the device
+        # arrays are authoritative and the host copies are stale until some
+        # host-path consumer (save, incremental insert, tools) reads them.
+        # The axon tunnel downloads at ~0.1 MB/s — an eager 16 MB links
+        # download costs ~130 s, so device builds never download eagerly.
+        self._host_stale = False
         self.links0: Optional[np.ndarray] = None  # [rows0, M0]
         self.links_upper: Optional[np.ndarray] = None  # [L, R, M] levels max..1
         self.counts0: Optional[np.ndarray] = None  # link counts per row
@@ -84,6 +92,62 @@ class HnswIndex:
         # fused link+code table (ops/hnsw_inline.py): None = undecided,
         # False = disabled for this index, dict = built state
         self._inline = None
+
+    # ------------------------------------------------------------------
+    # host adjacency mirrors (lazy after device builds)
+    # ------------------------------------------------------------------
+
+    def _sync_host(self) -> None:
+        """Download the device adjacency into the host mirror if stale."""
+        if not self._host_stale:
+            return
+        self._host_stale = False
+        if self._links0_dev is not None:
+            self._links0_host = np.asarray(self._links0_dev, dtype=np.int32)
+            self._counts0_host = (self._links0_host >= 0).sum(axis=1).astype(
+                np.int32
+            )
+        if self._upper_dev is not None:
+            self._links_upper_host = np.asarray(self._upper_dev, dtype=np.int32)
+            self._counts_upper_host = (
+                (self._links_upper_host >= 0).sum(axis=2).astype(np.int32)
+            )
+
+    @property
+    def links0(self) -> Optional[np.ndarray]:
+        self._sync_host()
+        return self._links0_host
+
+    @links0.setter
+    def links0(self, v) -> None:
+        self._links0_host = v
+
+    @property
+    def counts0(self) -> Optional[np.ndarray]:
+        self._sync_host()
+        return self._counts0_host
+
+    @counts0.setter
+    def counts0(self, v) -> None:
+        self._counts0_host = v
+
+    @property
+    def links_upper(self) -> Optional[np.ndarray]:
+        self._sync_host()
+        return self._links_upper_host
+
+    @links_upper.setter
+    def links_upper(self, v) -> None:
+        self._links_upper_host = v
+
+    @property
+    def counts_upper(self) -> Optional[np.ndarray]:
+        self._sync_host()
+        return self._counts_upper_host
+
+    @counts_upper.setter
+    def counts_upper(self, v) -> None:
+        self._counts_upper_host = v
 
     # ------------------------------------------------------------------
     # helpers
@@ -102,10 +166,13 @@ class HnswIndex:
         return self._links0_dev
 
     def _upper_device(self) -> Optional[jax.Array]:
-        if self.links_upper is None or self.links_upper.shape[0] == 0:
+        if self._upper_dev is not None:
+            return self._upper_dev
+        # check the raw host attr (not the property) — the property getter
+        # would force a stale-sync download just to answer "is there one"
+        if self._links_upper_host is None or self._links_upper_host.shape[0] == 0:
             return None
-        if self._upper_dev is None:
-            self._upper_dev = jnp.asarray(self.links_upper)
+        self._upper_dev = jnp.asarray(self._links_upper_host)
         return self._upper_dev
 
     def _rank_device(self) -> jax.Array:
@@ -213,11 +280,13 @@ class HnswIndex:
             l: int((levels_alive >= l).sum()) for l in range(self.max_level + 1)
         }
 
-        rows0 = _pow2_at_least(max(n_alive, 1))
+        # +1 guarantees a spare padding row at the end — the device insert
+        # kernel (ops/hnsw_build.py) uses it to absorb masked scatter writes
+        rows0 = _pow2_at_least(max(n_alive, 1) + 1)
         self.links0 = np.full((rows0, self.config.m0), -1, dtype=np.int32)
         self.counts0 = np.zeros(rows0, dtype=np.int32)
         n_upper_levels = self.max_level
-        upper_rows = _pow2_at_least(max(self.level_counts.get(1, 1), 1), 16)
+        upper_rows = _pow2_at_least(max(self.level_counts.get(1, 1), 1) + 1, 16)
         self.links_upper = np.full(
             (max(n_upper_levels, 0), upper_rows, m), -1, dtype=np.int32
         )
@@ -236,24 +305,192 @@ class HnswIndex:
         self._build_seed_graph(seed_ids, vectors, dist)
 
         # ---- batched insertion ------------------------------------------
-        # geometric batch ramp: a batch is never more than RAMP_FRACTION of
-        # the already-inserted graph, so early points link against a graph
-        # that already contains most of their neighborhood (the GPU builder's
-        # grouping scheme, gpu_graph_builder.rs:51-60). Power-of-two sizes
-        # keep the compile-cache bounded.
+        import os as _os
+
+        from .. import ops as _ops  # noqa: F401
+        from ..ops.pallas_scan import is_tpu_backend
+
+        build_env = _os.environ.get("QDRANT_TPU_DEVICE_BUILD", "1")
+        device_build = (
+            (is_tpu_backend() or build_env == "force")
+            and build_env != "0"
+            and n_alive - n_seed > 0
+        )
+        if device_build:
+            self._build_device(order, n_seed, n_alive, efc, batch_size,
+                               dist, progress_fn)
+            return  # device path heals on device; host mirror stays lazy
+        else:
+            # host-orchestrated path (CPU tests / small builds): geometric
+            # batch ramp — a batch is never more than a fraction of the
+            # already-inserted graph, so early points link against a graph
+            # that already contains most of their neighborhood (the GPU
+            # builder's grouping scheme, gpu_graph_builder.rs:51-60).
+            inserted = n_seed
+            cur_batch = 256
+            while inserted < n_alive:
+                while cur_batch < batch_size and cur_batch * 2 <= inserted:
+                    cur_batch *= 2
+                bsz = min(cur_batch, n_alive - inserted)
+                batch = order[inserted : inserted + bsz]
+                self._insert_batch(batch, vectors, efc, dist, pad_to=cur_batch)
+                inserted += bsz
+                if progress_fn:
+                    progress_fn(inserted, n_alive)
+
+        self._heal_low_indegree(order)
+
+    def _build_device(
+        self, order: np.ndarray, n_seed: int, n_alive: int, efc: int,
+        batch_size: int, dist: str, progress_fn,
+    ) -> None:
+        """Device-resident batched insertion (ops/hnsw_build.py): the whole
+        level-0 (and upper-level) insert round runs as one jitted program per
+        shape; adjacency stays on device across batches and the host sends
+        only batch offsets (uploads through the host link are the round-1
+        bottleneck: ~35 ms per 512 KB). Codes are SQ int8, encoded once."""
+        import jax
+
+        from ..ops import hnsw_build as hb
+        from ..ops import quantization as qops
+
+        vectors_f32, _ = self.store.device_block()
+        cap = vectors_f32.shape[0]
+        n = len(self.store)
+        data = self.store._data[:n]
+        d = data.shape[1]
+        euclid = self.distance in (Distance.EUCLID, Distance.MANHATTAN)
+        # bf16 codes cost 2x the HBM of int8 but carry ~5x less scoring
+        # noise (and none of the 0.99-quantile clipping bias that int8 SQ
+        # applies to exactly the most discriminative components) — measured
+        # +0.05 recall@10 on the final graph at 20k points, same MXU class.
+        precision = os.environ.get("QDRANT_TPU_BUILD_PRECISION", "bf16")
+        if precision == "int8":
+            sq = qops.ScalarQuantized.encode(data)
+            codes_np = np.zeros((cap, d), dtype=np.int8)
+            codes_np[:n] = sq.codes
+            norms_np = np.zeros(cap, dtype=np.float32)
+            norms_np[:n] = sq.norms_sq
+            scale_sq = jnp.float32(
+                (2.0 if euclid else 1.0) * sq.scale * sq.scale
+            )
+        else:
+            codes_np = np.zeros((cap, d), dtype=ml_dtypes.bfloat16)
+            codes_np[:n] = data.astype(ml_dtypes.bfloat16)
+            norms_np = np.zeros(cap, dtype=np.float32)
+            norms_np[:n] = (data.astype(np.float32) ** 2).sum(axis=1)
+            scale_sq = jnp.float32(2.0 if euclid else 1.0)
+        codes_dev = jnp.asarray(codes_np)
+        norms_dev = jnp.asarray(norms_np)
+        rank_dev = self._rank_device()
+
+        m0 = self.config.m0
+        m = self.config.m
+        links0_dev = jnp.asarray(self.links0)
+        counts0_dev = jnp.asarray(self.counts0)
+        owner0_np = np.full(self.links0.shape[0], -1, np.int32)
+        owner0_np[self.rank[order]] = order
+        owner0_dev = jnp.asarray(owner0_np)
+        n_up = self.links_upper.shape[0]
+        upper_links = [jnp.asarray(self.links_upper[i]) for i in range(n_up)]
+        upper_counts = [
+            jnp.asarray(self.counts_upper[i].astype(np.int32))
+            for i in range(n_up)
+        ]
+        owner_up_dev = None
+        if n_up:
+            rows_up = self.links_upper.shape[1]
+            owner_up_np = np.full(rows_up, -1, np.int32)
+            ranks_o = self.rank[order]
+            sel_up = ranks_o < rows_up
+            owner_up_np[ranks_o[sel_up]] = order[sel_up]
+            owner_up_dev = jnp.asarray(owner_up_np)
+
+        # order uploaded once; per-batch ids/vectors gathered on device
+        order_pad = np.full(n_alive + 8192, -1, np.int32)
+        order_pad[:n_alive] = order
+        order_dev = jnp.asarray(order_pad)
+
+        # NOTE: vectors/codes are explicit ARGUMENTS, not closure captures —
+        # a captured device array is lowered into the HLO as an embedded
+        # constant (~74 s of MLIR lowering per specialization at 100k rows)
+        @functools.partial(jax.jit, static_argnames=("b_pad",))
+        def _prep(order_dev, vecs, codes, start, remaining, b_pad):
+            bi = jax.lax.dynamic_slice_in_dim(order_dev, start, b_pad)
+            valid = jnp.arange(b_pad) < remaining
+            bi = jnp.where(valid, bi, -1)
+            safe = jnp.maximum(bi, 0)
+            q = jnp.take(vecs, safe, axis=0).astype(jnp.float32)
+            q = jnp.where(valid[:, None], q, 0.0)
+            qi8 = jnp.take(codes, safe, axis=0)
+            qi8 = jnp.where(valid[:, None], qi8, 0)
+            return bi, q, qi8
+
+        expand = 4
+        iters = max((int(efc * 1.2) + 16) // expand, 8)
+        sel_c = min(max(efc, m0), 128)
+        inc_cap = int(os.environ.get("QDRANT_TPU_BUILD_INC_CAP", 16))
+
         inserted = n_seed
-        cur_batch = 256
+        small, big = 256, _pow2_at_least(min(batch_size, 4096), 256)
         while inserted < n_alive:
-            while cur_batch < batch_size and cur_batch * 2 <= inserted:
-                cur_batch *= 2
-            bsz = min(cur_batch, n_alive - inserted)
-            batch = order[inserted : inserted + bsz]
-            self._insert_batch(batch, vectors, efc, dist, pad_to=cur_batch)
+            b_pad = small if inserted < 4 * small or small >= big else big
+            bsz = min(b_pad, n_alive - inserted)
+            batch_levels = self.levels[order[inserted : inserted + bsz]]
+            bmax = int(batch_levels[0]) if bsz else 0
+            bi_dev, q_dev, qi8_dev = _prep(
+                order_dev, vectors_f32, codes_dev, inserted, bsz, b_pad=b_pad
+            )
+
+            # greedy descent through levels above the batch's top level
+            entries = jnp.full((b_pad,), self.entry, dtype=jnp.int32)
+            if self.max_level > bmax and n_up:
+                cur_scores = hnsw_ops.score_ids_batch(
+                    q_dev, vectors_f32, entries[:, None], dist
+                )[:, 0]
+                for lev in range(self.max_level, bmax, -1):
+                    i = self._stack_index(lev)
+                    entries, cur_scores = hnsw_ops.greedy_descend_level(
+                        q_dev, vectors_f32, upper_links[i], rank_dev,
+                        entries, cur_scores, dist,
+                    )
+
+            # masked insertion at upper levels bmax..1
+            for lev in range(min(bmax, self.max_level), 0, -1):
+                i = self._stack_index(lev)
+                kl = int((batch_levels >= lev).sum())
+                bi_l = jnp.where(jnp.arange(b_pad) < kl, bi_dev, -1)
+                upper_links[i], upper_counts[i], beam = hb.insert_batch_level0(
+                    upper_links[i], upper_counts[i], bi_l, qi8_dev,
+                    codes_dev, norms_dev, rank_dev, owner_up_dev, entries,
+                    scale_sq, ef=efc, iters=iters, expand=expand, m0=m,
+                    inc_cap=inc_cap, ov_cap=256, euclid=euclid, sel_c=sel_c,
+                )
+                entries = beam[:, 0]
+                entries = jnp.where(entries >= 0, entries, self.entry)
+
+            links0_dev, counts0_dev, _ = hb.insert_batch_level0(
+                links0_dev, counts0_dev, bi_dev, qi8_dev, codes_dev,
+                norms_dev, rank_dev, owner0_dev, entries, scale_sq,
+                ef=efc, iters=iters, expand=expand, m0=m0,
+                inc_cap=inc_cap, ov_cap=b_pad, euclid=euclid,
+                sel_c=sel_c,
+            )
             inserted += bsz
             if progress_fn:
                 progress_fn(inserted, n_alive)
 
-        self._heal_low_indegree(order)
+        # in-degree healing runs on device; the host mirror is NOT
+        # downloaded here (tunnel downloads run at ~0.1 MB/s — 130 s for a
+        # 100k-point adjacency). It syncs lazily via the links0/... props.
+        links0_dev, counts0_dev = hb.heal_low_indegree_device(
+            links0_dev, counts0_dev, rank_dev, owner0_dev, m0=m0,
+        )
+        self._links0_dev = links0_dev
+        self._upper_dev = (
+            jnp.stack([upper_links[i] for i in range(n_up)]) if n_up else None
+        )
+        self._host_stale = True
 
     def _heal_low_indegree(
         self, order: np.ndarray, min_indegree: int = 8, force_links: int = 6
@@ -313,32 +550,36 @@ class HnswIndex:
             )
 
     def _build_seed_graph(self, seed_ids: np.ndarray, vectors, dist: str) -> None:
-        """All-pairs heuristic linking of the seed set on device."""
-        s = len(seed_ids)
+        """All-pairs heuristic linking of the seed set — on HOST. The seed
+        set is ≤128 points; the device version of this (reprune_rows over a
+        padded all-pairs table) cost ~170 s of XLA compiles at 100k-point
+        scale for work numpy finishes in microseconds."""
         seed_levels = self.levels[seed_ids]
+        vecs = self.store.get_batch(seed_ids).astype(np.float32)
+        vecs = preprocess_vectors(vecs, self.distance)
+        if self.distance in (Distance.EUCLID, Distance.MANHATTAN):
+            n2 = (vecs * vecs).sum(axis=1)
+            pair = 2.0 * (vecs @ vecs.T) - n2[None, :] - n2[:, None]
+        else:
+            pair = vecs @ vecs.T
         for l in range(0, int(seed_levels.max()) + 1):
             members = np.nonzero(seed_levels >= l)[0]
             if len(members) == 0:
                 continue
             m_l = self._m_at(l)
-            k = len(members)
+            sel_rows = np.full((len(members), m_l), -1, dtype=np.int32)
+            for r, i in enumerate(members):
+                others = members[members != i]
+                order = others[np.argsort(-pair[i, others], kind="stable")]
+                kept: list = []
+                for c in order:
+                    if len(kept) >= m_l:
+                        break
+                    if all(pair[c, s] <= pair[i, c] for s in kept):
+                        kept.append(int(c))
+                sel_rows[r, : len(kept)] = seed_ids[kept]
             ids = seed_ids[members]
-            # candidates for each member: all other members
-            cand = np.broadcast_to(ids[None, :], (k, k)).copy()
-            np.fill_diagonal(cand, -1)
-            c_pad = _pow2_at_least(k, 16)
-            k_pad = _pow2_at_least(k, 8)
-            cand_p = np.full((k_pad, c_pad), -1, dtype=np.int32)
-            cand_p[:k, :k] = cand
-            ids_p = np.zeros(k_pad, dtype=np.int32)
-            ids_p[:k] = ids
-            sel = np.asarray(
-                hnsw_ops.reprune_rows(
-                    jnp.asarray(ids_p), jnp.asarray(cand_p), vectors, m_l, dist
-                ),
-                dtype=np.int32,
-            )[:k]
-            self._scatter(l, self._row_of(l, ids), sel)
+            self._scatter(l, self._row_of(l, ids), sel_rows)
 
     def _insert_batch(
         self, batch: np.ndarray, vectors, efc: int, dist: str, pad_to: int
@@ -500,15 +741,20 @@ class HnswIndex:
         d = self.store.dim
         m0 = self.config.m0
         enable = os.environ.get("QDRANT_TPU_INLINE", "1")
+        have_adj = self._links0_dev is not None or self._links0_host is not None
         if (
             enable == "0"
             or (not is_tpu_backend() and enable != "force")
-            or self.links0 is None
+            or not have_adj
             or self.distance is Distance.MANHATTAN
         ):
             self._inline = False
             return None
-        rows = self.links0.shape[0]
+        rows = (
+            self._links0_dev.shape[0]
+            if self._links0_dev is not None
+            else self._links0_host.shape[0]
+        )
         table_bytes = rows * (8 * m0 + m0 * d)
         max_bytes = int(
             os.environ.get("QDRANT_TPU_INLINE_MAX_BYTES", 6_000_000_000)
@@ -517,13 +763,25 @@ class HnswIndex:
             self._inline = False
             return None
         from ..ops import quantization as qops
-        from ..ops.hnsw_inline import pack_linkcodes
+        from ..ops.hnsw_inline import pack_linkcodes_device
 
+        # codes are SQ-encoded on host (the f32 data lives there anyway) and
+        # UPLOADED; the table itself is assembled on device from the
+        # device-resident adjacency — uploads run ~1000x faster than
+        # downloads through the axon tunnel, and the multi-GB fused table
+        # never exists on the host at all.
         data = self.store._data[: len(self.store)]
         sq = qops.ScalarQuantized.encode(data)
-        table = pack_linkcodes(self.links0, sq.codes, sq.norms_sq)
+        cap = self.store.device_block()[0].shape[0]
+        codes_np = np.zeros((cap, d), dtype=np.int8)
+        codes_np[: len(data)] = sq.codes
+        norms_np = np.zeros(cap, dtype=np.float32)
+        norms_np[: len(data)] = sq.norms_sq
+        table = pack_linkcodes_device(
+            self._links0_device(), jnp.asarray(codes_np), jnp.asarray(norms_np)
+        )
         self._inline = {
-            "table": jnp.asarray(table),
+            "table": table,
             "scale": sq.scale,
             "m0": m0,
             "d": d,
