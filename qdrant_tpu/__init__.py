@@ -13,9 +13,15 @@ import os as _os
 def _setup_jax_cache() -> None:
     if _os.environ.get("QDRANT_TPU_JAX_CACHE", "1") == "0":
         return
+    # keyed by requested platform: CPU-backend AOT entries loaded into a
+    # TPU-tunnel process (and vice versa) trip machine-feature mismatch
+    # warnings and risk SIGILL
+    plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
     cache_dir = _os.environ.get(
         "QDRANT_TPU_JAX_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "qdrant_tpu_jax"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"qdrant_tpu_jax_{plat}"
+        ),
     )
     try:
         import jax

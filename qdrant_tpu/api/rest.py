@@ -144,11 +144,25 @@ def _meta_submit(toc, op):
 
 
 def h_create_collection(toc, m, body, q):
-    if _meta_submit(
-        toc, {"type": "create_collection", "name": m["name"], "spec": body or {}}
+    body = body or {}
+    op = {"type": "create_collection", "name": m["name"], "spec": body}
+    node = getattr(toc, "cluster_node", None)
+    shard_number = int(body.get("shard_number", 1))
+    replication = int(body.get("replication_factor", 1))
+    if (
+        node is not None
+        and body.get("sharding_method") != "custom"
+        and (shard_number > 1 or replication > 1)
     ):
+        # consensus-driven shard placement: the proposer pins each shard to
+        # specific peers and the committed op carries the proposal
+        # (reference: collection_meta_ops.rs:488-511). Single-shard rf=1
+        # collections keep the legacy everywhere-local layout (and remain
+        # reshardable — placement+resharding integration is pending).
+        op["placement"] = node.propose_placement(shard_number, replication)
+    if _meta_submit(toc, op):
         return True
-    return toc.create_collection(m["name"], body or {})
+    return toc.create_collection(m["name"], body)
 
 
 def h_update_collection(toc, m, body, q):
@@ -742,6 +756,21 @@ def h_raft_message(toc, m, body, q):
     return True
 
 
+def h_raft_propose(toc, m, body, q):
+    """Peer-forwarded consensus proposal (reference: followers forward meta
+    ops to the leader over the internal plane)."""
+    node = getattr(toc, "cluster_node", None)
+    if node is None:
+        raise ApiError("cluster mode disabled", 404)
+    from ..cluster.raft import NotLeader
+
+    try:
+        node.dispatcher.submit(body or {})
+    except NotLeader as e:
+        raise ApiError(f"not the consensus leader; leader is peer {e.leader_id}", 503)
+    return True
+
+
 def h_cluster(toc, m, body, q):
     node = getattr(toc, "cluster_node", None)
     if node is not None:
@@ -770,7 +799,7 @@ def h_collection_cluster_update(toc, m, body, q):
     if "start_resharding" in body:
         spec = body["start_resharding"] or {}
         direction = spec.get("direction", "up")
-        cur = len(coll.shards)
+        cur = len(coll.all_shard_ids())
         new_n = cur + 1 if direction == "up" else cur - 1
         if new_n < 1:
             raise ApiError("cannot scale below one shard")
@@ -789,6 +818,7 @@ def h_collection_cluster_update(toc, m, body, q):
 
 def h_collection_cluster(toc, m, body, q):
     coll = toc.get_collection(m["name"])
+    node = getattr(toc, "cluster_node", None)
     local = []
     for sid, shard in coll.shards.items():
         local.append(
@@ -798,11 +828,19 @@ def h_collection_cluster(toc, m, body, q):
                 "state": "Active",
             }
         )
+    remote = []
+    for sid in sorted(coll.remote_shards):
+        for peer_id in coll.placement.get(sid, []):
+            if node is not None and peer_id == node.peer_id:
+                continue
+            remote.append(
+                {"shard_id": sid, "peer_id": peer_id, "state": "Active"}
+            )
     return {
-        "peer_id": 0,
-        "shard_count": len(coll.shards),
+        "peer_id": node.peer_id if node is not None else 0,
+        "shard_count": len(coll.all_shard_ids()),
         "local_shards": local,
-        "remote_shards": [],
+        "remote_shards": remote,
         "shard_transfers": [],
     }
 
@@ -844,6 +882,45 @@ def h_internal_update(toc, m, body, q):
     return replica.update_with_clock(body.get("operation") or {}, body.get("clock_tag"))
 
 
+def h_internal_records(toc, m, body, q):
+    """Materialized point records for the remote-read path (the internal
+    analogue of PointsInternal/Get in the reference)."""
+    coll = toc.get_collection(m["name"])
+    shard = coll.shards.get(int(m["sid"]))
+    if shard is None:
+        raise ApiError(f"shard {m['sid']} not found", 404)
+    out = []
+    for pid in (body or {}).get("ids", []):
+        pid = normalize_point_id(pid)
+        seg = shard._find_point(pid)
+        if seg is None:
+            continue
+        internal = seg.id_tracker.internal_id(pid)
+        out.append(
+            {
+                "id": pid if isinstance(pid, int) else str(pid),
+                "payload": seg.get_payload(pid),
+                "vectors": _jsonable_vectors(seg.get_vectors(pid)),
+                "version": seg.id_tracker.version(internal),
+            }
+        )
+    return {"records": out}
+
+
+def _jsonable_vectors(vectors):
+    if not vectors:
+        return {}
+    out = {}
+    for name, v in vectors.items():
+        if hasattr(v, "tolist"):
+            out[name] = v.tolist()
+        elif hasattr(v, "to_dict"):
+            out[name] = v.to_dict()
+        else:
+            out[name] = v
+    return out
+
+
 def h_internal_search(toc, m, body, q):
     body = body or {}
     replica = _local_replica(toc, m["name"], int(m["sid"]))
@@ -853,6 +930,13 @@ def h_internal_search(toc, m, body, q):
 
         queries = [SparseVector.from_dict(d) for d in body["sparse_queries"]]
         return replica.search_sparse(body.get("using") or "", queries, int(body.get("k", 10)), flt)
+    if body.get("multi_query") is not None:
+        return replica.shard.search_multi(
+            body.get("using") or "",
+            np.asarray(body["multi_query"], dtype=np.float32),
+            int(body.get("k", 10)),
+            flt,
+        )
     queries = np.asarray(body.get("queries") or [], dtype=np.float32)
     return replica.search_dense(
         body.get("using") or "",
@@ -1006,6 +1090,7 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
+    ("POST", re.compile(r"^/cluster/raft/propose$"), h_raft_propose),
     ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
     ("GET", re.compile(r"^/issues$"), h_get_issues),
     ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
@@ -1051,6 +1136,11 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
         "POST",
         re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/scroll$"),
         h_internal_scroll,
+    ),
+    (
+        "POST",
+        re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/records$"),
+        h_internal_records,
     ),
     ("GET", re.compile(r"^/aliases$"), h_all_aliases),
     ("POST", re.compile(r"^/collections/aliases$"), h_update_aliases),
@@ -1204,6 +1294,7 @@ ACCESS_LEVELS = {
     # full (manage) credentials — a read-only key or collection-scoped JWT
     # must not be able to inject raft messages or internal shard ops.
     h_raft_message: "manage",
+    h_raft_propose: "manage",
     h_internal_update: "manage",
     h_internal_update_forward: "manage",
     h_internal_snapshot_recover: "manage",
@@ -1212,6 +1303,7 @@ ACCESS_LEVELS = {
     h_internal_search: "internal-read",
     h_internal_count: "internal-read",
     h_internal_scroll: "internal-read",
+    h_internal_records: "internal-read",
 }
 
 
@@ -1396,5 +1488,9 @@ class RestServer:
 
     def shutdown(self) -> None:
         self.httpd.shutdown()
+        # close the listening socket too — otherwise the kernel keeps
+        # accepting connections into the backlog and peers see 30 s stalls
+        # instead of connection-refused when this node dies
+        self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

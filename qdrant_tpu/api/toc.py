@@ -126,7 +126,12 @@ class TableOfContent:
                 raise NotFoundError(f"Collection `{name}` doesn't exist!")
             return coll
 
-    def create_collection(self, name: str, spec: Dict[str, Any]) -> bool:
+    def create_collection(
+        self,
+        name: str,
+        spec: Dict[str, Any],
+        placement: Optional[Dict[int, list]] = None,
+    ) -> bool:
         with self._lock:
             if name in self.collections or name in self.aliases:
                 raise CollectionError(f"Collection `{name}` already exists!")
@@ -144,6 +149,7 @@ class TableOfContent:
             )
             if not params.vectors and not params.sparse_vectors:
                 raise CollectionError("collection must define vectors or sparse_vectors")
+            node = getattr(self, "cluster_node", None)
             coll = Collection(
                 name,
                 os.path.join(self.collections_path, name),
@@ -154,6 +160,8 @@ class TableOfContent:
                 strict_mode_config=StrictModeConfig.from_dict(
                     spec.get("strict_mode_config")
                 ),
+                placement=placement,
+                this_peer_id=node.peer_id if node is not None else None,
             )
             self._adopt(coll)
             self.collections[name] = coll

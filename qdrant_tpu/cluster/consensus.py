@@ -23,13 +23,22 @@ class ConsensusManager:
         self.applied_ops: List[dict] = []
         self.on_collection_created = None  # hook: ClusterNode replication
         self.on_peer_added = None  # hook: ClusterNode membership
+        self.on_replica_down = None  # hook: ClusterNode repair driver
+        self.on_replica_move = None  # hook: ClusterNode placement move
+        self.on_replica_activate = None  # hook: transfer completion
 
     def apply(self, op: dict) -> None:
         t = op.get("type")
         try:
             if t == "create_collection":
                 if not self.toc.has_collection(op["name"]):
-                    self.toc.create_collection(op["name"], op.get("spec") or {})
+                    placement = {
+                        int(k): list(v)
+                        for k, v in (op.get("placement") or {}).items()
+                    } or None
+                    self.toc.create_collection(
+                        op["name"], op.get("spec") or {}, placement=placement
+                    )
                     if self.on_collection_created is not None:
                         self.on_collection_created(op["name"])
             elif t == "update_collection":
@@ -51,15 +60,56 @@ class ConsensusManager:
             elif t == "set_shard_replica_state":
                 # recorded for the replica-set layer to pick up
                 pass
+            elif t == "replica_down":
+                # consensus-confirmed dead replica (reference:
+                # collection_meta_ops.rs SetShardReplicaState → Dead):
+                # every peer marks it; the leader starts the repair driver
+                from .replica_set import ReplicaState
+
+                coll = self.toc.get_collection(op["name"])
+                sid, peer = int(op["shard_id"]), int(op["peer_id"])
+                rs = coll.replica_sets.get(sid)
+                if rs is not None:
+                    rs.set_replica_state(peer, ReplicaState.DEAD)
+                    rs.locally_disabled.add(peer)
+                if self.on_replica_down is not None:
+                    self.on_replica_down(op["name"], sid, peer)
+            elif t == "move_replica":
+                if self.on_replica_move is not None:
+                    self.on_replica_move(
+                        op["name"],
+                        int(op["shard_id"]),
+                        int(op["from_peer"]),
+                        int(op["to_peer"]),
+                    )
+            elif t == "activate_replica":
+                if self.on_replica_activate is not None:
+                    self.on_replica_activate(
+                        op["name"], int(op["shard_id"]), int(op["peer_id"])
+                    )
             elif t == "add_peer":
                 if self.on_peer_added is not None:
                     self.on_peer_added(int(op["peer_id"]), op["url"])
             elif t == "reshard_collection":
                 coll = self.toc.get_collection(op["name"])
-                coll.reshard(int(op["new_shard_number"]))
+                n_new = int(op["new_shard_number"])
+                coll.reshard_prepare(n_new)
                 if self.on_collection_created is not None:
-                    # re-wire replica sets over the new shard layout
+                    # wire replica sets / remote handles over the new layout
+                    # BEFORE moving points, so forwarded moves have routes
                     self.on_collection_created(op["name"])
+
+                # the move waits (with retries) for OTHER peers to apply
+                # reshard_prepare — it must not block the raft tick thread
+                # (stalled heartbeats would trigger elections mid-reshard)
+                def _move(coll=coll, n_new=n_new, name=op["name"]):
+                    try:
+                        coll.reshard_move(n_new)
+                    finally:
+                        if self.on_collection_created is not None:
+                            self.on_collection_created(name)
+
+                threading.Thread(target=_move, daemon=True).start()
             self.applied_ops.append(op)
         except Exception:
             # a malformed/duplicate committed op must not wedge the state
@@ -87,13 +137,20 @@ class ConsensusManager:
                     "shard_number": coll.params.shard_number,
                     "replication_factor": coll.params.replication_factor,
                 },
+                "placement": {str(k): v for k, v in coll.placement.items()},
             }
         return {"collections": collections, "aliases": dict(self.toc.aliases)}
 
     def restore_state(self, state: dict) -> None:
         for name, meta in (state.get("collections") or {}).items():
             if not self.toc.has_collection(name):
-                self.toc.create_collection(name, meta.get("spec") or {})
+                placement = {
+                    int(k): list(v)
+                    for k, v in (meta.get("placement") or {}).items()
+                } or None
+                self.toc.create_collection(
+                    name, meta.get("spec") or {}, placement=placement
+                )
                 if self.on_collection_created is not None:
                     self.on_collection_created(name)
         for alias, target in (state.get("aliases") or {}).items():

@@ -99,6 +99,9 @@ class ClusterNode:
             self.attach_replication(name)
         self.manager.on_collection_created = self.attach_replication
         self.manager.on_peer_added = self.add_peer
+        self.manager.on_replica_down = self._on_replica_down
+        self.manager.on_replica_move = self._on_replica_move
+        self.manager.on_replica_activate = self._on_replica_activate
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -116,36 +119,243 @@ class ClusterNode:
     def receive(self, message: dict) -> None:
         self.raft.receive(message)
 
+    def all_peer_ids(self) -> list:
+        return sorted(set(self.transport.peer_urls.keys()) | {self.peer_id})
+
+    def propose_placement(
+        self, shard_number: int, replication_factor: int
+    ) -> Dict[str, list]:
+        """Round-robin shard→peers proposal embedded into the
+        create_collection consensus op (reference: the
+        ShardDistributionProposal in collection_meta_ops.rs:488-511).
+        Every shard gets min(replication_factor, n_peers) distinct peers."""
+        peers = self.all_peer_ids()
+        rf = max(1, min(replication_factor, len(peers)))
+        return {
+            str(sid): [peers[(sid + j) % len(peers)] for j in range(rf)]
+            for sid in range(shard_number)
+        }
+
     def attach_replication(self, collection_name: str) -> None:
-        """Wire each shard into a ShardReplicaSet spanning all peers
-        (full replication placement: every peer holds every shard —
-        placement by consensus-assigned subsets arrives with resharding
-        integration). Writes then fan out with clock tags; reads stay local."""
-        from .remote import RemoteReplica
+        """Wire the collection's shards for cluster operation according to
+        its consensus-decided placement (reference: ShardReplicaSet
+        mod.rs:97-132). For each shard:
+          - placed here + replicated → ShardReplicaSet(local, placed peers)
+          - placed here, rf=1       → plain local shard (no fan-out)
+          - placed elsewhere        → RemoteShardHandle (reads fan out with
+                                      failover; writes forward)
+        Legacy collections without a placement map replicate everywhere."""
+        from .remote import RemoteReplica, RemoteShardHandle
         from .replica_set import LocalReplica, ReplicaState, ShardReplicaSet
 
         try:
             coll = self.toc.get_collection(collection_name)
         except Exception:
             return
-        if coll.params.replication_factor < 2:
-            return
-        for sid, shard in coll.shards.items():
-            rs = ShardReplicaSet(
-                sid,
-                this_peer_id=self.peer_id,
-                local=LocalReplica(shard),
-                write_consistency_factor=coll.params.write_consistency_factor,
-            )
-            for peer_id, url in self.transport.peer_urls.items():
-                if peer_id == self.peer_id:
-                    continue
-                rs.add_replica(
-                    peer_id,
-                    RemoteReplica(url, collection_name, sid, api_key=self.api_key),
-                    ReplicaState.ACTIVE,
+        all_peers = self.all_peer_ids()
+        for sid in coll.all_shard_ids():
+            placed = coll.placement.get(sid) or all_peers
+            others = [p for p in placed if p != self.peer_id]
+            if self.peer_id in placed or sid in coll.shards:
+                shard = coll.shards.get(sid)
+                if shard is None:
+                    continue  # placed here but not materialized yet
+                if coll.params.replication_factor < 2 and not coll.placement:
+                    continue  # legacy standalone behavior
+                if not others and coll.params.replication_factor < 2:
+                    continue  # sole replica, rf=1: plain local path
+                rs = ShardReplicaSet(
+                    sid,
+                    this_peer_id=self.peer_id,
+                    local=LocalReplica(shard),
+                    write_consistency_factor=coll.params.write_consistency_factor,
+                    on_replica_failure=(
+                        lambda s, p, name=collection_name:
+                        self.report_replica_failure(name, s, p)
+                    ),
                 )
-            coll.replica_sets[sid] = rs
+                for peer_id in others:
+                    url = self.transport.peer_urls.get(peer_id)
+                    if url is None:
+                        continue
+                    rs.add_replica(
+                        peer_id,
+                        RemoteReplica(
+                            url, collection_name, sid, api_key=self.api_key
+                        ),
+                        ReplicaState.ACTIVE,
+                    )
+                coll.replica_sets[sid] = rs
+            else:
+                replicas = []
+                for peer_id in placed:
+                    url = self.transport.peer_urls.get(peer_id)
+                    if url is None:
+                        continue
+                    replicas.append(
+                        (
+                            peer_id,
+                            RemoteReplica(
+                                url, collection_name, sid, api_key=self.api_key
+                            ),
+                        )
+                    )
+                coll.remote_shards[sid] = RemoteShardHandle(replicas)
+
+    # ------------------------------------------------------------------
+    # replica failure → consensus-driven re-replication
+    # (reference: the SetShardReplicaState → Dead meta op followed by a
+    # shard transfer to a freshly chosen peer, transfer/driver.rs)
+    # ------------------------------------------------------------------
+
+    def propose_anywhere(self, op: dict) -> None:
+        """Propose a consensus op from any peer: direct when leader, else
+        forwarded to the current leader's /cluster/raft/propose."""
+        from .raft import NotLeader
+
+        try:
+            self.dispatcher.submit(op)
+            return
+        except NotLeader as e:
+            leader = e.leader_id
+        url = self.transport.peer_urls.get(leader)
+        if url is None:
+            return
+        req = urllib.request.Request(
+            f"{url.rstrip('/')}/cluster/raft/propose",
+            data=json.dumps(op).encode(),
+            method="POST",
+        )
+        req.add_header("Content-Type", "application/json")
+        if self.api_key:
+            req.add_header("api-key", self.api_key)
+        try:
+            urllib.request.urlopen(req, timeout=5).read()
+        except OSError:
+            pass  # leader churn — the next failure re-reports
+
+    def report_replica_failure(self, collection: str, sid: int, peer: int) -> None:
+        """Write-failure hook from a ShardReplicaSet: confirm the dead
+        replica through consensus (off-thread; the caller holds shard
+        locks)."""
+        op = {
+            "type": "replica_down",
+            "name": collection,
+            "shard_id": sid,
+            "peer_id": peer,
+        }
+        threading.Thread(
+            target=self.propose_anywhere, args=(op,), daemon=True
+        ).start()
+
+    def _on_replica_down(self, collection: str, sid: int, peer: int) -> None:
+        """Committed dead replica: the raft leader picks a replacement peer
+        and proposes the move (deterministic, so duplicate reports no-op)."""
+        if self.raft.role != "leader":
+            return
+        try:
+            coll = self.toc.get_collection(collection)
+        except Exception:
+            return
+        placed = coll.placement.get(sid)
+        if not placed or peer not in placed:
+            return  # already repaired (or not a placed shard)
+        candidates = [
+            p for p in self.all_peer_ids() if p not in placed and p != peer
+        ]
+        if not candidates:
+            return  # replication_factor == live peers: nowhere to move
+        op = {
+            "type": "move_replica",
+            "name": collection,
+            "shard_id": sid,
+            "from_peer": peer,
+            "to_peer": min(candidates),
+        }
+        threading.Thread(
+            target=self.propose_anywhere, args=(op,), daemon=True
+        ).start()
+
+    def _on_replica_move(
+        self, collection: str, sid: int, frm: int, to: int
+    ) -> None:
+        """Committed replica move: update placement everywhere, materialize
+        the (empty) shard on the target, re-wire, and let the lowest alive
+        holder stream the data over."""
+        try:
+            coll = self.toc.get_collection(collection)
+        except Exception:
+            return
+        placed = coll.placement.get(sid)
+        if not placed or frm not in placed:
+            return
+        coll.placement[sid] = [to if p == frm else p for p in placed]
+        coll.save_config()
+        if to == self.peer_id and sid not in coll.shards:
+            coll._create_shard(sid)
+            # serve reads for this shard remotely until the transfer lands
+            coll.partial_local.add(sid)
+            from .remote import RemoteReplica, RemoteShardHandle
+
+            readers = []
+            for p in coll.placement[sid]:
+                if p == self.peer_id:
+                    continue
+                url = self.transport.peer_urls.get(p)
+                if url is not None:
+                    readers.append(
+                        (p, RemoteReplica(url, collection, sid,
+                                          api_key=self.api_key))
+                    )
+            coll.remote_shards[sid] = RemoteShardHandle(readers)
+        self.attach_replication(collection)
+        driver = min(p for p in coll.placement[sid] if p != to)
+        if driver != self.peer_id:
+            return
+
+        def _transfer():
+            from .remote import RemoteReplica
+            from .transfer import transfer_shard_stream_records
+
+            rs = coll.replica_sets.get(sid)
+            url = self.transport.peer_urls.get(to)
+            if rs is None or url is None:
+                return
+            target = RemoteReplica(url, collection, sid, api_key=self.api_key)
+            for attempt in range(40):
+                try:
+                    transfer_shard_stream_records(rs, to, target)
+                    break
+                except Exception:
+                    if attempt == 39:
+                        return
+                    import time as _time
+
+                    _time.sleep(0.25)
+            self.propose_anywhere(
+                {
+                    "type": "activate_replica",
+                    "name": collection,
+                    "shard_id": sid,
+                    "peer_id": to,
+                }
+            )
+
+        threading.Thread(target=_transfer, daemon=True).start()
+
+    def _on_replica_activate(self, collection: str, sid: int, peer: int) -> None:
+        try:
+            coll = self.toc.get_collection(collection)
+        except Exception:
+            return
+        rs = coll.replica_sets.get(sid)
+        if rs is not None:
+            from .replica_set import ReplicaState
+
+            rs.set_replica_state(peer, ReplicaState.ACTIVE)
+        if peer == self.peer_id:
+            coll.partial_local.discard(sid)
+            coll.remote_shards.pop(sid, None)
 
     def add_peer(self, peer_id: int, url: str) -> None:
         """Committed add_peer op: extend transport + raft membership and

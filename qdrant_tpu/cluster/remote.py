@@ -38,7 +38,7 @@ class RemoteReplica(ShardOperations):
         self.timeout = timeout
         self.api_key = api_key
 
-    def _call(self, path: str, body: dict) -> Any:
+    def _call(self, path: str, body: dict, timeout: Optional[float] = None) -> Any:
         url = (
             f"{self.base_url}/internal/collections/{self.collection}"
             f"/shards/{self.shard_id}/{path}"
@@ -50,7 +50,9 @@ class RemoteReplica(ShardOperations):
         if self.api_key:
             req.add_header("api-key", self.api_key)
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with urllib.request.urlopen(
+                req, timeout=timeout or self.timeout
+            ) as resp:
                 out = json.loads(resp.read())
         except (urllib.error.URLError, OSError) as e:
             raise RemoteError(f"peer {self.base_url} unreachable: {e}") from e
@@ -67,7 +69,14 @@ class RemoteReplica(ShardOperations):
         return self._call("update_forward", {"op": op})
 
     def update_with_clock(self, op: dict, clock_tag: Optional[dict]) -> dict:
-        return self._call("update", {"operation": op, "clock_tag": clock_tag})
+        # short timeout: a dead replica must fail fast so the fan-out can
+        # mark it disabled instead of stalling the write (reference keeps
+        # per-update deadlines well under the transfer/read timeouts)
+        return self._call(
+            "update",
+            {"operation": op, "clock_tag": clock_tag},
+            timeout=min(self.timeout, 5.0),
+        )
 
     def search_dense(self, name, queries, k, flt=None, params=None):
         from ..collection.query import QueryRequest  # for params dict shape
@@ -98,6 +107,33 @@ class RemoteReplica(ShardOperations):
             for per_query in result
         ]
 
+    def search_multi(self, name, query, k, flt=None):
+        body = {
+            "using": name,
+            "multi_query": np.asarray(query, dtype=np.float32).tolist(),
+            "k": k,
+            "filter": _filter_to_dict(flt),
+        }
+        result = self._call("search", body)
+        return [(s, _decode_id(pid), v) for s, pid, v in result]
+
+    def get_records(self, ids):
+        """Materialized point records (payload + vectors + version) for the
+        remote-read path — the internal analogue of PointsInternal/Get."""
+        result = self._call(
+            "records",
+            {"ids": [p if isinstance(p, int) else str(p) for p in ids]},
+        )
+        return [
+            {
+                "id": _decode_id(r["id"]),
+                "payload": r.get("payload"),
+                "vectors": r.get("vectors") or {},
+                "version": int(r.get("version", 0)),
+            }
+            for r in result["records"]
+        ]
+
     def count(self, flt):
         return self._call("count", {"filter": _filter_to_dict(flt)})["count"]
 
@@ -124,6 +160,46 @@ class RemoteReplica(ShardOperations):
             raise RemoteError(f"peer {self.base_url} unreachable: {e}") from e
         if out.get("status") != "ok":
             raise RemoteError(f"peer error: {out.get('status')}")
+
+
+class RemoteShardHandle:
+    """Read/write routing for a shard this peer does NOT hold: an ordered
+    list of (peer_id, RemoteReplica) over the peers that do, with failover
+    (reference: collection reads through RemoteShard with replica fallback,
+    execute_read_operation.rs)."""
+
+    def __init__(self, replicas):
+        self.replicas = list(replicas)  # [(peer_id, RemoteReplica)]
+
+    def _try(self, op, *args, **kwargs):
+        last: Optional[Exception] = None
+        for _pid, replica in self.replicas:
+            try:
+                return getattr(replica, op)(*args, **kwargs)
+            except RemoteError as e:
+                last = e
+        raise last or RemoteError("shard has no remote replicas")
+
+    def forward_update(self, op: dict) -> dict:
+        return self._try("forward_update", op)
+
+    def search_dense(self, name, queries, k, flt=None, params=None):
+        return self._try("search_dense", name, queries, k, flt, params)
+
+    def search_sparse(self, name, queries, k, flt=None):
+        return self._try("search_sparse", name, queries, k, flt)
+
+    def search_multi(self, name, query, k, flt=None):
+        return self._try("search_multi", name, query, k, flt)
+
+    def get_records(self, ids):
+        return self._try("get_records", ids)
+
+    def count(self, flt):
+        return self._try("count", flt)
+
+    def scroll_ids(self, limit, offset_id=None, flt=None):
+        return self._try("scroll_ids", limit, offset_id, flt)
 
 
 def _decode_id(pid):

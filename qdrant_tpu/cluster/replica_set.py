@@ -249,20 +249,40 @@ class ShardReplicaSet:
         results: Dict[int, Optional[dict]] = {}
         stale = False
         stale_tick: Optional[int] = None
-        for peer_id, replica in targets:
+        lock = threading.Lock()
+
+        def one(peer_id: int, replica: ShardOperations) -> None:
+            nonlocal stale, stale_tick
             try:
                 res = replica.update_with_clock(op, tag.to_dict())
-                if res.get("status") == "stale":
-                    stale = True
-                    results[peer_id] = None
-                    echoed = res.get("current_tick")
-                    if echoed is not None:
-                        stale_tick = max(stale_tick or 0, int(echoed))
-                else:
-                    results[peer_id] = res
+                with lock:
+                    if res.get("status") == "stale":
+                        stale = True
+                        results[peer_id] = None
+                        echoed = res.get("current_tick")
+                        if echoed is not None:
+                            stale_tick = max(stale_tick or 0, int(echoed))
+                    else:
+                        results[peer_id] = res
             except Exception:
-                results[peer_id] = None
+                with lock:
+                    results[peer_id] = None
                 self._handle_failure(peer_id)
+
+        if len(targets) == 1:
+            one(*targets[0])
+        else:
+            # parallel fan-out (reference: update.rs joins the per-replica
+            # futures) — a dead peer's timeout must not serialize after the
+            # healthy replicas' writes
+            threads = [
+                threading.Thread(target=one, args=(p, r), daemon=True)
+                for p, r in targets
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
         return results, stale, stale_tick
 
     def _handle_failure(self, peer_id: int) -> None:

@@ -60,6 +60,8 @@ class Collection:
         optimizers_config: Optional[OptimizersConfig] = None,
         wal_config: Optional[WalConfig] = None,
         strict_mode_config: Optional[StrictModeConfig] = None,
+        placement: Optional[Dict[int, List[int]]] = None,
+        this_peer_id: Optional[int] = None,
     ):
         self.name = name
         self.path = path
@@ -77,20 +79,48 @@ class Collection:
             if vp.hnsw_config is None:
                 vp.hnsw_config = self.hnsw_config
 
+        # consensus-decided shard placement (reference: the
+        # ShardDistributionProposal embedded in CreateCollection meta ops,
+        # collection_meta_ops.rs:488-511): shard_id → peer ids holding a
+        # replica. Empty = every shard is local (standalone node).
+        self.placement: Dict[int, List[int]] = {
+            int(k): list(v) for k, v in (placement or {}).items()
+        }
+        self.this_peer_id = this_peer_id
         self.shards: Dict[int, LocalShard] = {}
         # cluster mode: shard_id → ShardReplicaSet routing writes to peers
         # (attached by cluster.node.ClusterNode when replication is on)
         self.replica_sets: Dict[int, Any] = {}
+        # cluster mode: shard_id → RemoteShardHandle for shards this peer
+        # does NOT hold (attached by ClusterNode; reads fan out over HTTP)
+        self.remote_shards: Dict[int, Any] = {}
+        # local shards mid-transfer: readable remotely only
+        self.partial_local: set = set()
         self.ring = HashRing()
         # custom sharding: shard_key → shard ids
         self.shard_keys: Dict[Any, List[int]] = {}
         self._next_shard_id = 0
         if params.sharding_method != "custom":
             for shard_id in range(params.shard_number):
-                self._create_shard(shard_id)
+                if self.is_local_shard(shard_id):
+                    self._create_shard(shard_id)
                 self.ring.add(shard_id)
             self._next_shard_id = params.shard_number
         self.save_config()
+
+    def is_local_shard(self, shard_id: int) -> bool:
+        if not self.placement or self.this_peer_id is None:
+            return True
+        return self.this_peer_id in self.placement.get(shard_id, [])
+
+    def all_shard_ids(self) -> List[int]:
+        if self.params.sharding_method == "custom":
+            return [s for ids in self.shard_keys.values() for s in ids]
+        return sorted(
+            set(self.shards.keys())
+            | set(self.placement.keys())
+            | set(range(self.params.shard_number))
+        )
 
     # ------------------------------------------------------------------
     # shards
@@ -135,18 +165,38 @@ class Collection:
                 shutil.rmtree(self._shard_path(sid), ignore_errors=True)
         self.save_config()
 
-    def _shards_for_read(self, shard_key: Any = None) -> List[LocalShard]:
+    def _read_target(self, sid: int):
+        """Read handle for a shard id: the local shard when this peer holds
+        it, else the attached remote handle (reference: RemoteShard reads,
+        shards/remote_shard.rs). A local shard still receiving its transfer
+        (partial) serves reads from a remote ACTIVE holder instead."""
+        if sid in self.partial_local:
+            remote = self.remote_shards.get(sid)
+            if remote is not None:
+                return remote
+        shard = self.shards.get(sid)
+        if shard is not None:
+            return shard
+        remote = self.remote_shards.get(sid)
+        if remote is None:
+            raise CollectionError(
+                f"shard {sid} of {self.name!r} is not on this peer and no "
+                f"remote route is attached"
+            )
+        return remote
+
+    def _shards_for_read(self, shard_key: Any = None) -> List[Any]:
         if shard_key is None:
-            return list(self.shards.values())
+            return [self._read_target(s) for s in self.all_shard_ids()]
         keys = shard_key if isinstance(shard_key, list) else [shard_key]
         out = []
         for k in keys:
             if k not in self.shard_keys:
                 raise NotFoundError(f"shard key {k!r} not found")
-            out.extend(self.shards[s] for s in self.shard_keys[k])
+            out.extend(self._read_target(s) for s in self.shard_keys[k])
         return out
 
-    def _route_point(self, point_id: PointId, shard_key: Any = None) -> LocalShard:
+    def _route_sid(self, point_id: PointId, shard_key: Any = None) -> int:
         if self.params.sharding_method == "custom":
             if shard_key is None:
                 raise CollectionError("custom sharding requires shard_key")
@@ -156,8 +206,27 @@ class Collection:
             ring = HashRing()
             for s in ids:
                 ring.add(s)
-            return self.shards[ring.get(point_id)]
-        return self.shards[self.ring.get(point_id)]
+            return ring.get(point_id)
+        return self.ring.get(point_id)
+
+    def _apply_shard_update(
+        self, sid: int, op: Dict[str, Any], wait: bool, ordering: str
+    ) -> Dict[str, Any]:
+        """One shard's slice of an update: replica-set fan-out when attached,
+        plain local apply, or forward to a peer that holds the shard."""
+        rs = self.replica_sets.get(sid)
+        if rs is not None:
+            return rs.update(op, ordering=ordering)
+        shard = self.shards.get(sid)
+        if shard is not None:
+            return shard.update(op, wait=wait)
+        remote = self.remote_shards.get(sid)
+        if remote is None:
+            raise CollectionError(
+                f"shard {sid} of {self.name!r} is not on this peer and no "
+                f"remote route is attached"
+            )
+        return remote.forward_update(op)
 
     # ------------------------------------------------------------------
     # updates (split by shard; reference point_ops.rs:63)
@@ -325,17 +394,13 @@ class Collection:
         by_shard: Dict[int, List[dict]] = {}
         for p in points:
             pid = normalize_point_id(p["id"])
-            shard = self._route_point(pid, shard_key or p.get("shard_key"))
-            sid = next(k for k, v in self.shards.items() if v is shard)
+            sid = self._route_sid(pid, shard_key or p.get("shard_key"))
             by_shard.setdefault(sid, []).append(p)
         result = {}
         for sid, pts in by_shard.items():
-            op = {"type": "upsert", "points": pts}
-            rs = self.replica_sets.get(sid)
-            if rs is not None:
-                result = rs.update(op, ordering=ordering)
-            else:
-                result = self.shards[sid].update(op, wait=wait)
+            result = self._apply_shard_update(
+                sid, {"type": "upsert", "points": pts}, wait, ordering
+            )
         return result
 
     def update_op(
@@ -351,29 +416,24 @@ class Collection:
             by_shard: Dict[int, List[PointId]] = {}
             for pid in op["ids"]:
                 pid = normalize_point_id(pid)
-                shard = self._route_point(pid, shard_key)
-                sid = next(k for k, v in self.shards.items() if v is shard)
+                sid = self._route_sid(pid, shard_key)
                 by_shard.setdefault(sid, []).append(pid)
             for sid, ids in by_shard.items():
                 sub = dict(op)
                 sub["ids"] = ids
-                rs = self.replica_sets.get(sid)
-                result = (
-                    rs.update(sub, ordering=ordering)
-                    if rs is not None
-                    else self.shards[sid].update(sub, wait=wait)
-                )
+                result = self._apply_shard_update(sid, sub, wait, ordering)
         else:
-            targets = self._shards_for_read(shard_key)
-            for sid, shard in self.shards.items():
-                if shard not in targets:
-                    continue
-                rs = self.replica_sets.get(sid)
-                result = (
-                    rs.update(dict(op), ordering=ordering)
-                    if rs is not None
-                    else shard.update(op, wait=wait)
-                )
+            if shard_key is None:
+                sids = self.all_shard_ids()
+            else:
+                keys = shard_key if isinstance(shard_key, list) else [shard_key]
+                sids = []
+                for k in keys:
+                    if k not in self.shard_keys:
+                        raise NotFoundError(f"shard key {k!r} not found")
+                    sids.extend(self.shard_keys[k])
+            for sid in sids:
+                result = self._apply_shard_update(sid, dict(op), wait, ordering)
         return result
 
     def create_payload_index(
@@ -401,8 +461,26 @@ class Collection:
     ) -> List[Tuple[PointId, Any, int]]:
         out = []
         for shard in self._shards_for_read(shard_key):
+            if not hasattr(shard, "retrieve"):  # remote handles hydrate via
+                continue  # get_payload_and_vectors / get_records instead
             out.extend(shard.retrieve([normalize_point_id(i) for i in ids]))
         return out
+
+    def _remote_record(self, point_id: PointId) -> Optional[dict]:
+        """Fetch a point's materialized record from whichever peer holds its
+        shard (placement mode only; None when the point is local/absent)."""
+        if not self.remote_shards:
+            return None
+        try:
+            sid = self._route_sid(point_id)
+            handles = [self.remote_shards[sid]] if sid in self.remote_shards else []
+        except CollectionError:
+            handles = list(self.remote_shards.values())
+        for handle in handles:
+            recs = handle.get_records([point_id])
+            if recs:
+                return recs[0]
+        return None
 
     def get_point_vector(self, point_id: PointId, name: str) -> Optional[Any]:
         for shard in self.shards.values():
@@ -411,6 +489,9 @@ class Collection:
                 vectors = seg.get_vectors(point_id)
                 if vectors and name in vectors:
                     return vectors[name]
+        rec = self._remote_record(normalize_point_id(point_id))
+        if rec and name in (rec.get("vectors") or {}):
+            return rec["vectors"][name]
         return None
 
     def get_payload_and_vectors(
@@ -420,6 +501,9 @@ class Collection:
             seg = shard._find_point(point_id)
             if seg is not None:
                 return seg.get_payload(point_id), seg.get_vectors(point_id)
+        rec = self._remote_record(point_id)
+        if rec is not None:
+            return rec.get("payload"), rec.get("vectors")
         return None, None
 
     def point_version(self, point_id: PointId) -> int:
@@ -428,6 +512,9 @@ class Collection:
             if seg is not None:
                 internal = seg.id_tracker.internal_id(point_id)
                 return seg.id_tracker.version(internal)
+        rec = self._remote_record(point_id)
+        if rec is not None:
+            return int(rec.get("version", 0))
         return 0
 
     def search_dense(
@@ -556,21 +643,46 @@ class Collection:
     # resharding (reference: shards/resharding.rs + dual hash ring)
     # ------------------------------------------------------------------
 
-    def reshard(self, new_shard_number: int) -> int:
-        """Scale the collection to `new_shard_number` shards: create the new
-        ring, move every point whose route changes, then commit the ring.
-        → number of points moved. Single-node driver of the reference's
-        ReshardingDriver (dual-ring routing during the move)."""
+    def reshard_prepare(self, new_shard_number: int) -> None:
+        """Phase 1 of resharding: extend the placement map to the new shard
+        ids (deterministic round-robin over the placement's peer universe,
+        so every peer computes the same layout from the committed op) and
+        materialize the new shards this peer will hold. Runs on every peer
+        BEFORE any point moves, so the movers' forwarded writes have a
+        destination."""
         if self.params.sharding_method == "custom":
             raise CollectionError("resharding requires auto sharding")
         if new_shard_number < 1:
             raise CollectionError("shard_number must be >= 1")
+        if self.placement:
+            peers = sorted(set().union(*self.placement.values()))
+            rf = max(1, min(self.params.replication_factor, len(peers)))
+            for sid in range(new_shard_number):
+                if sid not in self.placement:
+                    self.placement[sid] = [
+                        peers[(sid + j) % len(peers)] for j in range(rf)
+                    ]
+            for sid in range(new_shard_number):
+                if self.is_local_shard(sid) and sid not in self.shards:
+                    self._create_shard(sid)
+        else:
+            for sid in range(new_shard_number):
+                if sid not in self.shards:
+                    self._create_shard(sid)
+        self.save_config()
+
+    def reshard_move(self, new_shard_number: int) -> int:
+        """Phase 2 of resharding: re-route every local point through the new
+        ring, moving the ones whose shard changed (forwarded writes reach
+        peers that hold the target shard; a short retry loop covers peers
+        that have not applied reshard_prepare yet), then commit the ring.
+        → number of points moved from this peer's shards."""
+        import time as _time
+
         old_ids = set(self.shards.keys())
         new_ring = HashRing()
         for sid in range(new_shard_number):
             new_ring.add(sid)
-            if sid not in self.shards:
-                self._create_shard(sid)
 
         moved = 0
         for sid in list(old_ids):
@@ -595,20 +707,45 @@ class Collection:
             for p in batch:
                 by_target.setdefault(p.pop("_target"), []).append(p)
             for target, pts in by_target.items():
-                self.shards[target].update({"type": "upsert", "points": pts})
+                op = {"type": "upsert", "points": pts}
+                for attempt in range(40):
+                    try:
+                        self._apply_shard_update(op=op, sid=target, wait=True,
+                                                 ordering="weak")
+                        break
+                    except (CollectionError, ConnectionError):
+                        # target peer may not have applied reshard_prepare
+                        # yet — bounded retry (committed ops apply in order
+                        # on every peer, just not at the same instant)
+                        if attempt == 39:
+                            raise
+                        _time.sleep(0.25)
                 shard.update({"type": "delete", "ids": [p["id"] for p in pts]})
                 moved += len(pts)
 
-        # drop now-empty shards beyond the new count (scale down)
+        # drop shards beyond the new count (scale down)
         for sid in sorted(old_ids):
             if sid >= new_shard_number:
                 s = self.shards.pop(sid)
                 s.close()
+                self.replica_sets.pop(sid, None)
                 shutil.rmtree(self._shard_path(sid), ignore_errors=True)
+        for sid in list(self.placement):
+            if sid >= new_shard_number:
+                del self.placement[sid]
+        for sid in list(self.remote_shards):
+            if sid >= new_shard_number:
+                del self.remote_shards[sid]
         self.ring = new_ring
         self.params.shard_number = new_shard_number
         self.save_config()
         return moved
+
+    def reshard(self, new_shard_number: int) -> int:
+        """Single-node resharding (cluster mode drives prepare/move as two
+        steps with replica re-wiring in between — consensus.py)."""
+        self.reshard_prepare(new_shard_number)
+        return self.reshard_move(new_shard_number)
 
     # ------------------------------------------------------------------
     # info / persistence
@@ -669,6 +806,8 @@ class Collection:
             "shard_keys": [[repr(k), k, v] for k, v in self.shard_keys.items()],
             "next_shard_id": self._next_shard_id,
             "created_at": self.created_at,
+            "placement": {str(k): v for k, v in self.placement.items()},
+            "this_peer_id": self.this_peer_id,
         }
         with open(os.path.join(self.path, "collection.json"), "w") as f:
             json.dump(cfg, f)
@@ -693,6 +832,12 @@ class Collection:
         coll.created_at = cfg.get("created_at", time.time())
         coll.shards = {}
         coll.replica_sets = {}
+        coll.remote_shards = {}
+        coll.partial_local = set()
+        coll.placement = {
+            int(k): list(v) for k, v in (cfg.get("placement") or {}).items()
+        }
+        coll.this_peer_id = cfg.get("this_peer_id")
         coll.ring = HashRing()
         coll.shard_keys = {}
         for _, key, ids in cfg.get("shard_keys", []):
@@ -710,8 +855,16 @@ class Collection:
                 )
                 coll.shards[sid].defer_optimizers = coll.defer_optimizers
         if params.sharding_method != "custom":
-            for sid in coll.shards:
-                coll.ring.add(sid)
+            if coll.placement:
+                # placement mode: the ring spans ALL shard ids, including
+                # the ones other peers hold
+                for sid in sorted(
+                    set(range(params.shard_number)) | set(coll.placement)
+                ):
+                    coll.ring.add(sid)
+            else:
+                for sid in coll.shards:
+                    coll.ring.add(sid)
         return coll
 
     def flush(self) -> None:

@@ -426,15 +426,34 @@ class HnswIndex:
             qi8 = jnp.where(valid[:, None], qi8, 0)
             return bi, q, qi8
 
-        expand = 4
+        # expand=8 halves the beam's sequential iteration count vs expand=4
+        # at equal total expansions — measured 258 -> 187 us/pt at B=4096
+        # with no recall change (the beam is latency-bound on its while_loop
+        # chain, not on gather bandwidth: int8 codes time the same as bf16)
+        expand = 8
         iters = max((int(efc * 1.2) + 16) // expand, 8)
         sel_c = min(max(efc, m0), 128)
         inc_cap = int(os.environ.get("QDRANT_TPU_BUILD_INC_CAP", 16))
 
+        # batch ramp: per-point cost falls with batch (fixed per-iteration
+        # overheads amortize), but batches beyond 4096 measurably hurt the
+        # graph: at 100k points a 16384 lockstep batch left ~2% of queries
+        # unreachable at any ef (recall plateau 0.982 at ef 128-512), while
+        # 4096 recovers 1.000. The reverse pass also materializes
+        # [B*m0, m0, D] code gathers — cap harder for wide vectors.
+        top_batch = 4096 if d <= 768 else 2048
+        top_batch = int(
+            os.environ.get("QDRANT_TPU_BUILD_TOP_BATCH", top_batch)
+        )
+        ramp = [256, 2048, _pow2_at_least(max(batch_size, top_batch), 256)]
+        ramp = sorted({min(r, ramp[-1]) for r in ramp})
+
         inserted = n_seed
-        small, big = 256, _pow2_at_least(min(batch_size, 4096), 256)
         while inserted < n_alive:
-            b_pad = small if inserted < 4 * small or small >= big else big
+            b_pad = ramp[0]
+            for r in ramp:
+                if inserted >= 2 * r:
+                    b_pad = r
             bsz = min(b_pad, n_alive - inserted)
             batch_levels = self.levels[order[inserted : inserted + bsz]]
             bmax = int(batch_levels[0]) if bsz else 0

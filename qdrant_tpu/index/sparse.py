@@ -154,24 +154,34 @@ class SparseIndex:
 
         Dimensions are arbitrary u32 ids (hashed vocabularies like BM25's
         murmur3 tokens), so the dim table is a dict dim → (start, len)
-        rather than a dense array."""
-        postings: Dict[int, List[Tuple[int, float]]] = {}
-        for off, idxs, vals in self.store.iter_rows():
-            for d, w in zip(idxs.tolist(), vals.tolist()):
-                postings.setdefault(int(d), []).append((off, w))
-        dim_table: Dict[int, Tuple[int, int]] = {}
-        flat_ids: List[int] = []
-        flat_w: List[float] = []
-        for d in sorted(postings.keys()):
-            entries = sorted(postings[d], key=lambda t: -abs(t[1]))
-            dim_table[d] = (len(flat_ids), len(entries))
-            flat_ids.extend(e[0] for e in entries)
-            flat_w.extend(e[1] for e in entries)
-        return (
-            np.asarray(flat_ids, dtype=np.int32),
-            np.asarray(flat_w, dtype=np.float32),
-            dim_table,
+        rather than a dense array. Fully vectorized: one lexsort over all
+        (dim, -|w|) pairs — the per-posting python-dict version cost minutes
+        at SPLADE scale (1M rows × ~64 nnz)."""
+        rows = list(self.store.iter_rows())
+        if not rows:
+            return (
+                np.zeros(0, dtype=np.int32),
+                np.zeros(0, dtype=np.float32),
+                {},
+            )
+        all_dims = np.concatenate([r[1] for r in rows])
+        all_w = np.concatenate([r[2] for r in rows]).astype(np.float32)
+        all_offs = np.repeat(
+            np.asarray([r[0] for r in rows], dtype=np.int32),
+            np.asarray([len(r[1]) for r in rows], dtype=np.int64),
         )
+        order = np.lexsort((-np.abs(all_w), all_dims))
+        flat_ids = all_offs[order]
+        flat_w = all_w[order]
+        dims_sorted = all_dims[order]
+        uniq, starts, counts = np.unique(
+            dims_sorted, return_index=True, return_counts=True
+        )
+        dim_table: Dict[int, Tuple[int, int]] = {
+            int(d): (int(s), int(c))
+            for d, s, c in zip(uniq, starts, counts)
+        }
+        return flat_ids, flat_w, dim_table
 
     def _device(self):
         if self._dirty or self._dev is None:

@@ -209,8 +209,9 @@ def test_peer_bootstrap_joins_cluster(cluster, tmp_path):
 
 
 def test_resharding_through_consensus(cluster):
-    """start_resharding scales the collection on every peer through the
-    committed reshard op; points survive and stay routable."""
+    """start_resharding scales a placement-distributed collection through
+    the committed reshard op: every peer extends the SAME placement, the new
+    shard materializes on its assigned peer, moved points stay routable."""
     servers, tocs, nodes, leader = cluster
     leader_port = servers[leader.peer_id - 1].port
     call(leader_port, "PUT", "/collections/rs", {
@@ -220,17 +221,172 @@ def test_resharding_through_consensus(cluster):
         time.sleep(0.05)
     call(leader_port, "PUT", "/collections/rs/points?wait=true", {
         "points": [{"id": i, "vector": [1.0 * i, 0, 0, 0]} for i in range(30)]})
+    # consensus-driven placement: 2 shards spread over distinct peers
+    placements = [t.get_collection("rs").placement for t in tocs]
+    assert all(p == placements[0] for p in placements)
+    assert len(placements[0]) == 2
     r = call(leader_port, "POST", "/collections/rs/cluster",
              {"start_resharding": {"direction": "up"}})
     assert r["result"] is True
-    deadline = time.time() + 15
-    while time.time() < deadline and not all(
-        len(t.get_collection("rs").shards) == 3 for t in tocs):
+    deadline = time.time() + 20
+    def shard_total():
+        return sum(len(t.get_collection("rs").shards) for t in tocs)
+    while time.time() < deadline and not (
+        all(len(t.get_collection("rs").placement) == 3 for t in tocs)
+        and shard_total() == 3
+    ):
         time.sleep(0.1)
     for t in tocs:
-        assert len(t.get_collection("rs").shards) == 3
-    # points intact on the proposing peer and routable
-    cnt = call(leader_port, "POST", "/collections/rs/points/count", {})
-    assert cnt["result"]["count"] == 30
-    pt = call(leader_port, "GET", "/collections/rs/points/17")
-    assert pt["result"]["id"] == 17
+        assert len(t.get_collection("rs").placement) == 3
+    # each shard lives on exactly one peer (rf=1): 3 local shards total
+    assert shard_total() == 3
+    # points intact and routable from every peer (remote reads included)
+    deadline = time.time() + 15
+    while time.time() < deadline and call(
+        leader_port, "POST", "/collections/rs/points/count", {}
+    )["result"]["count"] != 30:
+        time.sleep(0.2)
+    for srv in servers:
+        cnt = call(srv.port, "POST", "/collections/rs/points/count", {})
+        assert cnt["result"]["count"] == 30
+        pt = call(srv.port, "GET", "/collections/rs/points/17")
+        assert pt["result"]["id"] == 17
+
+
+def test_consensus_shard_placement(cluster):
+    """A 6-shard rf=1 collection is PLACED, not replicated: each peer holds
+    2 shards, reads fan out to remote shards with the same results from any
+    peer, writes forward to whichever peer owns the target shard."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/placed", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 6})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+            t.has_collection("placed") for t in tocs):
+        time.sleep(0.05)
+
+    # identical placement everywhere; 2 local shards per peer, 6 total
+    placements = [t.get_collection("placed").placement for t in tocs]
+    assert all(p == placements[0] for p in placements)
+    assert len(placements[0]) == 6
+    per_peer = [len(t.get_collection("placed").shards) for t in tocs]
+    assert per_peer == [2, 2, 2]
+    for t in tocs:
+        coll = t.get_collection("placed")
+        assert len(coll.remote_shards) == 4  # routes to the other shards
+
+    # writes through ANY peer reach the right shard owner
+    call(servers[0].port, "PUT", "/collections/placed/points?wait=true", {
+        "points": [{"id": i, "vector": [float(i), 0, 0, 0],
+                    "payload": {"i": i}} for i in range(40)]})
+    total_local = sum(
+        s.point_count()
+        for t in tocs
+        for s in t.get_collection("placed").shards.values())
+    assert total_local == 40  # each point stored exactly once cluster-wide
+
+    # reads from every peer see the full collection (remote fan-out)
+    for srv in servers:
+        cnt = call(srv.port, "POST", "/collections/placed/points/count", {})
+        assert cnt["result"]["count"] == 40
+        pt = call(srv.port, "GET", "/collections/placed/points/17")
+        assert pt["result"]["id"] == 17
+        assert pt["result"]["payload"] == {"i": 17}
+        res = call(srv.port, "POST", "/collections/placed/points/search",
+                   {"vector": [17.0, 0, 0, 0], "limit": 3})
+        got = [hit["id"] for hit in res["result"]]
+        assert got[0] == 39  # dot-product favors the largest vector
+
+
+def test_placement_with_replication(cluster):
+    """shard_number=3, rf=2: every shard on exactly 2 peers; a write through
+    any peer lands on both owners (fan-out), reads work from all peers."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/pl2", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 3,
+        "replication_factor": 2})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+            t.has_collection("pl2") for t in tocs):
+        time.sleep(0.05)
+    placements = [t.get_collection("pl2").placement for t in tocs]
+    assert all(p == placements[0] for p in placements)
+    assert all(len(peers) == 2 for peers in placements[0].values())
+    per_peer = [len(t.get_collection("pl2").shards) for t in tocs]
+    assert sorted(per_peer) == [2, 2, 2]  # 3 shards x 2 replicas / 3 peers
+
+    call(servers[1].port, "PUT", "/collections/pl2/points?wait=true", {
+        "points": [{"id": i, "vector": [float(i), 0, 0, 0]}
+                   for i in range(30)]})
+    # every point stored exactly twice cluster-wide
+    deadline = time.time() + 10
+    def total_local():
+        return sum(s.point_count() for t in tocs
+                   for s in t.get_collection("pl2").shards.values())
+    while time.time() < deadline and total_local() != 60:
+        time.sleep(0.1)
+    assert total_local() == 60
+    for srv in servers:
+        cnt = call(srv.port, "POST", "/collections/pl2/points/count", {})
+        assert cnt["result"]["count"] == 30
+
+
+def test_dead_peer_rereplication(cluster):
+    """Kill a peer holding replicas: the failed write confirms the replica
+    Dead through consensus, the leader moves it to a live peer, and the
+    stream transfer restores full replication (reference semantics:
+    SetShardReplicaState → Dead + transfer/driver.rs)."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/heal", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 3,
+        "replication_factor": 2})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+            t.has_collection("heal") for t in tocs):
+        time.sleep(0.05)
+
+    call(leader_port, "PUT", "/collections/heal/points?wait=true", {
+        "points": [{"id": i, "vector": [float(i), 0, 0, 0]}
+                   for i in range(30)]})
+
+    victim = next(n for n in nodes if n is not leader)
+    victim_idx = victim.peer_id - 1
+    live = [n for n in nodes if n is not victim]
+    live_tocs = [t for i, t in enumerate(tocs) if i != victim_idx]
+    live_servers = [s for i, s in enumerate(servers) if i != victim_idx]
+    # the victim holds replicas of some shards
+    assert tocs[victim_idx].get_collection("heal").shards
+    victim.stop()
+    servers[victim_idx].shutdown()
+
+    # writes keep succeeding (wcf=1) and flag the dead replica
+    call(leader_port, "PUT", "/collections/heal/points?wait=true", {
+        "points": [{"id": 100 + i, "vector": [float(i), 1, 0, 0]}
+                   for i in range(30)]})
+
+    # repair: placement drops the victim, data re-replicates to live peers
+    deadline = time.time() + 45
+    def healed():
+        for t in live_tocs:
+            pl = t.get_collection("heal").placement
+            if any(victim.peer_id in peers for peers in pl.values()):
+                return False
+        total = sum(s.point_count() for t in live_tocs
+                    for s in t.get_collection("heal").shards.values())
+        return total == 120  # 60 points x 2 replicas on the 2 live peers
+    while time.time() < deadline and not healed():
+        time.sleep(0.25)
+    assert healed(), {
+        "placements": [t.get_collection("heal").placement for t in live_tocs],
+        "local": [
+            {sid: s.point_count()
+             for sid, s in t.get_collection("heal").shards.items()}
+            for t in live_tocs
+        ],
+    }
+    for srv in live_servers:
+        cnt = call(srv.port, "POST", "/collections/heal/points/count", {})
+        assert cnt["result"]["count"] == 60
