@@ -200,7 +200,46 @@ class SparseIndex:
                 n_pad,
             )
             self._dirty = False
+            self._fwd = None  # forward rows rebuild lazily
         return self._dev
+
+    def _forward_device(self):
+        """Device forward rows [N_pad, J] (compact term ids + weights) for
+        exact candidate rescoring. Term ids are the rank of each dim in the
+        sorted dim table; rows longer than J keep their J heaviest entries.
+        Returns None when the store is empty or the table would exceed the
+        HBM budget (rescore then falls back to windowed scores)."""
+        if getattr(self, "_fwd", None) is not None:
+            return self._fwd
+        flat_ids, flat_w, dim_table, n_pad = self._device()
+        if not dim_table:
+            return None
+        tid_of = {d: i for i, d in enumerate(sorted(dim_table))}
+        lens = [
+            len(idx) for _, idx, _ in self.store.iter_rows()
+        ] or [1]
+        j_need = int(np.percentile(lens, 99.5)) if lens else 1
+        j = max(8, 1 << (max(j_need, 1) - 1).bit_length())
+        j = min(j, 512)
+        budget = int(
+            os.environ.get("QDRANT_TPU_SPARSE_FWD_MAX_BYTES", 2_000_000_000)
+        )
+        if n_pad * j * 8 > budget:
+            self._fwd = None
+            return None
+        terms = np.full((n_pad, j), -1, dtype=np.int32)
+        weights = np.zeros((n_pad, j), dtype=np.float32)
+        for off, idx, vals in self.store.iter_rows():
+            tids = np.asarray([tid_of.get(int(d), -1) for d in idx], np.int32)
+            keep = tids >= 0
+            tids, vv = tids[keep], np.asarray(vals, np.float32)[keep]
+            if len(tids) > j:
+                order = np.argsort(-np.abs(vv))[:j]
+                tids, vv = tids[order], vv[order]
+            terms[off, : len(tids)] = tids
+            weights[off, : len(tids)] = vv
+        self._fwd = (jnp.asarray(terms), jnp.asarray(weights), tid_of)
+        return self._fwd
 
     def idf(self, dim: int) -> float:
         """BM25-style IDF (reference: idf_statistics / modifier=idf)."""
@@ -224,23 +263,60 @@ class SparseIndex:
         filter_mask: Optional[np.ndarray] = None,
         window: int = DEFAULT_WINDOW,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (scores [B, k], offsets [B, k]); -1 = no result."""
+        """→ (scores [B, k], offsets [B, k]); -1 = no result.
+
+        Two-phase (reference: search_context.rs exact merge with
+        max_next_weight pruning): a windowed SpMV over the heaviest
+        postings yields candidates, then the top max(4k, 128) candidates
+        are EXACTLY rescored against the device forward rows, recovering
+        the ordering that posting-window truncation loses on hot SPLADE
+        terms. QDRANT_TPU_SPARSE_EXACT=1 instead chunks EVERY posting
+        through the SpMV (exact scores for all points, higher cost).
+        QDRANT_TPU_SPARSE_RESCORE=0 disables phase 2."""
         flat_ids, flat_w, dim_table, n_pad = self._device()
         b = len(queries)
         queries = [self.remap_query(q) for q in queries]
-        t_max = max([len(q.indices) for q in queries] + [1])
+        exact = os.environ.get("QDRANT_TPU_SPARSE_EXACT") == "1"
+        rescore = (
+            not exact
+            and os.environ.get("QDRANT_TPU_SPARSE_RESCORE", "1") != "0"
+        )
+
+        entries = []  # per query: [(start, len, weight), ...] (chunked?)
+        max_chunks = int(
+            os.environ.get("QDRANT_TPU_SPARSE_MAX_CHUNKS", 4096)
+        )
+        for q in queries:
+            row = []
+            for d, w in zip(q.indices, q.values):
+                entry = dim_table.get(int(d))
+                if entry is None:
+                    continue
+                start, ln = entry
+                if exact:
+                    off = 0
+                    while off < ln and len(row) < max_chunks:
+                        row.append((start + off, min(window, ln - off), w))
+                        off += window
+                else:
+                    row.append((start, ln, w))
+            entries.append(row)
+        t_max = max([len(r) for r in entries] + [1])
         t_pad = max(8, 1 << (t_max - 1).bit_length())
         q_starts = np.full((b, t_pad), -1, dtype=np.int32)
         q_lens = np.zeros((b, t_pad), dtype=np.int32)
         q_w = np.zeros((b, t_pad), dtype=np.float32)
-        for i, q in enumerate(queries):
-            for j, (d, w) in enumerate(zip(q.indices, q.values)):
-                entry = dim_table.get(int(d))
-                if entry is not None:
-                    q_starts[i, j] = entry[0]
-                    q_lens[i, j] = entry[1]
-                    q_w[i, j] = w
-        k_eff = min(k, n_pad)
+        for i, row in enumerate(entries):
+            for j, (s, ln, w) in enumerate(row):
+                q_starts[i, j] = s
+                q_lens[i, j] = ln
+                q_w[i, j] = w
+
+        fwd = self._forward_device() if rescore else None
+        c_min = int(os.environ.get("QDRANT_TPU_SPARSE_CANDIDATES", 128))
+        k_fetch = (
+            min(max(4 * k, c_min), n_pad) if fwd is not None else min(k, n_pad)
+        )
         scores, ids = sparse_search(
             flat_ids,
             flat_w,
@@ -249,9 +325,33 @@ class SparseIndex:
             jnp.asarray(q_w),
             window,
             n_pad,
-            k_eff,
+            k_fetch,
             _mask_to_dev(filter_mask, n_pad, len(self.store)),
         )
+        if fwd is not None:
+            from ..ops.sparse import rescore_sparse_candidates
+
+            row_terms, row_weights, tid_of = fwd
+            v = len(tid_of)
+            qvec = np.zeros((b, v), dtype=np.float32)
+            for i, q in enumerate(queries):
+                for d, w in zip(q.indices, q.values):
+                    tid = tid_of.get(int(d))
+                    if tid is not None:
+                        qvec[i, tid] += w
+            cand = jnp.where(
+                jnp.isfinite(scores), ids, -1
+            )
+            exact_scores = rescore_sparse_candidates(
+                cand, row_terms, row_weights, jnp.asarray(qvec)
+            )
+            k_eff = min(k, k_fetch)
+            top_s, ti = jax.lax.top_k(exact_scores, k_eff)
+            scores = top_s
+            ids = jnp.take_along_axis(cand, ti, axis=1)
+        else:
+            k_eff = min(k, n_pad)
+            scores, ids = scores[:, :k_eff], ids[:, :k_eff]
         scores = np.asarray(scores, dtype=np.float32)
         ids = np.asarray(ids, dtype=np.int32)
         ids = np.where(np.isfinite(scores), ids, -1)

@@ -141,14 +141,29 @@ def beam_search_inline(
     )[:, :ef]
     beam_exp = beam_ids < 0
 
+    # filtered search keeps TWO sets (reference: filtered HNSW traverses
+    # filtered-out points but never returns them — the candidate heap is
+    # unfiltered, the result heap is filtered): the beam navigates the full
+    # graph; res_* accumulates only filter-passing encounters. Biasing the
+    # beam itself walls off every filtered-out region and collapses recall
+    # at mid selectivity (measured 0.46@10% on 1M).
+    if filter_bias is not None:
+        ent_bias = jnp.take(filter_bias, jnp.maximum(beam_ids, 0))
+        res_scores = jnp.where(
+            beam_ids >= 0, beam_scores + ent_bias, NEG_INF
+        )
+        res_ids = jnp.where(jnp.isfinite(res_scores), beam_ids, -1)
+    else:
+        res_scores = res_ids = None
+
     def cond(st):
-        bi, bs, be, it = st
+        bi, bs, be, it, _rs, _ri = st
         return jnp.logical_and(
             jnp.any(jnp.logical_and(~be, bi >= 0)), it < iters
         )
 
     def body(st):
-        beam_ids, beam_scores, beam_exp, it = st
+        beam_ids, beam_scores, beam_exp, it, res_s, res_i = st
         cand_ok = jnp.logical_and(~beam_exp, beam_ids >= 0)
         pick_scores = jnp.where(cand_ok, beam_scores, NEG_INF)
         top_pick, pick_idx = jax.lax.top_k(pick_scores, e_x)
@@ -187,8 +202,6 @@ def beam_search_inline(
         # eviction compares like with like
         n_scores = dots - nb_norms - q_sq if euclid else dots
         n_scores = jnp.where(neigh >= 0, n_scores, NEG_INF)
-        if filter_bias is not None:
-            n_scores = n_scores + jnp.take(filter_bias, jnp.maximum(neigh, 0))
 
         # dedup against the current beam + within the expansion itself
         # (parallel expansion of adjacent nodes yields heavily overlapping
@@ -204,6 +217,16 @@ def beam_search_inline(
         n_scores = jnp.where(dup_beam | (first_pos < pos), NEG_INF, n_scores)
         neigh = jnp.where(jnp.isfinite(n_scores), neigh, -1)
 
+        if res_s is not None:
+            allowed = n_scores + jnp.take(
+                filter_bias, jnp.maximum(neigh, 0)
+            )
+            ra_s = jnp.concatenate([res_s, allowed], axis=1)
+            ra_i = jnp.concatenate([res_i, neigh], axis=1)
+            res_s, ri = jax.lax.top_k(ra_s, ef)
+            res_i = jnp.take_along_axis(ra_i, ri, axis=1)
+            res_i = jnp.where(jnp.isfinite(res_s), res_i, -1)
+
         all_ids = jnp.concatenate([beam_ids, neigh], axis=1)
         all_scores = jnp.concatenate([beam_scores, n_scores], axis=1)
         all_exp = jnp.concatenate(
@@ -213,16 +236,28 @@ def beam_search_inline(
         new_ids = jnp.take_along_axis(all_ids, top_idx, axis=1)
         new_exp = jnp.take_along_axis(all_exp, top_idx, axis=1)
         new_exp = jnp.where(new_ids < 0, True, new_exp)
-        return new_ids, top_scores, new_exp, it + 1
+        return new_ids, top_scores, new_exp, it + 1, res_s, res_i
 
-    st = (beam_ids, beam_scores, beam_exp, jnp.int32(0))
-    beam_ids, beam_scores, _, _ = jax.lax.while_loop(cond, body, st)
+    st = (beam_ids, beam_scores, beam_exp, jnp.int32(0), res_scores, res_ids)
+    beam_ids, beam_scores, _, _, res_scores, res_ids = jax.lax.while_loop(
+        cond, body, st
+    )
 
-    # exact f32 rescore of the final beam (one [B, ef]-row gather)
-    re = score_entries(beam_ids)
+    # exact f32 rescore of the final set (one [B, ef]-row gather); filtered
+    # searches rank the result accumulator, not the traversal beam
+    out_ids = beam_ids if filter_bias is None else res_ids
+    re = score_entries(out_ids)
     if filter_bias is not None:
-        re = re + jnp.take(filter_bias, jnp.maximum(beam_ids, 0))
+        re = re + jnp.take(filter_bias, jnp.maximum(out_ids, 0))
+        # the result set may hold duplicates (a node can re-enter after beam
+        # eviction): keep each id's first occurrence only
+        pos = jax.lax.broadcasted_iota(jnp.int32, out_ids.shape, 1)
+        first = jnp.where(
+            out_ids[:, :, None] == out_ids[:, None, :], pos[:, None, :],
+            out_ids.shape[1],
+        ).min(axis=2)
+        re = jnp.where(first < pos, NEG_INF, re)
     top_s, ti = jax.lax.top_k(re, k)
-    top_i = jnp.take_along_axis(beam_ids, ti, axis=1)
+    top_i = jnp.take_along_axis(out_ids, ti, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return top_s, top_i

@@ -61,6 +61,31 @@ def score_sparse_batch(
     return scores
 
 
+@functools.partial(jax.jit, static_argnames=())
+def rescore_sparse_candidates(
+    cand_ids: jax.Array,  # [B, C] int32 point offsets (-1 padded)
+    row_terms: jax.Array,  # [N_pad, J] int32 compact term ids (-1 padded)
+    row_weights: jax.Array,  # [N_pad, J] f32
+    qvec: jax.Array,  # [B, V] f32 dense query over compact term ids
+) -> jax.Array:
+    """Exact sparse scores of the candidates: gather each candidate's
+    forward row and dot it against the dense query vector. The windowed
+    first pass may mis-rank points whose contributions lie beyond the
+    posting windows; this recovers the exact ordering for the candidate
+    set (the TPU rendering of the reference's exact posting merge over a
+    pruned candidate stream, search_context.rs:25-80)."""
+    safe = jnp.maximum(cand_ids, 0)
+    terms = jnp.take(row_terms, safe, axis=0)  # [B, C, J]
+    weights = jnp.take(row_weights, safe, axis=0)  # [B, C, J]
+
+    def one(qv, t, w):
+        contrib = jnp.where(t >= 0, jnp.take(qv, jnp.maximum(t, 0)), 0.0)
+        return jnp.sum(contrib * w, axis=-1)
+
+    scores = jax.vmap(one)(qvec, terms, weights)  # [B, C]
+    return jnp.where(cand_ids >= 0, scores, NEG_INF)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "n_points", "k"))
 def sparse_search(
     flat_ids: jax.Array,
