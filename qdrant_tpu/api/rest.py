@@ -756,6 +756,23 @@ def h_raft_message(toc, m, body, q):
     return True
 
 
+def h_slow_requests(toc, m, body, q):
+    """Slowest requests per request type (reference:
+    profiling/slow_requests_log.rs; exposed in requests telemetry)."""
+    return {"slow_requests": toc.slow_log.entries()}
+
+
+def h_clear_slow_requests(toc, m, body, q):
+    toc.slow_log.clear()
+    return True
+
+
+def h_audit_log(toc, m, body, q):
+    """Recent audit events, newest first (reference: src/common/audit.rs)."""
+    limit = int(q.get("limit", 100))
+    return {"entries": toc.audit_log.read(limit)}
+
+
 def h_raft_propose(toc, m, body, q):
     """Peer-forwarded consensus proposal (reference: followers forward meta
     ops to the leader over the internal plane)."""
@@ -1092,6 +1109,9 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
     ("POST", re.compile(r"^/cluster/raft/propose$"), h_raft_propose),
     ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
+    ("GET", re.compile(r"^/slow_requests$"), h_slow_requests),
+    ("DELETE", re.compile(r"^/slow_requests$"), h_clear_slow_requests),
+    ("GET", re.compile(r"^/audit$"), h_audit_log),
     ("GET", re.compile(r"^/issues$"), h_get_issues),
     ("DELETE", re.compile(r"^/issues$"), h_clear_issues),
     ("GET", re.compile(r"^/locks$"), h_get_locks),
@@ -1295,6 +1315,8 @@ ACCESS_LEVELS = {
     # must not be able to inject raft messages or internal shard ops.
     h_raft_message: "manage",
     h_raft_propose: "manage",
+    h_audit_log: "manage",
+    h_clear_slow_requests: "manage",
     h_internal_update: "manage",
     h_internal_update_forward: "manage",
     h_internal_snapshot_recover: "manage",
@@ -1367,6 +1389,7 @@ class _Handler(BaseHTTPRequestHandler):
                     result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 200, elapsed)
+                self._observe(handler, groups, path, body, elapsed, method)
                 if isinstance(result, _FileResponse):
                     self._reply_file(200, result.path)
                 elif path == "/metrics":
@@ -1379,6 +1402,17 @@ class _Handler(BaseHTTPRequestHandler):
             except AuthError as e:
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, 401, elapsed)
+                audit = getattr(self.toc, "audit_log", None)
+                if audit is not None:
+                    audit.record(
+                        api=path,
+                        result="denied",
+                        method=handler.__name__,
+                        auth_type=self._auth_type(),
+                        remote=self.client_address[0],
+                        collection=groups.get("name"),
+                        error=str(e),
+                    )
                 self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
             except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, InferenceError, ValueError) as e:
                 status = getattr(e, "status_code", 400)
@@ -1400,6 +1434,40 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             return
         self._reply(404, {"status": {"error": "not found"}, "time": 0.0})
+
+    def _auth_type(self) -> str:
+        auth = self.headers.get("Authorization") or ""
+        if auth.startswith("Bearer ") and auth.count(".") >= 2:
+            return "jwt"
+        if self.headers.get("api-key") or auth.startswith("Bearer "):
+            return "api_key"
+        return "none"
+
+    def _observe(self, handler, groups, path, body, elapsed, method) -> None:
+        """Post-success observability: slow-request profiling for data-plane
+        calls + audit events for write/manage operations."""
+        slow = getattr(self.toc, "slow_log", None)
+        if slow is not None and method == "POST":
+            slow.observe(
+                handler.__name__,
+                groups.get("name", ""),
+                elapsed,
+                body if not isinstance(body, (bytes, bytearray)) else None,
+            )
+        level = ACCESS_LEVELS.get(handler)
+        if level in ("write", "manage") and not path.startswith(
+            ("/internal/", "/cluster/raft/")
+        ):
+            audit = getattr(self.toc, "audit_log", None)
+            if audit is not None:
+                audit.record(
+                    api=path,
+                    result="ok",
+                    method=handler.__name__,
+                    auth_type=self._auth_type(),
+                    remote=self.client_address[0],
+                    collection=groups.get("name"),
+                )
 
     def _reply(self, code: int, payload: dict) -> None:
         data = json.dumps(payload, default=_json_default).encode()

@@ -46,6 +46,24 @@ class TableOfContent:
             self.snapshot_store = S3SnapshotStorage(cfg.get("s3_config") or {})
         os.makedirs(self.collections_path, exist_ok=True)
         os.makedirs(self.snapshots_path, exist_ok=True)
+        # observability: slowest-request log + structured audit trail
+        # (reference: profiling/slow_requests_log.rs, src/common/audit.rs)
+        from ..utils.observability import AuditLog, SlowRequestsLog
+
+        self.slow_log = SlowRequestsLog(
+            max_entries=int(os.environ.get("QDRANT__SERVICE__SLOW_LOG_MAX", 16)),
+            threshold_s=float(
+                os.environ.get("QDRANT__SERVICE__SLOW_QUERY_SECS", 1.0)
+            ),
+        )
+        self.audit_log = AuditLog(
+            os.path.join(storage_path, "audit"),
+            enabled=os.environ.get("QDRANT__SERVICE__AUDIT__ENABLED", "1")
+            != "0",
+            max_log_files=int(
+                os.environ.get("QDRANT__SERVICE__AUDIT__MAX_LOG_FILES", 7)
+            ),
+        )
         self.collections: Dict[str, Collection] = {}
         self.aliases: Dict[str, str] = {}  # alias → collection name
         self._lock = threading.RLock()

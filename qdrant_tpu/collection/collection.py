@@ -526,7 +526,50 @@ class Collection:
         params: Optional[SearchParams] = None,
         shard_key: Any = None,
     ) -> List[List[Tuple[float, PointId, int]]]:
+        """Dense search; concurrent callers with compatible shapes coalesce
+        into one padded device batch (utils/microbatch.py) — the TPU-native
+        analogue of the reference's threadpool fan-out for many independent
+        clients."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        batcher = self._microbatcher()
+        if batcher is not None:
+            key = (
+                "dense",
+                name,
+                k,
+                repr(flt),
+                repr(getattr(params, "__dict__", None)),
+                repr(shard_key),
+            )
+            rows = [queries[i] for i in range(queries.shape[0])]
+            return batcher.run(
+                key,
+                rows,
+                lambda all_rows: self._search_dense_exec(
+                    name, np.stack(all_rows), k, flt, params, shard_key
+                ),
+            )
+        return self._search_dense_exec(name, queries, k, flt, params, shard_key)
+
+    def _microbatcher(self):
+        if os.environ.get("QDRANT_TPU_MICROBATCH", "1") == "0":
+            return None
+        b = getattr(self, "_batcher", None)
+        if b is None:
+            from ..utils.microbatch import MicroBatcher
+
+            b = self._batcher = MicroBatcher()
+        return b
+
+    def _search_dense_exec(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+        shard_key: Any = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
         vp = self.params.vectors.get(name)
         if vp is None:
             raise CollectionError(

@@ -362,11 +362,32 @@ class LocalShard:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b = queries.shape[0]
         merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in range(b)]
-        for seg in self.segments:
-            if name not in seg.dense or len(seg) == 0:
-                continue
-            scores, ids = seg.search_dense(name, queries, k, flt, params)
-            for qi in range(b):
+        active = [
+            seg
+            for seg in self.segments
+            if name in seg.dense and len(seg) > 0
+        ]
+        # probabilistic limit subsampling (reference:
+        # segments_searcher.rs:212-306): with many segments, each is asked
+        # only for the Poisson quantile of its point share instead of the
+        # full k; segments whose sampled result may hide better points
+        # re-run unsampled below.
+        use_sampling = len(active) > 1 and k >= 32
+        seg_limits: Dict[int, int] = {}
+        seg_lowest: Dict[int, np.ndarray] = {}
+        seg_counts: Dict[int, np.ndarray] = {}
+        if use_sampling:
+            from .sampling import sampling_limit
+
+            total = sum(len(s) for s in active)
+            ef_limit = params.hnsw_ef if params is not None else None
+            for i, seg in enumerate(active):
+                seg_limits[i] = sampling_limit(
+                    k, ef_limit, len(seg), total, len(active)
+                )
+
+        def merge_one(seg, scores, ids, qi_iter):
+            for qi in qi_iter:
                 for s, off in zip(scores[qi], ids[qi]):
                     if off < 0 or not np.isfinite(s):
                         continue
@@ -377,6 +398,55 @@ class LocalShard:
                     prev = merged[qi].get(ext)
                     if prev is None or ver > prev[1]:
                         merged[qi][ext] = (float(s), ver)
+
+        for i, seg in enumerate(active):
+            k_i = seg_limits.get(i, k)
+            scores, ids = seg.search_dense(name, queries, k_i, flt, params)
+            if use_sampling:
+                finite = np.isfinite(scores)
+                seg_counts[i] = finite.sum(axis=1)
+                low = np.where(finite, scores, np.inf).min(axis=1)
+                seg_lowest[i] = low
+            merge_one(seg, scores, ids, range(b))
+
+        if use_sampling:
+            # kth-best merged score per query (the sampling validity bar)
+            kth = np.full(b, -np.inf, dtype=np.float64)
+            for qi in range(b):
+                if len(merged[qi]) >= k:
+                    vals = sorted(
+                        (s for s, _v in merged[qi].values()), reverse=True
+                    )
+                    kth[qi] = vals[k - 1]
+            for i, seg in enumerate(active):
+                k_i = seg_limits.get(i, k)
+                if k_i >= k:
+                    continue
+                saturated = (seg_counts[i] >= k_i) & (
+                    seg_lowest[i] >= kth
+                )
+                if not saturated.any():
+                    continue
+                # the sampled window may have cut real winners: re-run the
+                # affected queries on this segment without sampling
+                sub = np.nonzero(saturated)[0]
+                scores, ids = seg.search_dense(
+                    name, queries[sub], k, flt, params
+                )
+                remap = {int(j): int(orig) for j, orig in enumerate(sub)}
+                for j in range(len(sub)):
+                    qi = remap[j]
+                    for s, off in zip(scores[j], ids[j]):
+                        if off < 0 or not np.isfinite(s):
+                            continue
+                        ext = seg.id_tracker.external_id(int(off))
+                        if ext is None:
+                            continue
+                        ver = seg.id_tracker.version(int(off))
+                        prev = merged[qi].get(ext)
+                        if prev is None or ver > prev[1]:
+                            merged[qi][ext] = (float(s), ver)
+
         out = []
         for qi in range(b):
             items = [(s, ext, ver) for ext, (s, ver) in merged[qi].items()]

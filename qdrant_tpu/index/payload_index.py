@@ -78,12 +78,22 @@ _WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
 def tokenize(text: str, params: PayloadIndexParams) -> List[str]:
     if params.tokenizer == "whitespace":
         tokens = text.split()
-    elif params.tokenizer in ("word", "multilingual", "prefix"):
+    elif params.tokenizer == "multilingual":
+        # word segmentation for alphabetic scripts, char bigrams for CJK
+        # runs (reference: tokenizers/multilingual.rs + japanese.rs)
+        from ..utils.text import segment_multilingual
+
+        tokens = segment_multilingual(text)
+    elif params.tokenizer in ("word", "prefix"):
         tokens = _WORD_RE.findall(text)
     else:
         tokens = _WORD_RE.findall(text)
     if params.lowercase:
         tokens = [t.lower() for t in tokens]
+    if getattr(params, "ascii_folding", False):
+        from ..utils.text import fold_to_ascii
+
+        tokens = [fold_to_ascii(t) for t in tokens]
     if params.stopwords:
         from ..utils.text import STOPWORDS
 
@@ -261,6 +271,34 @@ class NumericIndex(FieldIndexBase):
 
     def all_offsets(self) -> Set[int]:
         return set(self._point_values.keys())
+
+    def range_count(
+        self,
+        gt: Optional[float] = None,
+        gte: Optional[float] = None,
+        lt: Optional[float] = None,
+        lte: Optional[float] = None,
+    ) -> int:
+        """O(log n) range cardinality straight off the sorted array — the
+        role the reference's equi-depth histogram plays
+        (numeric_index/histogram.rs), except exact: keeping values fully
+        sorted (cheap on rebuild, and rebuilds batch) makes the estimate
+        free, so no histogram error bars are needed. Counts value entries;
+        multi-valued points can count more than once (same bias the
+        reference's histogram has)."""
+        if self._sorted_values is None:
+            self._rebuild()
+        lo = 0
+        hi = len(self._sorted_values)
+        if gt is not None:
+            lo = max(lo, int(np.searchsorted(self._sorted_values, gt, side="right")))
+        if gte is not None:
+            lo = max(lo, int(np.searchsorted(self._sorted_values, gte, side="left")))
+        if lt is not None:
+            hi = min(hi, int(np.searchsorted(self._sorted_values, lt, side="left")))
+        if lte is not None:
+            hi = min(hi, int(np.searchsorted(self._sorted_values, lte, side="right")))
+        return max(hi - lo, 0)
 
 
 class GeoIndex(FieldIndexBase):
@@ -596,6 +634,60 @@ class StructPayloadIndex:
         if mask is None:
             return n
         return int(mask.sum())
+
+    def estimate_cardinality(self, flt: Optional[Filter], n: int) -> int:
+        """Approximate matching-point count WITHOUT materializing offset
+        masks (reference: CardinalityEstimation — must takes the min,
+        should sums, must_not scales by the independence assumption).
+        Numeric ranges come from the sorted array in O(log n); keyword
+        matches from posting sizes. Unindexed conditions estimate n."""
+        if flt is None:
+            return n
+        return min(self._est_filter(flt, n), n)
+
+    def _est_filter(self, f: Filter, n: int) -> int:
+        est = n
+        for c in f.must:
+            est = min(est, self._est_cond(c, n))
+        if f.should:
+            est = min(est, sum(self._est_cond(c, n) for c in f.should))
+        if f.min_should:
+            conds, _k = f.min_should
+            est = min(est, sum(self._est_cond(c, n) for c in conds))
+        for c in f.must_not:
+            excl = self._est_cond(c, n)
+            est = int(est * max(0.0, 1.0 - excl / max(n, 1)))
+        return est
+
+    def _est_cond(self, c, n: int) -> int:
+        if isinstance(c, Filter):
+            return self._est_filter(c, n)
+        if isinstance(c, HasIdCondition):
+            return len(c.has_id)
+        if not isinstance(c, FieldCondition):
+            return n
+        fi = self.field_indexes.get(c.key)
+        if fi is None:
+            return n
+        if c.match is not None and fi.map_index is not None:
+            values = getattr(c.match, "any", None)
+            if values is None:
+                values = [getattr(c.match, "value", None)]
+            total = 0
+            for v in values:
+                norm = fi.map_index._normalize(v)
+                total += len(fi.map_index.postings.get(norm, ()))
+            return total
+        if c.range is not None and fi.numeric_index is not None:
+            r = c.range
+            conv = fi.numeric_index._to_number  # matches the field type
+            return fi.numeric_index.range_count(
+                gt=conv(r.gt) if r.gt is not None else None,
+                gte=conv(r.gte) if r.gte is not None else None,
+                lt=conv(r.lt) if r.lt is not None else None,
+                lte=conv(r.lte) if r.lte is not None else None,
+            )
+        return n
 
     def _eval_filter(self, flt: Filter, n: int) -> np.ndarray:
         mask = np.ones(n, dtype=bool)

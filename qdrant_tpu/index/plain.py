@@ -90,6 +90,24 @@ class PlainIndex:
         qp = np.zeros((b_pad, scan.d_pad), dtype=np.float32)
         qp[:b, : q.shape[1]] = q
         euclid = self.store.distance in (Distance.EUCLID,)
+        if scan.use_pallas:
+            # Pallas fused scan (bf16 in-kernel scores) → exact f32 rescore;
+            # candidates stay device-resident between the two dispatches
+            from ..ops.scan import rescore_topk
+
+            _, cand = scan.pallas_candidates(qp, k_fetch, mask_dev)
+            top_s, top_i = rescore_topk(
+                jnp.asarray(q), cand, vectors, k_eff, euclid
+            )
+            scores = np.asarray(top_s, dtype=np.float32)[:b]
+            ids = np.asarray(top_i, dtype=np.int32)[:b]
+            ids = np.where(np.isfinite(scores), ids, -1)
+            if k_eff < k:
+                scores = np.pad(
+                    scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+                )
+                ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+            return scores, ids
         top_s, top_i = scan_search_rescore(
             jnp.asarray(qp),
             scan._v,

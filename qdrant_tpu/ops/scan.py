@@ -171,6 +171,31 @@ def scan_search_sq_rescore(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "euclid"))
+def rescore_topk(
+    queries: jax.Array,  # [B, D] f32 (distance-preprocessed, unpadded dims)
+    cand: jax.Array,  # [B, C] int32 candidate offsets (-1 padded)
+    vectors_f32: jax.Array,  # [Nf, D] f32
+    k: int,
+    euclid: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact f32 rescore of an externally-produced candidate set (used by
+    the Pallas scan path, whose in-kernel scores are bf16)."""
+    safe = jnp.maximum(cand, 0)
+    cv = jnp.take(vectors_f32, safe, axis=0)
+    q = queries[:, : cv.shape[-1]]
+    if euclid:
+        diff = q[:, None, :] - cv
+        re = -jnp.sum(diff * diff, axis=-1)
+    else:
+        re = jnp.einsum("bd,bkd->bk", q, cv, preferred_element_type=jnp.float32)
+    re = jnp.where(cand >= 0, re, -jnp.inf)
+    top_s, ti = jax.lax.top_k(re, k)
+    top_i = jnp.take_along_axis(cand, ti, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("blk", "k_fetch", "k", "euclid"))
 def scan_search_rescore(
     queries: jax.Array,  # [B, D] f32
@@ -230,14 +255,17 @@ class ScanIndex:
             chunk = block * n_dev
             n_pad = max((n + chunk - 1) // chunk * chunk, chunk)
         else:
-            # single-device TPU: the fused Pallas kernel (score + in-VMEM
-            # running top-k, ops/pallas_scan.py) — ~3x the XLA scan at 1M
+            # single-device TPU: the Pallas kernel (ops/pallas_scan.py) is
+            # OPT-IN — its raw scan beats XLA in isolation, but end-to-end
+            # (candidates → exact f32 rescore) the fused XLA scan+rescore
+            # program wins: 22.0k vs 10.7k QPS at 1M x 128, B=1024 (v5e,
+            # one dispatch + one round trip vs two)
             from .pallas_scan import DEFAULT_BLK as PBLK, is_tpu_backend
 
             self.use_pallas = (
                 is_tpu_backend()
                 and n >= 32768
-                and os.environ.get("QDRANT_TPU_PALLAS", "1") != "0"
+                and os.environ.get("QDRANT_TPU_PALLAS", "0") == "1"
             )
             if self.use_pallas:
                 block = PBLK
@@ -329,9 +357,11 @@ class ScanIndex:
             ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return s, ids
 
-    def _search_pallas(
-        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def pallas_candidates(
+        self, q: np.ndarray, k: int, mask
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fused Pallas scan → DEVICE-resident (scores, ids); callers that
+        rescore must not round-trip the candidates through the host."""
         from .pallas_scan import DEFAULT_QT, pallas_scan_topk
 
         b_pad = q.shape[0]
@@ -346,13 +376,18 @@ class ScanIndex:
             qt = DEFAULT_QT if b_pad % DEFAULT_QT == 0 else 128
         else:
             qt = b_pad  # small batches: one query tile
-        s, ids = pallas_scan_topk(
+        return pallas_scan_topk(
             jnp.asarray(q),
             self._v,
             mask if mask is not None else self._mask,
             min(k, self.n),
             qt=qt,
         )
+
+    def _search_pallas(
+        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        s, ids = self.pallas_candidates(q, k, mask)
         s = np.asarray(s, dtype=np.float32)[:b]
         ids = np.asarray(ids, dtype=np.int32)[:b]
         if self.euclid:

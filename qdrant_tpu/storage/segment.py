@@ -117,7 +117,9 @@ class Segment:
             if vp.multivector_config is not None:
                 self.multi[name] = MultiVectorStore(vp.size, vp.distance, vp.datatype)
             else:
-                self.dense[name] = DenseVectorStore(vp.size, vp.distance, vp.datatype)
+                self.dense[name] = DenseVectorStore(
+                    vp.size, vp.distance, vp.datatype, on_disk=vp.on_disk
+                )
         for name, sp in params.sparse_vectors.items():
             self.sparse[name] = SparseVectorStore()
             self.sparse_index[name] = SparseIndex(self.sparse[name], sp.modifier)
@@ -513,6 +515,38 @@ class Segment:
         cardinality = int(combined_mask.sum())
         return cardinality >= threshold
 
+    def _host_rescore(
+        self, store, q: np.ndarray, cand: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact f32 rescore of per-query candidates by gathering their rows
+        from the HOST tier (disk memmap) — the quantized-primary path's
+        second stage (reference: on-disk original vectors + always_ram
+        quantized codes, vector_storage/quantized/quantized_vectors.rs:52).
+        Scores use the engine's exact conventions (-(q-v)^2 / dot)."""
+        b = q.shape[0]
+        cand = np.asarray(cand, dtype=np.int32)
+        s_out = np.full((b, k), -np.inf, dtype=np.float32)
+        i_out = np.full((b, k), -1, dtype=np.int32)
+        n = len(store)
+        dist = store.distance
+        for bi in range(b):
+            ids = cand[bi]
+            ids = ids[(ids >= 0) & (ids < n)]
+            if ids.size == 0:
+                continue
+            rows = np.asarray(store.get_batch(ids), dtype=np.float32)
+            if dist in (Distance.EUCLID,):
+                d = rows - q[bi][None, :]
+                sc = -(d * d).sum(axis=1)
+            elif dist is Distance.MANHATTAN:
+                sc = -np.abs(rows - q[bi][None, :]).sum(axis=1)
+            else:
+                sc = rows @ q[bi]
+            order = np.argsort(-sc)[: min(k, ids.size)]
+            s_out[bi, : len(order)] = sc[order]
+            i_out[bi, : len(order)] = ids[order]
+        return s_out, i_out
+
     def _search_sq_pallas(
         self, quant, store, q: np.ndarray, k: int, k_over: int,
         mask: np.ndarray, params: SearchParams,
@@ -610,8 +644,11 @@ class Segment:
 
             from ..ops.pallas_scan import is_tpu_backend
 
-            if is_tpu_backend() and _os.environ.get("QDRANT_TPU_PALLAS", "1") != "0":
-                return self._search_sq_pallas(quant, store, q, k, k_over, mask, params)
+            if is_tpu_backend() and _os.environ.get("QDRANT_TPU_PALLAS", "0") == "1":
+                if not store.on_disk:
+                    return self._search_sq_pallas(
+                        quant, store, q, k, k_over, mask, params
+                    )
             # large-N: blocked int8 scan (group-reduction top-k) + f32 rescore
             from ..ops.scan import DEFAULT_BLOCK, scan_search_sq
 
@@ -625,6 +662,25 @@ class Segment:
             # candidate set so the f32 rescore recovers full recall
             k_over = min(max(k_over, 128), max(int(mask.sum()), 1))
             euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
+            if params.quantization_rescore and store.on_disk:
+                # int8 scan for candidates; exact rescore from the host tier
+                top_s, cand = scan_search_sq(
+                    jnp.asarray(q_codes),
+                    jnp.asarray(q_norms),
+                    codes_dev,
+                    norms_dev,
+                    jnp.float32(quant.scale),
+                    jnp.asarray(mask_pad),
+                    DEFAULT_BLOCK,
+                    k_over,
+                    euclid=euclid,
+                )
+                cand_np = np.where(
+                    np.isfinite(np.asarray(top_s)),
+                    np.asarray(cand, dtype=np.int32),
+                    -1,
+                )
+                return self._host_rescore(store, q, cand_np, k)
             if params.quantization_rescore:
                 from ..ops.scan import scan_search_sq_rescore
 
@@ -718,6 +774,16 @@ class Segment:
             s = np.asarray(top_scores)[:, :k]
             i = np.asarray(top_ids, dtype=np.int32)[:, :k]
             return s, np.where(np.isfinite(s), i, -1)
+
+        if store.on_disk:
+            # quantized-primary tier: exact rescore gathers candidate rows
+            # from the host memmap — the f32 block never enters HBM
+            cand = np.where(
+                np.isfinite(np.asarray(top_scores)),
+                np.asarray(top_ids, dtype=np.int32),
+                -1,
+            )
+            return self._host_rescore(store, q, cand, k)
 
         # f32 rescore of the oversampled candidates
         vectors, _ = store.device_block()
@@ -842,7 +908,10 @@ class Segment:
                 continue
             store = self.dense[name]
             cfg = vp.hnsw_config or default_hnsw or HnswConfig()
-            if store.available_count > 0:
+            # quantized-primary tier skips the graph: codes-only HBM
+            # residency serves through the quantized scan + host-memmap
+            # rescore; a graph would force the f32 block onto the device
+            if store.available_count > 0 and not store.on_disk:
                 idx = HnswIndex(store, cfg)
                 idx.build()
                 self.hnsw[name] = idx
@@ -979,7 +1048,7 @@ class Segment:
                     )
             elif os.path.exists(sub):
                 seg.dense[name] = DenseVectorStore.load(
-                    sub, vp.size, vp.distance, vp.datatype
+                    sub, vp.size, vp.distance, vp.datatype, on_disk=vp.on_disk
                 )
         for name, sp in params.sparse_vectors.items():
             sub = os.path.join(path, f"sparse_{_safe(name)}")

@@ -56,10 +56,21 @@ class DenseVectorStore:
         dim: int,
         distance: Distance,
         datatype: Datatype = Datatype.FLOAT32,
+        on_disk: bool = False,
+        storage_dir: Optional[str] = None,
     ):
         self.dim = dim
         self.distance = distance
         self.datatype = datatype
+        # on_disk: the f32 truth lives in a disk-backed memmap instead of
+        # anonymous RAM (reference: the mmap / appendable-mmap storages,
+        # vector_storage_base.rs:607-649). With a quantized config the
+        # segment then keeps ONLY codes in HBM and rescores by gathering
+        # candidate rows from this memmap — a 10M x 1536 collection fits
+        # one 16 GB chip that way (codes resident, f32 paged from disk).
+        self.on_disk = on_disk
+        self._disk_dir = storage_dir
+        self._disk_path: Optional[str] = None
         self._data = np.zeros((0, dim), dtype=np.float32)
         self._deleted = np.zeros((0,), dtype=bool)
         self._count = 0
@@ -84,11 +95,30 @@ class DenseVectorStore:
     def available_count(self) -> int:
         return self._count - self._deleted_count
 
+    def _alloc(self, cap: int) -> np.ndarray:
+        if not self.on_disk:
+            return np.zeros((cap, self.dim), dtype=np.float32)
+        if self._disk_dir is None:
+            import tempfile
+
+            self._disk_dir = tempfile.mkdtemp(prefix="qtpu_vecs_")
+        os.makedirs(self._disk_dir, exist_ok=True)
+        path = os.path.join(self._disk_dir, f"vectors_{cap}.f32")
+        mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(cap, self.dim))
+        old = self._disk_path
+        self._disk_path = path
+        if old is not None and old != path:
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
+        return mm
+
     def _ensure_capacity(self, n: int) -> None:
         if n <= self._data.shape[0]:
             return
         cap = _round_capacity(n)
-        data = np.zeros((cap, self.dim), dtype=np.float32)
+        data = self._alloc(cap)
         data[: self._count] = self._data[: self._count]
         self._data = data
         deleted = np.zeros((cap,), dtype=bool)
@@ -195,14 +225,51 @@ class DenseVectorStore:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        if self.on_disk:
+            # stream the memmap straight to the segment dir (never pull the
+            # whole block through RAM) + a tiny meta record; load() memmaps
+            # it back in place — restart cost is O(1), not O(bytes)
+            if isinstance(self._data, np.memmap):
+                self._data.flush()
+            dst = os.path.join(path, "vectors.f32")
+            out = np.memmap(
+                dst, dtype=np.float32, mode="w+",
+                shape=(max(self._count, 1), self.dim),
+            )
+            step = 1 << 16
+            for i in range(0, self._count, step):
+                end = min(i + step, self._count)
+                out[i:end] = self._data[i:end]
+            out.flush()
+            with open(os.path.join(path, "vectors.meta"), "w") as f:
+                f.write(f"{self._count} {self.dim} on_disk")
+            np.save(os.path.join(path, "deleted.npy"), self._deleted[: self._count])
+            return
         np.save(os.path.join(path, "vectors.npy"), self._data[: self._count])
         np.save(os.path.join(path, "deleted.npy"), self._deleted[: self._count])
 
     @classmethod
     def load(
-        cls, path: str, dim: int, distance: Distance, datatype: Datatype
+        cls, path: str, dim: int, distance: Distance, datatype: Datatype,
+        on_disk: bool = False,
     ) -> "DenseVectorStore":
-        store = cls(dim, distance, datatype)
+        meta = os.path.join(path, "vectors.meta")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                n = int(f.read().split()[0])
+            store = cls(dim, distance, datatype, on_disk=True, storage_dir=path)
+            deleted = np.load(os.path.join(path, "deleted.npy"))
+            if n:
+                store._data = np.memmap(
+                    os.path.join(path, "vectors.f32"), dtype=np.float32,
+                    mode="r+", shape=(n, dim),
+                )
+                store._disk_path = None  # segment-owned file: never unlink
+            store._deleted = deleted.copy()
+            store._count = n
+            store._deleted_count = int(deleted.sum())
+            return store
+        store = cls(dim, distance, datatype, on_disk=on_disk)
         data = np.load(os.path.join(path, "vectors.npy"))
         deleted = np.load(os.path.join(path, "deleted.npy"))
         n = data.shape[0]

@@ -575,6 +575,9 @@ class PayloadIndexParams:
     min_token_len: Optional[int] = None
     max_token_len: Optional[int] = None
     lowercase: bool = True
+    # fold accented latin to ASCII, e.g. "ação" → "acao"
+    # (reference: data_types/index.rs:281 + tokenizers/ascii_folding.rs)
+    ascii_folding: bool = False
     stopwords: Optional[str] = None  # language name or None
     stemmer: Optional[str] = None
     on_disk: bool = False

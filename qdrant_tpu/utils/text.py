@@ -156,3 +156,88 @@ def porter_stem(word: str) -> str:
     if _measure(w) > 1 and _ends_double_consonant(w) and w.endswith("l"):
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# ASCII folding (reference: tokenizers/ascii_folding.rs, Lucene's
+# ASCIIFoldingFilter mapping): NFKD decomposition drops combining marks for
+# the bulk of Latin diacritics; the table below covers the characters whose
+# folding is not a decomposition.
+# ---------------------------------------------------------------------------
+
+_FOLD_EXTRA = {
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss", "ẞ": "SS",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ĸ": "k", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+    "ƒ": "f", "Ɖ": "D", "ǝ": "e", "ȝ": "y", "Ȝ": "Y",
+}
+
+
+def fold_to_ascii(text: str) -> str:
+    """Fold non-ASCII latin letters/symbols to ASCII equivalents."""
+    if text.isascii():
+        return text
+    import unicodedata
+
+    out = []
+    for ch in text:
+        if ch.isascii():
+            out.append(ch)
+            continue
+        if ch in _FOLD_EXTRA:
+            out.append(_FOLD_EXTRA[ch])
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(kept if kept.isascii() else ch)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Multilingual segmentation (reference: tokenizers/multilingual.rs +
+# japanese.rs). Latin/Cyrillic/etc. scripts segment on word boundaries; CJK
+# runs (where charabia/vaporetto do dictionary segmentation) fall back to
+# character bigrams — the standard n-gram rendering that keeps CJK phrase
+# search functional without a dictionary model.
+# ---------------------------------------------------------------------------
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x2E80 <= cp <= 0x9FFF  # CJK radicals .. unified ideographs
+        or 0x3040 <= cp <= 0x30FF  # hiragana + katakana
+        or 0xAC00 <= cp <= 0xD7AF  # hangul syllables
+        or 0xF900 <= cp <= 0xFAFF  # CJK compat ideographs
+        or 0x20000 <= cp <= 0x2FA1F  # extensions
+    )
+
+
+def segment_multilingual(text: str) -> list:
+    """→ tokens: unicode words for alphabetic scripts, char bigrams for CJK
+    runs (single char when the run length is 1)."""
+    import re as _re
+    import unicodedata
+
+    text = unicodedata.normalize("NFKC", text)
+    tokens = []
+    for m in _re.finditer(r"[^\W_]+", text, _re.UNICODE):
+        word = m.group(0)
+        run: list = []
+        run_cjk = False
+        for ch in word:
+            cjk = _is_cjk(ch)
+            if run and cjk != run_cjk:
+                tokens.extend(_emit_cjk(run) if run_cjk else ["".join(run)])
+                run = []
+            run.append(ch)
+            run_cjk = cjk
+        if run:
+            tokens.extend(_emit_cjk(run) if run_cjk else ["".join(run)])
+    return tokens
+
+
+def _emit_cjk(run: list) -> list:
+    if len(run) == 1:
+        return ["".join(run)]
+    return ["".join(run[i : i + 2]) for i in range(len(run) - 1)]
