@@ -31,16 +31,31 @@ class ConsensusManager:
         t = op.get("type")
         try:
             if t == "create_collection":
+                placement = {
+                    int(k): list(v)
+                    for k, v in (op.get("placement") or {}).items()
+                } or None
                 if not self.toc.has_collection(op["name"]):
-                    placement = {
-                        int(k): list(v)
-                        for k, v in (op.get("placement") or {}).items()
-                    } or None
                     self.toc.create_collection(
                         op["name"], op.get("spec") or {}, placement=placement
                     )
                     if self.on_collection_created is not None:
                         self.on_collection_created(op["name"])
+                elif placement:
+                    # single→cluster migration: the originating peer already
+                    # holds the collection — it adopts the committed
+                    # placement so future moves/repairs see the same map
+                    coll = self.toc.get_collection(op["name"])
+                    if not coll.placement:
+                        coll.placement = placement
+                        coll.this_peer_id = getattr(
+                            getattr(self.toc, "cluster_node", None),
+                            "peer_id",
+                            None,
+                        )
+                        coll.save_config()
+                        if self.on_collection_created is not None:
+                            self.on_collection_created(op["name"])
             elif t == "update_collection":
                 self.toc.update_collection(op["name"], op.get("spec") or {})
             elif t == "delete_collection":

@@ -106,6 +106,53 @@ class ClusterNode:
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+        threading.Thread(
+            target=self._migrate_existing_collections, daemon=True
+        ).start()
+
+    def _migrate_existing_collections(self) -> None:
+        """Single→cluster migration (reference:
+        src/migrations/single_to_cluster.rs handle_existing_collections):
+        collections that exist locally but were created OUTSIDE consensus
+        (single-node era, or restored from a backup) are proposed into the
+        consensus log with every shard pinned to this peer. Idempotent:
+        peers that already know a collection skip the committed op."""
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline and self.raft.leader_id is None:
+            _time.sleep(0.1)
+        if self.raft.leader_id is None:
+            return
+        for name in list(self.toc.list_collections()):
+            try:
+                coll = self.toc.get_collection(name)
+            except Exception:
+                continue
+            if coll.placement:
+                continue  # already consensus-placed
+            spec = {
+                "vectors": {
+                    n: vp.to_dict() for n, vp in coll.params.vectors.items()
+                },
+                "sparse_vectors": {
+                    n: sp.to_dict()
+                    for n, sp in (coll.params.sparse_vectors or {}).items()
+                },
+                "shard_number": coll.params.shard_number,
+                "replication_factor": coll.params.replication_factor,
+            }
+            placement = {
+                str(sid): [self.peer_id] for sid in coll.shards
+            }
+            self.propose_anywhere(
+                {
+                    "type": "create_collection",
+                    "name": name,
+                    "spec": spec,
+                    "placement": placement,
+                }
+            )
 
     def _run(self) -> None:
         while not self._stop.wait(self.tick_period):

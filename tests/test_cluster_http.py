@@ -390,3 +390,63 @@ def test_dead_peer_rereplication(cluster):
     for srv in live_servers:
         cnt = call(srv.port, "POST", "/collections/heal/points/count", {})
         assert cnt["result"]["count"] == 60
+
+
+def test_single_to_cluster_migration(tmp_path):
+    """A collection created on a single node BEFORE clustering is proposed
+    into consensus at cluster start: every peer learns it with the data
+    pinned to the original node, and reads work cluster-wide (reference:
+    src/migrations/single_to_cluster.rs handle_existing_collections)."""
+    # node 1 starts life standalone with data
+    toc1 = TableOfContent(str(tmp_path / "p1"))
+    toc1.create_collection("legacy", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 2})
+    coll = toc1.get_collection("legacy")
+    coll.upsert([{"id": i, "vector": [float(i), 0, 0, 0]} for i in range(20)])
+
+    servers, tocs, nodes = [], [toc1], []
+    srv1 = RestServer(toc1, port=0)
+    srv1.start_background()
+    servers.append(srv1)
+    for i in (2, 3):
+        toc = TableOfContent(str(tmp_path / f"p{i}"))
+        srv = RestServer(toc, port=0)
+        srv.start_background()
+        servers.append(srv)
+        tocs.append(toc)
+    urls = {i + 1: f"http://127.0.0.1:{servers[i].port}" for i in range(3)}
+    for i in (1, 2, 3):
+        node = ClusterNode(i, tocs[i - 1], urls, tick_period=0.02)
+        node.start()
+        nodes.append(node)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and not all(
+                t.has_collection("legacy") for t in tocs):
+            time.sleep(0.1)
+        assert all(t.has_collection("legacy") for t in tocs)
+        # data pinned to peer 1; peers 2/3 route remotely
+        for t in tocs[1:]:
+            assert not t.get_collection("legacy").shards
+            assert t.get_collection("legacy").placement
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                counts = [
+                    call(s.port, "POST", "/collections/legacy/points/count",
+                         {})["result"]["count"]
+                    for s in servers
+                ]
+                if counts == [20, 20, 20]:
+                    break
+            except AssertionError:
+                pass
+            time.sleep(0.2)
+        assert counts == [20, 20, 20]
+    finally:
+        for n in nodes:
+            n.stop()
+        for s in servers:
+            s.shutdown()
+        for t in tocs:
+            t.close()
