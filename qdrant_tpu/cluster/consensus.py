@@ -158,16 +158,26 @@ class ConsensusManager:
 
     def restore_state(self, state: dict) -> None:
         for name, meta in (state.get("collections") or {}).items():
+            placement = {
+                int(k): list(v)
+                for k, v in (meta.get("placement") or {}).items()
+            } or None
             if not self.toc.has_collection(name):
-                placement = {
-                    int(k): list(v)
-                    for k, v in (meta.get("placement") or {}).items()
-                } or None
                 self.toc.create_collection(
                     name, meta.get("spec") or {}, placement=placement
                 )
                 if self.on_collection_created is not None:
                     self.on_collection_created(name)
+            elif placement:
+                # a restarted peer catches up via snapshot: its on-disk
+                # placement may predate moves committed while it was down —
+                # the snapshot's map is the consensus truth, adopt it
+                coll = self.toc.get_collection(name)
+                if coll.placement != placement:
+                    coll.placement = placement
+                    coll.save_config()
+                    if self.on_collection_created is not None:
+                        self.on_collection_created(name)
         for alias, target in (state.get("aliases") or {}).items():
             self.toc.aliases[alias] = target
 

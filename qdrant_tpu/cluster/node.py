@@ -203,7 +203,7 @@ class ClusterNode:
         for sid in coll.all_shard_ids():
             placed = coll.placement.get(sid) or all_peers
             others = [p for p in placed if p != self.peer_id]
-            if self.peer_id in placed or sid in coll.shards:
+            if self.peer_id in placed:
                 shard = coll.shards.get(sid)
                 if shard is None:
                     continue  # placed here but not materialized yet

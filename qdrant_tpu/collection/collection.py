@@ -174,6 +174,18 @@ class Collection:
             remote = self.remote_shards.get(sid)
             if remote is not None:
                 return remote
+        if (
+            self.placement
+            and self.this_peer_id is not None
+            and sid in self.placement
+            and self.this_peer_id not in self.placement[sid]
+        ):
+            # placement is authoritative: a local shard that consensus moved
+            # away while this peer was down is a stale orphan — serve the
+            # placed peers' copy instead
+            remote = self.remote_shards.get(sid)
+            if remote is not None:
+                return remote
         shard = self.shards.get(sid)
         if shard is not None:
             return shard
@@ -213,13 +225,22 @@ class Collection:
         self, sid: int, op: Dict[str, Any], wait: bool, ordering: str
     ) -> Dict[str, Any]:
         """One shard's slice of an update: replica-set fan-out when attached,
-        plain local apply, or forward to a peer that holds the shard."""
-        rs = self.replica_sets.get(sid)
-        if rs is not None:
-            return rs.update(op, ordering=ordering)
-        shard = self.shards.get(sid)
-        if shard is not None:
-            return shard.update(op, wait=wait)
+        plain local apply, or forward to a peer that holds the shard.
+        Placement is authoritative — a stale orphan replica left behind by a
+        consensus move never absorbs writes."""
+        placed_away = (
+            self.placement
+            and self.this_peer_id is not None
+            and sid in self.placement
+            and self.this_peer_id not in self.placement[sid]
+        )
+        if not placed_away:
+            rs = self.replica_sets.get(sid)
+            if rs is not None:
+                return rs.update(op, ordering=ordering)
+            shard = self.shards.get(sid)
+            if shard is not None:
+                return shard.update(op, wait=wait)
         remote = self.remote_shards.get(sid)
         if remote is None:
             raise CollectionError(

@@ -176,6 +176,8 @@ class NativeWal:
         return int(self._lib.wal_next_op(self._h))
 
     def append(self, operation: Any) -> int:
+        if not self._h:
+            raise IOError("wal is closed")
         payload = msgpack.packb(operation, use_bin_type=True)
         op = int(self._lib.wal_append(self._h, payload, len(payload)))
         if op == 0:
@@ -183,7 +185,8 @@ class NativeWal:
         return op
 
     def sync(self) -> None:
-        self._lib.wal_sync(self._h)
+        if self._h:
+            self._lib.wal_sync(self._h)
 
     def read_from(self, from_op_num: int = 1) -> Iterator[Tuple[int, Any]]:
         import ctypes
@@ -203,6 +206,8 @@ class NativeWal:
             self._lib.wal_cursor_close(cursor)
 
     def ack(self, op_num: int) -> None:
+        if not self._h:
+            return  # closed handle: acking into freed native state segfaults
         self._lib.wal_ack(self._h, op_num)
 
     def close(self) -> None:

@@ -450,3 +450,76 @@ def test_single_to_cluster_migration(tmp_path):
             s.shutdown()
         for t in tocs:
             t.close()
+
+
+def test_peer_restart_rejoin_consistency(cluster, tmp_path):
+    """Kill a peer mid-life, write while it is down, restart it from its
+    storage dir on the same port: WAL replay restores its local data, raft
+    catch-up restores metadata, and reads are consistent cluster-wide
+    (reference: consensus_tests/test_recover_dead_node.py +
+    test_cluster_rejoin.py)."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/rj", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 3,
+        "replication_factor": 2})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+            t.has_collection("rj") for t in tocs):
+        time.sleep(0.05)
+    call(leader_port, "PUT", "/collections/rj/points?wait=true", {
+        "points": [{"id": i, "vector": [float(i), 0, 0, 0]}
+                   for i in range(20)]})
+
+    victim = next(n for n in nodes if n is not leader)
+    v_idx = victim.peer_id - 1
+    v_port = servers[v_idx].port
+    v_storage = tocs[v_idx].storage_path
+    victim.stop()
+    servers[v_idx].shutdown()
+    tocs[v_idx].close()
+
+    # writes while the peer is down (fan-out marks it locally disabled)
+    call(leader_port, "PUT", "/collections/rj/points?wait=true", {
+        "points": [{"id": 100 + i, "vector": [0, float(i), 0, 0]}
+                   for i in range(20)]})
+
+    # restart from the same storage on the same port
+    toc_r = TableOfContent(v_storage)
+    srv_r = RestServer(toc_r, port=v_port)
+    srv_r.start_background()
+    urls = {n.peer_id: f"http://127.0.0.1:{servers[n.peer_id - 1].port}"
+            for n in nodes}
+    node_r = ClusterNode(victim.peer_id, toc_r, urls, tick_period=0.02)
+    node_r.start()
+    try:
+        # WAL replay restored the pre-kill local data
+        assert toc_r.has_collection("rj")
+        local = sum(
+            s.point_count()
+            for s in toc_r.get_collection("rj").shards.values())
+        assert local > 0  # its replica survived the restart
+        # reads through the restarted peer see the FULL collection
+        deadline = time.time() + 20
+        cnt = -1
+        while time.time() < deadline:
+            try:
+                cnt = call(v_port, "POST", "/collections/rj/points/count",
+                           {})["result"]["count"]
+                if cnt == 40:
+                    break
+            except AssertionError:
+                pass
+            time.sleep(0.2)
+        assert cnt == 40
+        # and the whole cluster agrees
+        for n in nodes:
+            if n is victim:
+                continue
+            port = servers[n.peer_id - 1].port
+            assert call(port, "POST", "/collections/rj/points/count",
+                        {})["result"]["count"] == 40
+    finally:
+        node_r.stop()
+        srv_r.shutdown()
+        toc_r.close()
