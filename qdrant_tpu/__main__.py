@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("qdrant_tpu")
 
+    # runtime feature flags (reference: common/flags.rs, OnceLock init)
+    from .utils.flags import init_feature_flags
+
+    init_feature_flags(settings.get("feature_flags"))
+
     from .api.rest import RestServer
     from .api.toc import TableOfContent
 

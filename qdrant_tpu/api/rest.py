@@ -498,14 +498,27 @@ def _check_batchsize(coll, n):
         )
 
 
+def _run_batch(fn, items, max_workers: int = 64):
+    """Run a batch request's sub-queries CONCURRENTLY so the collection's
+    micro-batcher coalesces them into padded device batches (sequential
+    execution would issue one tiny device call per sub-query). Order
+    preserved; first exception propagates."""
+    if len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(items), max_workers)) as tp:
+        return list(tp.map(fn, items))
+
+
 def h_search_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
-    return [
-        ex.query(QueryRequest(_legacy_search_to_query(sub)))
-        for sub in (body or {}).get("searches", [])
-    ]
+    return _run_batch(
+        lambda sub: ex.query(QueryRequest(_legacy_search_to_query(sub))),
+        (body or {}).get("searches", []),
+    )
 
 
 def _legacy_recommend_to_query(body: dict) -> dict:
@@ -542,10 +555,10 @@ def h_recommend_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
-    return [
-        ex.query(QueryRequest(_legacy_recommend_to_query(sub)))
-        for sub in (body or {}).get("searches", [])
-    ]
+    return _run_batch(
+        lambda sub: ex.query(QueryRequest(_legacy_recommend_to_query(sub))),
+        (body or {}).get("searches", []),
+    )
 
 
 def h_discover(toc, m, body, q):
@@ -593,10 +606,10 @@ def h_query_batch(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     _check_batchsize(coll, len((body or {}).get("searches", [])))
     ex = QueryExecutor(coll, toc)
-    return [
-        {"points": ex.query(QueryRequest(sub))}
-        for sub in (body or {}).get("searches", [])
-    ]
+    return _run_batch(
+        lambda sub: {"points": ex.query(QueryRequest(sub))},
+        (body or {}).get("searches", []),
+    )
 
 
 def h_query_groups(toc, m, body, q):
@@ -1064,9 +1077,15 @@ def h_telemetry(toc, m, body, q):
                 collections.append({"id": name, **coll.info()})
             else:
                 collections.append({"id": name})
+    from ..utils.flags import feature_flags
+
     return {
         "id": "qdrant-tpu",
-        "app": {"name": "qdrant-tpu", "version": VERSION},
+        "app": {
+            "name": "qdrant-tpu",
+            "version": VERSION,
+            "features": feature_flags().to_dict(),
+        },
         "collections": {
             "number_of_collections": len(collections),
             "collections": collections,

@@ -563,17 +563,27 @@ class Collection:
                 repr(shard_key),
             )
             rows = [queries[i] for i in range(queries.shape[0])]
-            return batcher.run(
-                key,
-                rows,
-                lambda all_rows: self._search_dense_exec(
-                    name, np.stack(all_rows), k, flt, params, shard_key
-                ),
-            )
+
+            def exec_batch(all_rows):
+                # pad the coalesced batch to a power-of-two row count: the
+                # device programs compile per batch shape, and unpadded
+                # coalescing would compile one program per distinct batch
+                # size (each ~tens of seconds through the device link)
+                n = len(all_rows)
+                pad = max(8, 1 << (n - 1).bit_length())
+                padded = list(all_rows) + [all_rows[0]] * (pad - n)
+                res = self._search_dense_exec(
+                    name, np.stack(padded), k, flt, params, shard_key
+                )
+                return res[:n]
+
+            return batcher.run(key, rows, exec_batch)
         return self._search_dense_exec(name, queries, k, flt, params, shard_key)
 
     def _microbatcher(self):
-        if os.environ.get("QDRANT_TPU_MICROBATCH", "1") == "0":
+        from ..utils.flags import flag_env
+
+        if not flag_env("micro_batching", "QDRANT_TPU_MICROBATCH"):
             return None
         b = getattr(self, "_batcher", None)
         if b is None:

@@ -294,7 +294,9 @@ class SparseIndex:
         flat_ids, flat_w, dim_table, n_pad = self._device()
         b = len(queries)
         queries = [self.remap_query(q) for q in queries]
-        exact = os.environ.get("QDRANT_TPU_SPARSE_EXACT") == "1"
+        from ..utils.flags import flag_env
+
+        exact = flag_env("sparse_exact_search", "QDRANT_TPU_SPARSE_EXACT")
         rescore = (
             not exact
             and os.environ.get("QDRANT_TPU_SPARSE_RESCORE", "1") != "0"

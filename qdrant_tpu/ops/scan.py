@@ -226,6 +226,9 @@ def scan_search_rescore(
     return top_s, top_i
 
 
+from ..utils.flags import flag_env as _flag_env
+
+
 class ScanIndex:
     """Device-resident blocked-scan searcher over a frozen vector block."""
 
@@ -265,7 +268,7 @@ class ScanIndex:
             self.use_pallas = (
                 is_tpu_backend()
                 and n >= 32768
-                and os.environ.get("QDRANT_TPU_PALLAS", "0") == "1"
+                and _flag_env("pallas_scan", "QDRANT_TPU_PALLAS")
             )
             if self.use_pallas:
                 block = PBLK

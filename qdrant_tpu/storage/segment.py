@@ -644,7 +644,9 @@ class Segment:
 
             from ..ops.pallas_scan import is_tpu_backend
 
-            if is_tpu_backend() and _os.environ.get("QDRANT_TPU_PALLAS", "0") == "1":
+            from ..utils.flags import flag_env
+
+            if is_tpu_backend() and flag_env("pallas_scan", "QDRANT_TPU_PALLAS"):
                 if not store.on_disk:
                     return self._search_sq_pallas(
                         quant, store, q, k, k_over, mask, params
