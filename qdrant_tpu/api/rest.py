@@ -1562,7 +1562,14 @@ class RestServer:
                 "authenticator": Authenticator(api_key, read_only_api_key),
             },
         )
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        class _Server(ThreadingHTTPServer):
+            # stdlib default backlog is 5: a burst of concurrent clients
+            # (each urllib call = one fresh connection) overflows the
+            # accept queue and the kernel RESETs the excess
+            request_queue_size = 256
+            daemon_threads = True
+
+        self.httpd = _Server((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

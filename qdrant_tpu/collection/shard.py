@@ -399,9 +399,22 @@ class LocalShard:
                     if prev is None or ver > prev[1]:
                         merged[qi][ext] = (float(s), ver)
 
-        for i, seg in enumerate(active):
+        def run_seg(i_seg):
+            i, seg = i_seg
             k_i = seg_limits.get(i, k)
-            scores, ids = seg.search_dense(name, queries, k_i, flt, params)
+            return i, seg, seg.search_dense(name, queries, k_i, flt, params)
+
+        if len(active) > 1:
+            # overlap the per-segment device calls: each dispatch pays a
+            # host↔device round trip, and a fragmented shard issuing them
+            # sequentially multiplies that latency by the segment count
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(active), 8)) as tp:
+                results = list(tp.map(run_seg, enumerate(active)))
+        else:
+            results = [run_seg(p) for p in enumerate(active)]
+        for i, seg, (scores, ids) in results:
             if use_sampling:
                 finite = np.isfinite(scores)
                 seg_counts[i] = finite.sum(axis=1)

@@ -22,13 +22,14 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 
 class _Item:
-    __slots__ = ("rows", "event", "result", "error")
+    __slots__ = ("rows", "event", "result", "error", "exec_fn")
 
     def __init__(self, rows):
         self.rows = rows  # caller's queries (list length = row count)
         self.event = threading.Event()
         self.result: Optional[list] = None
         self.error: Optional[BaseException] = None
+        self.exec_fn = None
 
 
 class MicroBatcher:
@@ -47,35 +48,52 @@ class MicroBatcher:
         """Execute `exec_fn` over `rows` (+ any compatible queued rows),
         returning this caller's slice of the batched results. exec_fn
         receives the concatenated row list and must return one result per
-        row, in order."""
+        row, in order.
+
+        Leader/follower structure: whoever grabs the exec lock DRAINS the
+        queue (its key) in maximal batches until empty; everyone else waits
+        only on their completion event. Followers must NOT queue on the
+        exec lock itself — lock-queued wakeups throttle batch formation to
+        a handful of arrivals per cycle (measured: batches stuck at ~8 with
+        64 concurrent callers; draining leaders reach full coalescing)."""
         item = _Item(rows)
+        item.exec_fn = exec_fn
         with self._lock:
             self._pending.setdefault(key, []).append(item)
 
-        with self._exec_lock:
-            if item.event.is_set():
-                pass  # another leader already ran our batch
-            else:
-                with self._lock:
-                    queue = self._pending.get(key, [])
-                    batch: List[_Item] = []
-                    taken_rows = 0
-                    while queue and (
-                        not batch or taken_rows + len(queue[0].rows) <= self.max_rows
-                    ):
-                        it = queue.pop(0)
-                        batch.append(it)
-                        taken_rows += len(it.rows)
-                    if not queue:
-                        self._pending.pop(key, None)
-                if batch:
-                    self._execute(batch, exec_fn)
-
-        if not item.event.wait(timeout=300):
-            raise TimeoutError("micro-batched search timed out")
+        while not item.event.is_set():
+            if self._exec_lock.acquire(blocking=False):
+                try:
+                    self._drain(key)
+                finally:
+                    self._exec_lock.release()
+                if item.event.is_set():
+                    break
+            # another leader is executing; it drains everything queued —
+            # the short timeout only covers the enqueue/release race
+            item.event.wait(timeout=0.005)
         if item.error is not None:
             raise item.error
         return item.result
+
+    def _drain(self, key: Any) -> None:
+        while True:
+            with self._lock:
+                queue = self._pending.get(key, [])
+                batch: List[_Item] = []
+                taken_rows = 0
+                while queue and (
+                    not batch
+                    or taken_rows + len(queue[0].rows) <= self.max_rows
+                ):
+                    it = queue.pop(0)
+                    batch.append(it)
+                    taken_rows += len(it.rows)
+                if not queue:
+                    self._pending.pop(key, None)
+            if not batch:
+                return
+            self._execute(batch, batch[0].exec_fn)
 
     @staticmethod
     def _execute(batch: List[_Item], exec_fn) -> None:
