@@ -1,16 +1,21 @@
 """gRPC API server — wire-compatible subset of the reference's services.
 
 Reference: src/tonic/ (service registration mod.rs:138-338) with protos from
-lib/api/src/grpc/proto/. Services implemented (full method paths match the
-reference so stock qdrant gRPC clients interoperate):
+lib/api/src/grpc/proto/. ~45 wire-compatible methods are registered (full
+method paths match the reference so stock qdrant gRPC clients interoperate):
 
-  * qdrant.Qdrant/HealthCheck
-  * qdrant.Collections: Get, List, Create, Delete, CollectionExists
-  * qdrant.Points: Upsert, Delete, Get, Search, Count
+  * qdrant.Qdrant: HealthCheck
+  * qdrant.Collections: Get, List, Create, Update, Delete, CollectionExists,
+    UpdateAliases, ListAliases, ListCollectionAliases
+  * qdrant.Points: Upsert, Delete, Get, Search(+Batch), Query(+Batch, full
+    universal query), Recommend, Scroll, Count, SetPayload,
+    OverwritePayload, DeletePayload, ClearPayload, UpdateVectors,
+    DeleteVectors, Create/DeleteFieldIndex
+  * qdrant.Snapshots: Create, List, Delete (+ shard-level)
 
 Built on grpc generic handlers + the runtime-descriptor schema
-(grpc_schema.py) — no protoc codegen needed. Remaining methods (Query,
-Scroll, payload ops, snapshots, internal services) extend the same tables.
+(grpc_schema.py) — no protoc codegen needed. The authoritative method list
+is the registration table at the bottom of this file.
 """
 
 from __future__ import annotations

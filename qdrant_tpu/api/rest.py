@@ -1335,6 +1335,7 @@ ACCESS_LEVELS = {
     h_raft_message: "manage",
     h_raft_propose: "manage",
     h_audit_log: "manage",
+    h_slow_requests: "manage",
     h_clear_slow_requests: "manage",
     h_internal_update: "manage",
     h_internal_update_forward: "manage",

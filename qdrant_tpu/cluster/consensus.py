@@ -21,6 +21,7 @@ class ConsensusManager:
     def __init__(self, toc: TableOfContent):
         self.toc = toc
         self.applied_ops: List[dict] = []
+        self.failed_ops: List[dict] = []  # async op failures (e.g. reshard)
         self.on_collection_created = None  # hook: ClusterNode replication
         self.on_peer_added = None  # hook: ClusterNode membership
         self.on_replica_down = None  # hook: ClusterNode repair driver
@@ -120,6 +121,23 @@ class ConsensusManager:
                 def _move(coll=coll, n_new=n_new, name=op["name"]):
                     try:
                         coll.reshard_move(n_new)
+                    except Exception as exc:
+                        # A silently-dead mover would leave THIS peer on the
+                        # old ring while peers that succeeded commit the new
+                        # one — routing then diverges cluster-wide. Surface
+                        # the failure loudly (reference: resharding driver
+                        # aborts + reverts through consensus on error).
+                        import logging
+
+                        logging.getLogger(__name__).error(
+                            "reshard_move(%s -> %d shards) FAILED on this "
+                            "peer; ring state may diverge: %s",
+                            name, n_new, exc,
+                        )
+                        self.failed_ops.append(
+                            {"op": "reshard_collection", "name": name,
+                             "new_shard_number": n_new, "error": str(exc)}
+                        )
                     finally:
                         if self.on_collection_created is not None:
                             self.on_collection_created(name)

@@ -356,7 +356,12 @@ class ClusterNode:
                     )
             coll.remote_shards[sid] = RemoteShardHandle(readers)
         self.attach_replication(collection)
-        driver = min(p for p in coll.placement[sid] if p != to)
+        others = [p for p in coll.placement[sid] if p != to]
+        if not others:
+            # rf=1 repair where the target is the only holder left: there is
+            # no source peer to stream from; the shard starts empty on `to`.
+            return
+        driver = min(others)
         if driver != self.peer_id:
             return
 

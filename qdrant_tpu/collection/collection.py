@@ -9,6 +9,7 @@ is the cluster layer's job).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -40,6 +41,24 @@ from ..types import (
 )
 from .hash_ring import HashRing
 from .shard import LocalShard
+
+
+def _canonical_key(value: Any) -> str:
+    """Deterministic, value-based serialization for micro-batch coalescing
+    keys. Numpy arrays serialize by full value (repr truncates them)."""
+
+    def _default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, np.generic):
+            return o.item()
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        if isinstance(o, (set, frozenset, tuple)):
+            return sorted(map(str, o)) if isinstance(o, (set, frozenset)) else list(o)
+        return repr(o)
+
+    return json.dumps(value, sort_keys=True, default=_default)
 
 
 class CollectionError(Exception):
@@ -554,13 +573,18 @@ class Collection:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         batcher = self._microbatcher()
         if batcher is not None:
+            # canonical value-based key: repr() of dataclasses containing
+            # numpy arrays is identity/truncation-based and could coalesce
+            # requests with DIFFERENT filters into one device batch
             key = (
                 "dense",
                 name,
                 k,
-                repr(flt),
-                repr(getattr(params, "__dict__", None)),
-                repr(shard_key),
+                _canonical_key(
+                    None if flt is None else dataclasses.asdict(flt)
+                ),
+                _canonical_key(getattr(params, "__dict__", None)),
+                _canonical_key(shard_key),
             )
             rows = [queries[i] for i in range(queries.shape[0])]
 

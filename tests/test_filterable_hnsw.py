@@ -137,4 +137,8 @@ def test_acorn_low_selectivity_beats_masked_traversal():
     valid = ids_acorn[ids_acorn >= 0]
     assert np.all(mask[valid])  # results always match the filter
     assert recall(ids_acorn) >= recall(ids_masked)
-    assert recall(ids_acorn) >= 0.5
+    # at 2% selectivity ef must scale with 1/selectivity to fill k results;
+    # measured capability at ef=256 on this config is 0.95 (raising the bar
+    # from the old 0.5 per round-2 review)
+    _, ids_acorn256 = idx.search(queries, k=k, ef=256, filter_mask=mask, acorn=True)
+    assert recall(ids_acorn256) >= 0.9

@@ -64,7 +64,7 @@ def test_hnsw_filtered_search():
     scores_bf[:, ~mask] = -np.inf
     truth = np.argsort(-scores_bf, axis=1)[:, :k]
     r = recall(ids, truth)
-    assert r >= 0.75, f"filtered recall {r} too low"
+    assert r >= 0.93, f"filtered recall {r} too low"
 
 
 def test_hnsw_save_load(tmp_path):
