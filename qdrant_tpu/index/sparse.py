@@ -28,6 +28,18 @@ from ..types import SparseVector
 DEFAULT_WINDOW = 4096
 
 
+def _sort_by_key_desc_weight(keys: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """argsort by (key asc, |w| desc) via ONE combined int64 key — ~3x
+    faster than np.lexsort at 64M postings. Non-negative f32 bit patterns
+    are monotonic, so (0x7FFFFFFF - bits(|w|)) orders descending. Keys must
+    fit in 32 bits (u32 dims / point offsets)."""
+    bits = np.abs(w).astype(np.float32).view(np.int32).astype(np.int64)
+    # key * 2^31 + 31-bit weight part: max key 2^32-1 lands exactly at
+    # int64 max, no overflow
+    combined = keys.astype(np.int64) * (1 << 31) + (0x7FFFFFFF - bits)
+    return np.argsort(combined, kind="stable")
+
+
 class SparseVectorStore:
     """Per-point sparse rows, host-resident."""
 
@@ -36,6 +48,11 @@ class SparseVectorStore:
         self._values: List[Optional[np.ndarray]] = []
         self._count = 0
         self._deleted_count = 0
+        # flat-concat cache: (all_dims, all_w, row_lens, row_offsets) over
+        # LIVE rows — np.concatenate over a million per-row arrays costs
+        # ~a minute at SPLADE scale, so it runs once and invalidates on
+        # mutation (add_flat seeds it for free)
+        self._flat: Optional[Tuple] = None
 
     def __len__(self) -> int:
         return self._count
@@ -50,6 +67,7 @@ class SparseVectorStore:
 
     def add(self, vectors: List[SparseVector]) -> np.ndarray:
         offsets = []
+        self._flat = None
         for vec in vectors:
             sv = vec.sorted()
             self._indices.append(np.asarray(sv.indices, dtype=np.int64))
@@ -58,8 +76,55 @@ class SparseVectorStore:
             self._count += 1
         return np.asarray(offsets, dtype=np.int32)
 
+    def flat_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """→ (all_dims, all_w, row_lens, row_offsets) concatenated over
+        live rows, cached until the next mutation."""
+        if self._flat is None:
+            live = [
+                (off, i, v)
+                for off, (i, v) in enumerate(zip(self._indices, self._values))
+                if i is not None
+            ]
+            if live:
+                all_dims = np.concatenate([r[1] for r in live])
+                all_w = np.concatenate([r[2] for r in live]).astype(np.float32)
+                lens = np.asarray([len(r[1]) for r in live], dtype=np.int64)
+                offs = np.asarray([r[0] for r in live], dtype=np.int64)
+            else:
+                all_dims = np.zeros(0, np.int64)
+                all_w = np.zeros(0, np.float32)
+                lens = np.zeros(0, np.int64)
+                offs = np.zeros(0, np.int64)
+            self._flat = (all_dims, all_w, lens, offs)
+        return self._flat
+
+    def add_flat(
+        self, lens: np.ndarray, indices: np.ndarray, values: np.ndarray
+    ) -> np.ndarray:
+        """Bulk ingest from flat CSR-style arrays (row i owns
+        indices[bounds[i]:bounds[i+1]]). Rows must be index-sorted with no
+        duplicate dims — the vectorized path skips the per-row
+        normalization that `add` performs. ~100x faster than building a
+        million SparseVector objects."""
+        lens = np.asarray(lens, dtype=np.int64)
+        indices = np.asarray(indices, dtype=np.int64)
+        values = np.asarray(values, dtype=np.float32)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        offsets = np.arange(self._count, self._count + len(lens), dtype=np.int32)
+        for i in range(len(lens)):
+            self._indices.append(indices[bounds[i] : bounds[i + 1]])
+            self._values.append(values[bounds[i] : bounds[i + 1]])
+        if self._count == 0 and self._flat is None:
+            # seed the flat cache — the bulk arrays ARE the concatenation
+            self._flat = (indices, values, lens, offsets.astype(np.int64))
+        else:
+            self._flat = None
+        self._count += len(lens)
+        return offsets
+
     def set(self, offset: int, vector: SparseVector) -> None:
         sv = vector.sorted()
+        self._flat = None
         if self._indices[offset] is None:
             self._deleted_count -= 1
         self._indices[offset] = np.asarray(sv.indices, dtype=np.int64)
@@ -71,6 +136,7 @@ class SparseVectorStore:
         self._indices[offset] = None
         self._values[offset] = None
         self._deleted_count += 1
+        self._flat = None
         return True
 
     def is_deleted(self, offset: int) -> bool:
@@ -138,7 +204,20 @@ class SparseVectorStore:
 
 
 class SparseIndex:
-    """Inverted index over a SparseVectorStore with a device CSR mirror."""
+    """Inverted index over a SparseVectorStore with a device CSR mirror.
+
+    Two device formulations (ops/sparse.py):
+
+    * **Hybrid (default at scale)** — the top-H highest-df terms live as a
+      dense [N, H] bf16 matrix scored on the MXU in one matmul; cold terms
+      (whose postings are all shorter than the H-th hottest by
+      construction) go through an exact windowed gather + scatter-add. The
+      sum is an exact score for every point, and the oversampled winners
+      are f32-rescored against forward rows inside the same program.
+    * **Legacy windowed** (small stores, or `QDRANT_TPU_SPARSE_EXACT=1`) —
+      impact-budgeted chunk SpMV, optionally chunking every posting for
+      bit-exact scores.
+    """
 
     def __init__(self, store: SparseVectorStore, modifier: Optional[str] = None):
         self.store = store
@@ -149,85 +228,180 @@ class SparseIndex:
     def invalidate(self) -> None:
         self._dirty = True
 
-    def _build_csr(self):
-        """Compact postings (dim → [offsets, weights] weight-sorted desc).
+    def _build_csr_arrays(self):
+        """Compact postings (dim → [offsets, weights] weight-sorted desc)
+        plus the sorted dim table as ARRAYS (queries look dims up with one
+        vectorized searchsorted; a python dict lookup per query term cost
+        most of the old host wall at SPLADE scale).
 
-        Dimensions are arbitrary u32 ids (hashed vocabularies like BM25's
-        murmur3 tokens), so the dim table is a dict dim → (start, len)
-        rather than a dense array. Fully vectorized: one lexsort over all
-        (dim, -|w|) pairs — the per-posting python-dict version cost minutes
-        at SPLADE scale (1M rows × ~64 nnz)."""
-        rows = list(self.store.iter_rows())
-        if not rows:
+        → (flat_ids [L], flat_w [L], sorted_dims [U], d_starts [U],
+           d_lens [U])"""
+        all_dims, all_w, row_lens, row_offs = self.store.flat_arrays()
+        if len(all_dims) == 0:
             return (
                 np.zeros(0, dtype=np.int32),
                 np.zeros(0, dtype=np.float32),
-                {},
+                np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int32),
+                np.zeros(0, dtype=np.int32),
             )
-        all_dims = np.concatenate([r[1] for r in rows])
-        all_w = np.concatenate([r[2] for r in rows]).astype(np.float32)
-        all_offs = np.repeat(
-            np.asarray([r[0] for r in rows], dtype=np.int32),
-            np.asarray([len(r[1]) for r in rows], dtype=np.int64),
-        )
-        order = np.lexsort((-np.abs(all_w), all_dims))
-        flat_ids = all_offs[order]
-        flat_w = all_w[order]
+        all_offs = np.repeat(row_offs.astype(np.int32), row_lens)
+        # At SPLADE scale the (dim, |w| desc) combined-key sort costs ~30 s
+        # on one core; weight order WITHIN a posting list only matters for
+        # the legacy windowed truncation (small stores) — the hybrid path
+        # covers every cold chunk and takes chunk maxes via reduceat. So:
+        # big stores sort by dim only (radix), small stores keep the full
+        # weight-sorted order.
+        self._postings_weight_sorted = len(all_dims) <= 5_000_000
+        if self._postings_weight_sorted:
+            order = _sort_by_key_desc_weight(all_dims, all_w)
+        else:
+            order = np.argsort(all_dims, kind="stable")
+        flat_ids = np.ascontiguousarray(all_offs[order])
+        flat_w = np.ascontiguousarray(all_w[order])
         dims_sorted = all_dims[order]
-        uniq, starts, counts = np.unique(
-            dims_sorted, return_index=True, return_counts=True
+        # boundaries of the sorted dim runs (np.unique would re-sort)
+        change = np.flatnonzero(np.diff(dims_sorted)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        uniq = dims_sorted[starts]
+        counts = np.diff(np.concatenate([starts, [len(dims_sorted)]]))
+        return (
+            flat_ids,
+            flat_w,
+            uniq.astype(np.int64),
+            starts.astype(np.int32),
+            counts.astype(np.int32),
         )
-        dim_table: Dict[int, Tuple[int, int]] = {
+
+    def _build_csr(self):
+        """Back-compat view: (flat_ids, flat_w, dim → (start, len) dict)."""
+        flat_ids, flat_w, sorted_dims, d_starts, d_lens = (
+            self._csr_host
+            if not self._dirty and getattr(self, "_csr_host", None)
+            else self._build_csr_arrays()
+        )
+        table = {
             int(d): (int(s), int(c))
-            for d, s, c in zip(uniq, starts, counts)
+            for d, s, c in zip(sorted_dims, d_starts, d_lens)
         }
-        return flat_ids, flat_w, dim_table
+        return flat_ids, flat_w, table
 
     def _device(self):
         if self._dirty or self._dev is None:
-            flat_ids, flat_w, dim_table = self._build_csr()
+            csr = self._build_csr_arrays()
+            flat_ids, flat_w, sorted_dims, d_starts, d_lens = csr
+            self._csr_host = csr
             # pad flat arrays so any window slice is in-bounds
             pad = DEFAULT_WINDOW
-            flat_ids = np.concatenate(
+            flat_ids_p = np.concatenate(
                 [flat_ids, np.full(pad, len(self.store), dtype=np.int32)]
             )
-            flat_w = np.concatenate([flat_w, np.zeros(pad, dtype=np.float32)])
+            flat_w_p = np.concatenate([flat_w, np.zeros(pad, dtype=np.float32)])
             n_pad = max(8, 1 << (max(len(self.store), 1) - 1).bit_length())
+            dim_table: Dict[int, Tuple[int, int]] = {
+                int(d): (int(s), int(c))
+                for d, s, c in zip(sorted_dims, d_starts, d_lens)
+            }
             self._dev = (
-                jnp.asarray(flat_ids),
-                jnp.asarray(flat_w),
+                jnp.asarray(flat_ids_p),
+                jnp.asarray(flat_w_p),
                 dim_table,
                 n_pad,
             )
-            # per-dim chunk max-weights (postings are weight-sorted, so a
-            # chunk's max is its first entry) — drives impact-ordered chunk
-            # selection at query time (the WAND max_next_weight analogue,
-            # search_context.rs:25-80)
+            # per-dim (and per-chunk) max-weights — drive impact-ordered
+            # chunk selection at query time (the WAND max_next_weight
+            # analogue, search_context.rs:25-80). Weight-sorted postings:
+            # a chunk's max is its first entry; dim-sorted (big stores):
+            # one reduceat pass gives per-dim maxes, used as the bound for
+            # every chunk of that dim.
             self._chunk_maxes = {}
-            w_host = flat_w[: len(flat_w) - DEFAULT_WINDOW]
-            for d, (start, ln) in dim_table.items():
+            if len(d_starts):
+                self._dim_maxes = np.maximum.reduceat(
+                    np.abs(flat_w), d_starts.astype(np.int64)
+                )
+            else:
+                self._dim_maxes = np.zeros(0, np.float32)
+            ws = getattr(self, "_postings_weight_sorted", True)
+            for i, (d, start, ln) in enumerate(
+                zip(sorted_dims, d_starts, d_lens)
+            ):
                 pos = np.arange(start, start + ln, DEFAULT_WINDOW)
-                self._chunk_maxes[d] = np.abs(w_host[pos])
+                if ws:
+                    self._chunk_maxes[int(d)] = np.abs(flat_w[pos])
+                else:
+                    self._chunk_maxes[int(d)] = np.full(
+                        len(pos), self._dim_maxes[i], dtype=np.float32
+                    )
             self._dirty = False
             self._fwd = None  # forward rows rebuild lazily
+            self._hot = None  # hot matrix rebuilds lazily
+            self._hot_built = False
+            self._mask_cache = None
         return self._dev
+
+    # -- hybrid hot/cold split -------------------------------------------
+
+    def _hot_device(self):
+        """Build (lazily) the dense hot-term matrix for the hybrid path.
+
+        → (hot [N_pad, H] bf16, hot_tids [H] int32, hot_col_of_dim [U]
+        int32 host) or None when the store is too small / budget is 0."""
+        self._device()
+        if self._hot_built:
+            return self._hot
+        self._hot_built = True
+        flat_ids_d, flat_w_d, _table, n_pad = self._dev
+        _fi, _fw, sorted_dims, d_starts, d_lens = self._csr_host
+        u = len(sorted_dims)
+        budget = int(
+            os.environ.get("QDRANT_TPU_SPARSE_HOT_BYTES", 3_000_000_000)
+        )
+        cap = int(os.environ.get("QDRANT_TPU_SPARSE_HOT_MAX", 4096))
+        h = min(cap, budget // max(2 * n_pad, 1))
+        if u == 0 or n_pad < 1024 or h < 128:
+            self._hot = None
+            return None
+        h = 1 << (h.bit_length() - 1)  # pow2 floor
+        u_pow = 1 << max(u - 1, 0).bit_length() if u > 1 else 8
+        h = min(h, max(u_pow, 128))
+        # hot columns = top-h dims by document frequency
+        n_hot = min(h, u)
+        top = np.argsort(-d_lens, kind="stable")[:n_hot]
+        hot_col_of_dim = np.full(u, -1, dtype=np.int32)
+        hot_col_of_dim[top] = np.arange(n_hot, dtype=np.int32)
+        hot_tids = np.full(h, -1, dtype=np.int32)
+        hot_tids[:n_hot] = top.astype(np.int32)
+        from ..ops.sparse import build_hot_matrix
+
+        hot = build_hot_matrix(
+            flat_ids_d,
+            flat_w_d,
+            jnp.asarray(d_starts),
+            jnp.asarray(hot_col_of_dim),
+            jnp.zeros((n_pad, h), dtype=jnp.bfloat16),
+        )
+        self._hot = (hot, jnp.asarray(hot_tids), hot_col_of_dim)
+        return self._hot
 
     def _forward_device(self):
         """Device forward rows [N_pad, J] (compact term ids + weights) for
         exact candidate rescoring. Term ids are the rank of each dim in the
-        sorted dim table; rows longer than J keep their J heaviest entries.
-        Returns None when the store is empty or the table would exceed the
-        HBM budget (rescore then falls back to windowed scores)."""
+        sorted dim table; rows longer than J keep their J HEAVIEST entries
+        (weight-sorted — keeping the first J in dim order silently dropped
+        a long row's heaviest terms). Returns None when the store is empty
+        or the table would exceed the HBM budget (rescore then falls back
+        to windowed scores)."""
         if getattr(self, "_fwd", None) is not None:
             return self._fwd
-        flat_ids, flat_w, dim_table, n_pad = self._device()
-        if not dim_table:
+        self._device()
+        _fi, _fw, sorted_dims, _ds, _dl = self._csr_host
+        n_pad = self._dev[3]
+        if len(sorted_dims) == 0:
             return None
-        sorted_dims = np.asarray(sorted(dim_table), dtype=np.int64)
         tid_of = {int(d): i for i, d in enumerate(sorted_dims)}
-        rows = list(self.store.iter_rows())
-        lens = [len(r[1]) for r in rows] or [1]
-        j_need = int(np.percentile(lens, 99.5)) if lens else 1
+        all_dims, all_w, row_lens, row_offs = self.store.flat_arrays()
+        lens_arr = row_lens if len(row_lens) else np.asarray([1])
+        j_need = int(np.percentile(lens_arr, 99.5))
         j = max(8, 1 << (max(j_need, 1) - 1).bit_length())
         j = min(j, 512)
         budget = int(
@@ -238,22 +412,42 @@ class SparseIndex:
             return None
         terms = np.full((n_pad, j), -1, dtype=np.int32)
         weights = np.zeros((n_pad, j), dtype=np.float32)
-        if rows:
+        if len(all_dims):
             # fully vectorized: one searchsorted over every posting, then a
             # (row, within-row-position) scatter (a 1M-row python loop here
             # cost ~half the SPLADE-scale index build time)
-            all_dims = np.concatenate([r[1] for r in rows])
-            all_w = np.concatenate([r[2] for r in rows]).astype(np.float32)
-            row_lens = np.asarray([len(r[1]) for r in rows], dtype=np.int64)
-            all_offs = np.repeat(
-                np.asarray([r[0] for r in rows], dtype=np.int64), row_lens
-            )
+            all_offs = np.repeat(row_offs, row_lens)
             tids = np.searchsorted(sorted_dims, all_dims)
             tids = np.clip(tids, 0, len(sorted_dims) - 1)
             valid = sorted_dims[tids] == all_dims
             starts = np.concatenate([[0], np.cumsum(row_lens)[:-1]])
             within = np.arange(len(all_dims)) - np.repeat(starts, row_lens)
-            keep = valid & (within < j)  # rows beyond J keep their first J
+            # truncation at J must keep each row's HEAVIEST terms — but
+            # only rows longer than J (~0.5% by construction of J) need a
+            # weight sort; everyone else keeps all entries in stored order.
+            # Sorting just the long rows cuts ~30 s off the 64M-posting
+            # global sort on one core.
+            long_rows = row_lens > j
+            if long_rows.any():
+                sel = np.repeat(long_rows, row_lens)
+                l_offs, l_w = all_offs[sel], all_w[sel]
+                order = _sort_by_key_desc_weight(l_offs, l_w)
+                l_offs = l_offs[order]
+                l_w = l_w[order]
+                l_tids = tids[sel][order]
+                l_valid = valid[sel][order]
+                l_lens = row_lens[long_rows]
+                l_starts = np.concatenate([[0], np.cumsum(l_lens)[:-1]])
+                l_within = np.arange(len(l_offs)) - np.repeat(l_starts, l_lens)
+                keep = l_valid & (l_within < j)
+                terms[l_offs[keep], l_within[keep]] = l_tids[keep].astype(
+                    np.int32
+                )
+                weights[l_offs[keep], l_within[keep]] = l_w[keep]
+                short = ~np.repeat(long_rows, row_lens)
+                keep = valid & short
+            else:
+                keep = valid
             terms[all_offs[keep], within[keep]] = tids[keep].astype(np.int32)
             weights[all_offs[keep], within[keep]] = all_w[keep]
         self._fwd = (jnp.asarray(terms), jnp.asarray(weights), tid_of)
@@ -283,14 +477,200 @@ class SparseIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k], offsets [B, k]); -1 = no result.
 
-        Two-phase (reference: search_context.rs exact merge with
-        max_next_weight pruning): a windowed SpMV over the heaviest
-        postings yields candidates, then the top max(4k, 128) candidates
-        are EXACTLY rescored against the device forward rows, recovering
-        the ordering that posting-window truncation loses on hot SPLADE
-        terms. QDRANT_TPU_SPARSE_EXACT=1 instead chunks EVERY posting
-        through the SpMV (exact scores for all points, higher cost).
-        QDRANT_TPU_SPARSE_RESCORE=0 disables phase 2."""
+        Default path at scale: hot-dense + cold-sparse hybrid with fused
+        exact rescore (ops/sparse.py::sparse_hybrid_search) — exact scores
+        for every point, one program dispatch. Small stores and
+        QDRANT_TPU_SPARSE_EXACT=1 use the windowed/chunked SpMV
+        (bit-exact f32 in exact mode). QDRANT_TPU_SPARSE_RESCORE=0
+        disables the rescore phase on the legacy path."""
+        from ..utils.flags import flag_env
+
+        if not queries:
+            return (
+                np.zeros((0, k), np.float32),
+                np.full((0, k), -1, np.int32),
+            )
+        exact_mode = flag_env("sparse_exact_search", "QDRANT_TPU_SPARSE_EXACT")
+        if not exact_mode:
+            hot = self._hot_device()
+            if hot is not None and self._forward_device() is not None:
+                out = [
+                    self._search_hybrid(
+                        queries[i : i + 256], k, filter_mask, window
+                    )
+                    for i in range(0, len(queries), 256)
+                ]
+                return (
+                    np.concatenate([o[0] for o in out]),
+                    np.concatenate([o[1] for o in out]),
+                )
+        return self._search_legacy(queries, k, filter_mask, window)
+
+    def _remap_weights_idf(
+        self, qidx: np.ndarray, tids: np.ndarray, w: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized BM25-IDF weighting for the hybrid path."""
+        if self.modifier != "idf":
+            return w
+        _fi, _fw, _sd, _ds, d_lens = self._csr_host
+        n = self.store.available_count
+        df = d_lens[tids].astype(np.float64)
+        return (w * np.log((n - df + 0.5) / (df + 0.5) + 1.0)).astype(
+            np.float32
+        )
+
+    def _search_hybrid(
+        self,
+        queries: List[SparseVector],
+        k: int,
+        filter_mask: Optional[np.ndarray],
+        window: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..ops.sparse import sparse_hybrid_search
+
+        flat_ids_d, flat_w_d, _table, n_pad = self._dev
+        flat_w_h, sorted_dims = self._csr_host[1], self._csr_host[2]
+        d_starts, d_lens = self._csr_host[3], self._csr_host[4]
+        hot, hot_tids_dev, hot_col_of_dim = self._hot
+        row_terms, row_weights, _tid_of = self._fwd
+        u = len(sorted_dims)
+        b = len(queries)
+        # pad the batch to a pow2 bucket: the program compiles per shape
+        b_pad = max(8, 1 << (b - 1).bit_length())
+
+        # --- vectorized query prep (no per-term python) ---
+        q_lens = np.asarray([len(q.indices) for q in queries], dtype=np.int64)
+        all_d = (
+            np.concatenate([np.asarray(q.indices, dtype=np.int64) for q in queries])
+            if q_lens.sum()
+            else np.zeros(0, np.int64)
+        )
+        all_w = (
+            np.concatenate([np.asarray(q.values, dtype=np.float32) for q in queries])
+            if q_lens.sum()
+            else np.zeros(0, np.float32)
+        )
+        qidx = np.repeat(np.arange(b, dtype=np.int32), q_lens)
+        tids = np.searchsorted(sorted_dims, all_d)
+        tids = np.clip(tids, 0, max(u - 1, 0))
+        valid = (sorted_dims[tids] == all_d) if u else np.zeros(len(all_d), bool)
+        qidx, tids, all_w = qidx[valid], tids[valid].astype(np.int32), all_w[valid]
+        all_w = self._remap_weights_idf(qidx, tids, all_w)
+
+        # q_tids / q_w [B, Tq_pad] (position within query via prefix counts)
+        first = np.searchsorted(qidx, np.arange(b))
+        pos = np.arange(len(qidx)) - first[qidx]
+        tq = int(pos.max()) + 1 if len(pos) else 1
+        tq_pad = max(8, 1 << (tq - 1).bit_length())
+        q_tids = np.full((b_pad, tq_pad), -1, dtype=np.int32)
+        q_w = np.zeros((b_pad, tq_pad), dtype=np.float32)
+        q_tids[qidx, pos] = tids
+        q_w[qidx, pos] = all_w
+
+        # cold chunk expansion: every posting chunk of every cold query
+        # term, impact-ordered, capped per query
+        cold_window = min(window, 512)
+        cap = int(os.environ.get("QDRANT_TPU_SPARSE_COLD_CAP", 1024))
+        cold = hot_col_of_dim[tids] < 0
+        cq, ct, cw = qidx[cold], tids[cold], all_w[cold]
+        starts_c = d_starts[ct].astype(np.int64)
+        lens_c = d_lens[ct].astype(np.int64)
+        n_ch = (lens_c + cold_window - 1) // cold_window
+        total = int(n_ch.sum())
+        if total:
+            rep_q = np.repeat(cq, n_ch)
+            rep_s = np.repeat(starts_c, n_ch)
+            rep_len = np.repeat(lens_c, n_ch)
+            rep_w = np.repeat(cw, n_ch)
+            firstc = np.repeat(
+                np.concatenate([[0], np.cumsum(n_ch)[:-1]]), n_ch
+            )
+            within = np.arange(total) - firstc
+            ch_start = rep_s + within * cold_window
+            ch_len = np.minimum(cold_window, rep_len - within * cold_window)
+            # impact = |q weight| x dim max weight (per-chunk bound when
+            # postings are weight-sorted; per-dim bound otherwise)
+            if getattr(self, "_postings_weight_sorted", True):
+                impact = np.abs(rep_w) * np.abs(flat_w_h[ch_start])
+            else:
+                impact = np.abs(rep_w) * np.repeat(self._dim_maxes[ct], n_ch)
+            order = np.lexsort((-impact, rep_q))
+            rep_q, ch_start = rep_q[order], ch_start[order]
+            ch_len, rep_w = ch_len[order], rep_w[order]
+            firstq = np.searchsorted(rep_q, np.arange(b))
+            posq = np.arange(total) - firstq[rep_q]
+            keep = posq < cap
+            rep_q, ch_start = rep_q[keep], ch_start[keep]
+            ch_len, rep_w, posq = ch_len[keep], rep_w[keep], posq[keep]
+            t_cold = int(posq.max()) + 1 if len(posq) else 1
+        else:
+            t_cold = 1
+        t_pad = max(8, 1 << (t_cold - 1).bit_length())
+        cold_starts = np.full((b_pad, t_pad), -1, dtype=np.int32)
+        cold_lens = np.zeros((b_pad, t_pad), dtype=np.int32)
+        cold_qw = np.zeros((b_pad, t_pad), dtype=np.float32)
+        if total:
+            cold_starts[rep_q, posq] = ch_start.astype(np.int32)
+            cold_lens[rep_q, posq] = ch_len.astype(np.int32)
+            cold_qw[rep_q, posq] = rep_w
+
+        v_pad = max(8, 1 << max(u - 1, 0).bit_length()) if u else 8
+        c_min = int(os.environ.get("QDRANT_TPU_SPARSE_CANDIDATES", 512))
+        k_fetch = min(max(4 * k, c_min), n_pad)
+        mask = self._mask_device(filter_mask, n_pad)
+
+        scores, ids = sparse_hybrid_search(
+            hot,
+            hot_tids_dev,
+            flat_ids_d,
+            flat_w_d,
+            jnp.asarray(q_tids),
+            jnp.asarray(q_w),
+            jnp.asarray(cold_starts),
+            jnp.asarray(cold_lens),
+            jnp.asarray(cold_qw),
+            row_terms,
+            row_weights,
+            mask,
+            cold_window,
+            v_pad,
+            k_fetch,
+            k,
+            _bf16_dot(),
+        )
+        scores = np.asarray(scores, dtype=np.float32)[:b]
+        ids = np.asarray(ids, dtype=np.int32)[:b]
+        ids = np.where(np.isfinite(scores), ids, -1)
+        k_eff = scores.shape[1]
+        if k_eff < k:
+            scores = np.pad(
+                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+    def _mask_device(
+        self, filter_mask: Optional[np.ndarray], n_pad: int
+    ) -> jax.Array:
+        if filter_mask is None:
+            if self._mask_cache is None:
+                self._mask_cache = _mask_to_dev(None, n_pad, len(self.store))
+            return self._mask_cache
+        return _mask_to_dev(filter_mask, n_pad, len(self.store))
+
+    def _search_legacy(
+        self,
+        queries: List[SparseVector],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+        window: int = DEFAULT_WINDOW,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Windowed/impact-budgeted SpMV (reference: search_context.rs
+        exact merge with max_next_weight pruning): a windowed SpMV over the
+        heaviest postings yields candidates, then the top max(4k, 128)
+        candidates are EXACTLY rescored against the device forward rows.
+        QDRANT_TPU_SPARSE_EXACT=1 instead chunks EVERY posting through the
+        SpMV (bit-exact f32 scores for all points, higher cost)."""
         flat_ids, flat_w, dim_table, n_pad = self._device()
         b = len(queries)
         queries = [self.remap_query(q) for q in queries]
@@ -404,6 +784,12 @@ class SparseIndex:
             scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf)
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
+
+
+def _bf16_dot() -> bool:
+    from ..ops.pallas_scan import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _mask_to_dev(filter_mask: Optional[np.ndarray], n_pad: int, n: int):

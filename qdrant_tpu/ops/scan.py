@@ -136,6 +136,89 @@ def scan_search_sq(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("blk", "k", "euclid"))
+def scan_search_sq_flat(
+    q_codes: jax.Array,  # [B, D] int8
+    q_norms: jax.Array,  # [B] f32
+    codes: jax.Array,  # [N, D] int8 — read IN PLACE, never reshaped
+    norms: jax.Array,  # [N] f32
+    scale: jax.Array,
+    mask: jax.Array,  # [N] int8
+    blk: int = DEFAULT_BLOCK,
+    k: int = 10,
+    euclid: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Zero-copy variant of scan_search_sq for codes that fill most of HBM.
+
+    The lax.scan formulation reshapes codes to [nb, blk, D], which XLA
+    materializes as a second full copy — capping quantized-primary
+    residency at ~half of HBM (round-2 limit: 6M x 1536 OOMed at
+    17.4/15.7 GB). Here a fori_loop dynamic-slices blocks straight out of
+    the flat [N, D] array (4 blocks per step to amortize loop overhead),
+    so a 15.4 GB code block serves on a 16 GB chip."""
+    b = q_codes.shape[0]
+    n = codes.shape[0]
+    unroll = 4
+    step = blk * unroll
+    ns = n // step
+    g = blk // LANES
+    s2 = scale * scale
+
+    def one_block(off):
+        cblk = jax.lax.dynamic_slice_in_dim(codes, off, blk)
+        nrm = jax.lax.dynamic_slice_in_dim(norms, off, blk)
+        mb = jax.lax.dynamic_slice_in_dim(mask, off, blk)
+        dots = jax.lax.dot_general(
+            q_codes, cblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * s2
+        if euclid:
+            s = 2.0 * dots - q_norms[:, None] - nrm[None, :]
+        else:
+            s = dots
+        s = jnp.where(mb[None, :] != 0, s, -jnp.inf)
+        s3 = s.reshape(b, g, LANES)
+        return jnp.max(s3, axis=1), jnp.argmax(s3, axis=1).astype(jnp.int32)
+
+    def body(i, carry):
+        ms, ams = carry
+        for j in range(unroll):
+            m, a = one_block(i * step + j * blk)
+            ms = jax.lax.dynamic_update_slice_in_dim(
+                ms, (m[:, None, :]).astype(ms.dtype), i * unroll + j, axis=1
+            )
+            ams = jax.lax.dynamic_update_slice_in_dim(
+                ams, a[:, None, :], i * unroll + j, axis=1
+            )
+        return ms, ams
+
+    nb = n // blk
+    ms0 = jnp.full((b, nb, LANES), -jnp.inf, dtype=jnp.float32)
+    ams0 = jnp.zeros((b, nb, LANES), dtype=jnp.int32)
+    ms, ams = jax.lax.fori_loop(0, ns, body, (ms0, ams0))
+    # tail blocks not covered by the unrolled steps
+    for off in range(ns * step, n, blk):
+        m, a = one_block(off)
+        ms = jax.lax.dynamic_update_slice_in_dim(
+            ms, m[:, None, :], off // blk, axis=1
+        )
+        ams = jax.lax.dynamic_update_slice_in_dim(
+            ams, a[:, None, :], off // blk, axis=1
+        )
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+    ids = (
+        jnp.arange(nb, dtype=jnp.int32)[None, :, None] * blk
+        + ams * LANES
+        + lane[None, None, :]
+    )
+    flat_s = ms.reshape(b, -1)
+    flat_i = ids.reshape(b, -1)
+    top_s, ti = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, ti, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("blk", "k_fetch", "k", "euclid"))
 def scan_search_sq_rescore(
     q_codes: jax.Array,  # [B, D] int8

@@ -665,8 +665,13 @@ class Segment:
             k_over = min(max(k_over, 128), max(int(mask.sum()), 1))
             euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
             if params.quantization_rescore and store.on_disk:
-                # int8 scan for candidates; exact rescore from the host tier
-                top_s, cand = scan_search_sq(
+                # int8 scan for candidates; exact rescore from the host
+                # tier. Flat (zero-copy) scan: the codes block may fill
+                # most of HBM in the quantized-primary tier, and the
+                # lax.scan formulation would materialize a second copy.
+                from ..ops.scan import scan_search_sq_flat
+
+                top_s, cand = scan_search_sq_flat(
                     jnp.asarray(q_codes),
                     jnp.asarray(q_norms),
                     codes_dev,

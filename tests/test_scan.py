@@ -72,3 +72,39 @@ def test_plain_index_scan_path(monkeypatch):
     got = ids2[ids2 >= 0]
     assert np.all(got < 100)
     assert 5 not in got
+
+
+def test_scan_search_sq_flat_matches_scan_variant():
+    """Zero-copy fori_loop SQ scan == lax.scan SQ scan (same candidates)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qdrant_tpu.ops.quantization import ScalarQuantized
+    from qdrant_tpu.ops.scan import scan_search_sq, scan_search_sq_flat
+
+    rng = np.random.default_rng(0)
+    n, d, b, blk = 4096 * 5, 32, 8, 1024  # 5 blocks: exercises the tail loop
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    quant = ScalarQuantized.encode(data, 0.99)
+    n_pad = (n + blk - 1) // blk * blk
+    codes = np.zeros((n_pad, d), np.int8)
+    codes[:n] = quant.codes
+    norms = np.zeros(n_pad, np.float32)
+    norms[:n] = quant.norms_sq
+    mask = np.zeros(n_pad, np.int8)
+    mask[:n] = 1
+    args = (
+        jnp.asarray(quant.encode_queries(q)),
+        jnp.asarray((q * q).sum(1).astype(np.float32)),
+        jnp.asarray(codes),
+        jnp.asarray(norms),
+        jnp.float32(quant.scale),
+        jnp.asarray(mask),
+        blk,
+        16,
+    )
+    s1, i1 = scan_search_sq(*args, euclid=True)
+    s2, i2 = scan_search_sq_flat(*args, euclid=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
