@@ -127,6 +127,18 @@ def main(argv=None) -> int:
         api_key=settings.get_path("service.api_key"),
         read_only_api_key=settings.get_path("service.read_only_api_key"),
     )
+
+    # anonymized usage reporter (reference: telemetry_reporting.rs — hourly
+    # level-2 anonymized POST, disabled by `telemetry_disabled: true`)
+    reporter = None
+    if not settings.get("telemetry_disabled", False):
+        from .utils.telemetry import TelemetryReporter
+
+        reporter = TelemetryReporter(
+            toc, url=settings.get_path("service.telemetry_url", None)
+        )
+        reporter.start()
+        log.info("anonymized telemetry reporting enabled (hourly)")
     log.info("qdrant-tpu listening on http://%s:%d (storage: %s)", host, server.port, storage_path)
 
     grpc_server = None
@@ -148,6 +160,8 @@ def main(argv=None) -> int:
 
     def shutdown(signum, frame):
         log.info("shutting down; flushing collections")
+        if reporter is not None:
+            reporter.stop()
         if cluster_node is not None:
             cluster_node.stop()
         if grpc_server is not None:

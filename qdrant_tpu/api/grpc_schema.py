@@ -1223,6 +1223,50 @@ def _build_pool():
     )
     b.message("DeleteSnapshotResponse", [("time", 1, "double", "optional")])
 
+    # ---- shard snapshots (shard_snapshots_service.proto) ----
+    b.message(
+        "CreateShardSnapshotRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("shard_id", 2, "uint32", "optional"),
+        ],
+    )
+    b.message(
+        "ListShardSnapshotsRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("shard_id", 2, "uint32", "optional"),
+        ],
+    )
+    b.message(
+        "DeleteShardSnapshotRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("shard_id", 2, "uint32", "optional"),
+            ("snapshot_name", 3, "string", "optional"),
+        ],
+    )
+    b.message(
+        "ShardSnapshotLocation",
+        [
+            ("url", 1, "string", "optional"),
+            ("path", 2, "string", "optional"),
+        ],
+        oneofs={"location": ["url", "path"]},
+    )
+    b.message(
+        "RecoverShardSnapshotRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("shard_id", 2, "uint32", "optional"),
+            ("snapshot_location", 3, "msg:ShardSnapshotLocation", "optional"),
+            ("snapshot_priority", 4, "int32", "optional"),
+            ("checksum", 5, "string", "proto3opt"),
+            ("api_key", 6, "string", "proto3opt"),
+        ],
+    )
+    b.message("RecoverSnapshotResponse", [("time", 1, "double", "optional")])
+
     # ---- health (health_check.proto / qdrant.proto) ----
     b.message("HealthCheckRequest", [])
     b.message(
@@ -1274,6 +1318,9 @@ _MESSAGE_NAMES = [
     "CreateFullSnapshotRequest", "ListFullSnapshotsRequest",
     "DeleteFullSnapshotRequest", "SnapshotDescription",
     "CreateSnapshotResponse", "ListSnapshotsResponse", "DeleteSnapshotResponse",
+    "CreateShardSnapshotRequest", "ListShardSnapshotsRequest",
+    "DeleteShardSnapshotRequest", "ShardSnapshotLocation",
+    "RecoverShardSnapshotRequest", "RecoverSnapshotResponse",
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",

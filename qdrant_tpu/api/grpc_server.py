@@ -1154,6 +1154,50 @@ class _SnapshotServices:
         return resp
 
 
+class _ShardSnapshotServices:
+    """qdrant.ShardSnapshots (reference: src/tonic/mod.rs:138-338,
+    lib/api .../shard_snapshots_service.proto)."""
+
+    def __init__(self, toc: TableOfContent):
+        self.toc = toc
+
+    def _describe(self, d: dict):
+        return M["SnapshotDescription"](name=d["name"], size=d["size"])
+
+    def Create(self, request, context):
+        d = self.toc.create_shard_snapshot(
+            request.collection_name, request.shard_id
+        )
+        return M["CreateSnapshotResponse"](
+            snapshot_description=self._describe(d), time=0.0
+        )
+
+    def List(self, request, context):
+        resp = M["ListSnapshotsResponse"](time=0.0)
+        for d in self.toc.list_shard_snapshots(
+            request.collection_name, request.shard_id
+        ):
+            resp.snapshot_descriptions.append(self._describe(d))
+        return resp
+
+    def Delete(self, request, context):
+        self.toc.delete_shard_snapshot(
+            request.collection_name, request.shard_id, request.snapshot_name
+        )
+        return M["DeleteSnapshotResponse"](time=0.0)
+
+    def Recover(self, request, context):
+        loc = request.snapshot_location
+        location = loc.url or loc.path
+        self.toc.recover_shard_snapshot(
+            request.collection_name,
+            request.shard_id,
+            location,
+            checksum=request.checksum or None,
+        )
+        return M["RecoverSnapshotResponse"](time=0.0)
+
+
 # access level per RPC ("read" default): mirrors ACCESS_LEVELS in rest.py
 # and the reference's tonic RBAC checks (lib/storage/src/rbac/ops_checks.rs).
 GRPC_ACCESS_LEVELS = {
@@ -1185,11 +1229,20 @@ GRPC_SNAPSHOT_ACCESS = {
 }
 
 
+GRPC_SHARD_SNAPSHOT_ACCESS = {
+    "Create": "write",
+    "Delete": "write",
+    "Recover": "manage",
+}
+
+
 def _method_access_level(service_name: str, method: str) -> str:
     if service_name == "qdrant.Points":
         return GRPC_POINTS_ACCESS.get(method, "read")
     if service_name == "qdrant.Snapshots":
         return GRPC_SNAPSHOT_ACCESS.get(method, "read")
+    if service_name == "qdrant.ShardSnapshots":
+        return GRPC_SHARD_SNAPSHOT_ACCESS.get(method, "read")
     if service_name == "qdrant.Collections":
         return GRPC_ACCESS_LEVELS.get(method, "read")
     return "read"
@@ -1282,6 +1335,7 @@ def make_server(
 ):
     svc = _Services(toc)
     snap = _SnapshotServices(toc)
+    shard_snap = _ShardSnapshotServices(toc)
     services = {
         "qdrant.Snapshots": {
             "Create": (snap.Create, M["CreateSnapshotRequest"]),
@@ -1289,6 +1343,12 @@ def make_server(
             "Delete": (snap.Delete, M["DeleteSnapshotRequest"]),
             "CreateFull": (snap.CreateFull, M["CreateFullSnapshotRequest"]),
             "ListFull": (snap.ListFull, M["ListFullSnapshotsRequest"]),
+        },
+        "qdrant.ShardSnapshots": {
+            "Create": (shard_snap.Create, M["CreateShardSnapshotRequest"]),
+            "List": (shard_snap.List, M["ListShardSnapshotsRequest"]),
+            "Delete": (shard_snap.Delete, M["DeleteShardSnapshotRequest"]),
+            "Recover": (shard_snap.Recover, M["RecoverShardSnapshotRequest"]),
         },
         "qdrant.Qdrant": {
             "HealthCheck": (svc.HealthCheck, M["HealthCheckRequest"]),

@@ -27,16 +27,36 @@ class Metrics:
             self.duration_sum[dkey] = self.duration_sum.get(dkey, 0.0) + seconds
             self.duration_count[dkey] = self.duration_count.get(dkey, 0) + 1
 
-    def telemetry(self) -> dict:
+    def telemetry(self, detail: bool = False) -> dict:
         with self._lock:
             total = sum(self.responses.values())
             fail = sum(v for (m, e, s), v in self.responses.items() if s >= 400)
-            return {
+            out = {
                 "rest": {
                     "responses_total": total,
                     "responses_fail_total": fail,
                 }
             }
+            if detail:
+                # per-endpoint breakdown (reference: requests_telemetry.rs
+                # WebApiTelemetry responses map, gated behind level > 0)
+                per = {}
+                for (method, endpoint, status), count in self.responses.items():
+                    ep = endpoint.replace("\\", "").replace("^", "").replace("$", "")
+                    key = f"{method} {ep}"
+                    row = per.setdefault(key, {"count": 0, "fail": 0})
+                    row["count"] += count
+                    if status >= 400:
+                        row["fail"] += 1 * count
+                for (method, endpoint), secs in self.duration_sum.items():
+                    ep = endpoint.replace("\\", "").replace("^", "").replace("$", "")
+                    key = f"{method} {ep}"
+                    row = per.get(key)
+                    if row is not None:
+                        n = self.duration_count[(method, endpoint)]
+                        row["avg_duration_s"] = round(secs / max(n, 1), 6)
+                out["rest"]["responses"] = per
+            return out
 
     def render_prometheus(self, extra: Optional[dict] = None) -> str:
         lines = [

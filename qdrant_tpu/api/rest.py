@@ -977,6 +977,55 @@ def h_internal_search(toc, m, body, q):
     )
 
 
+def h_create_shard_snapshot(toc, m, body, q):
+    """Public shard snapshot create (reference:
+    src/actix/api/snapshot_api.rs::create_shard_snapshot)."""
+    return toc.create_shard_snapshot(m["name"], int(m["sid"]))
+
+
+def h_list_shard_snapshots(toc, m, body, q):
+    return toc.list_shard_snapshots(m["name"], int(m["sid"]))
+
+
+def h_delete_shard_snapshot(toc, m, body, q):
+    return toc.delete_shard_snapshot(m["name"], int(m["sid"]), m["snap"])
+
+
+def h_download_shard_snapshot(toc, m, body, q):
+    return _FileResponse(toc.shard_snapshot_file(m["name"], int(m["sid"]), m["snap"]))
+
+
+def h_recover_shard_snapshot(toc, m, body, q):
+    """PUT .../shards/{sid}/snapshots/recover {location, checksum?}
+    (reference: snapshot_api.rs::recover_shard_snapshot)."""
+    body = body or {}
+    location = body.get("location")
+    if not location:
+        raise ApiError("missing snapshot location")
+    try:
+        return toc.recover_shard_snapshot(
+            m["name"], int(m["sid"]), location, checksum=body.get("checksum")
+        )
+    except ValueError as e:
+        raise ApiError(str(e), 400)
+
+
+def h_upload_shard_snapshot(toc, m, body, q):
+    """POST .../shards/{sid}/snapshots/upload with the raw snapshot bytes
+    as the body (reference: snapshot_api.rs::upload_shard_snapshot)."""
+    if not isinstance(body, (bytes, bytearray)):
+        raise ApiError("expected binary snapshot body")
+    if q.get("checksum"):
+        import hashlib
+
+        digest = hashlib.sha256(bytes(body)).hexdigest()
+        if digest != q["checksum"].lower():
+            raise ApiError(
+                f"snapshot checksum mismatch: expected {q['checksum']}, got {digest}"
+            )
+    return toc.restore_shard_snapshot_bytes(m["name"], int(m["sid"]), bytes(body))
+
+
 def h_internal_snapshot(toc, m, body, q):
     coll = toc.get_collection(m["name"])
     shard = coll.shards.get(int(m["sid"]))
@@ -1068,30 +1117,33 @@ def h_readyz(toc, m, body, q):
 
 
 def h_telemetry(toc, m, body, q):
-    detail = int(q.get("details_level", 2))
-    collections = []
-    if detail >= 1:
-        for name in toc.list_collections():
-            if detail >= 2:
-                coll = toc.get_collection(name)
-                collections.append({"id": name, **coll.info()})
-            else:
-                collections.append({"id": name})
-    from ..utils.flags import feature_flags
+    """Telemetry at detail levels 0-4, optionally anonymized (reference:
+    src/common/telemetry.rs prepare_data + anonymize.rs; REST params
+    src/actix/api/service_api.rs:34-70)."""
+    from ..utils.telemetry import anonymize_telemetry, build_telemetry
 
-    return {
-        "id": "qdrant-tpu",
-        "app": {
-            "name": "qdrant-tpu",
-            "version": VERSION,
-            "features": feature_flags().to_dict(),
-        },
-        "collections": {
-            "number_of_collections": len(collections),
-            "collections": collections,
-        },
-        "requests": METRICS.telemetry(),
-    }
+    detail = int(q.get("details_level", 2))
+    data = build_telemetry(toc, level=detail)
+    if str(q.get("anonymize", "")).lower() in ("true", "1"):
+        data = anonymize_telemetry(data)
+    return data
+
+
+def h_get_logger(toc, m, body, q):
+    """Runtime logging configuration (reference: src/tracing/config.rs
+    reloadable filters — exposed as an endpoint instead of file-watch)."""
+    from ..utils.telemetry import logger_config
+
+    return logger_config()
+
+
+def h_set_logger(toc, m, body, q):
+    from ..utils.telemetry import set_logger_config
+
+    try:
+        return set_logger_config(body or {})
+    except ValueError as e:
+        raise ApiError(str(e), 400)
 
 
 def h_metrics(toc, m, body, q):
@@ -1128,6 +1180,9 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
     ("POST", re.compile(r"^/cluster/raft/propose$"), h_raft_propose),
     ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
+    ("GET", re.compile(r"^/logger$"), h_get_logger),
+    ("POST", re.compile(r"^/logger$"), h_set_logger),
+    ("PATCH", re.compile(r"^/logger$"), h_set_logger),
     ("GET", re.compile(r"^/slow_requests$"), h_slow_requests),
     ("DELETE", re.compile(r"^/slow_requests$"), h_clear_slow_requests),
     ("GET", re.compile(r"^/audit$"), h_audit_log),
@@ -1290,6 +1345,44 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
         re.compile(r"^/collections/(?P<name>[^/]+)/snapshots/recover$"),
         h_recover_snapshot,
     ),
+    (
+        "POST",
+        re.compile(r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots$"),
+        h_create_shard_snapshot,
+    ),
+    (
+        "GET",
+        re.compile(r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots$"),
+        h_list_shard_snapshots,
+    ),
+    (
+        "PUT",
+        re.compile(
+            r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots/recover$"
+        ),
+        h_recover_shard_snapshot,
+    ),
+    (
+        "POST",
+        re.compile(
+            r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots/upload$"
+        ),
+        h_upload_shard_snapshot,
+    ),
+    (
+        "DELETE",
+        re.compile(
+            r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots/(?P<snap>[^/]+)$"
+        ),
+        h_delete_shard_snapshot,
+    ),
+    (
+        "GET",
+        re.compile(
+            r"^/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/snapshots/(?P<snap>[^/]+)$"
+        ),
+        h_download_shard_snapshot,
+    ),
     ("POST", re.compile(r"^/snapshots$"), h_create_full_snapshot),
     ("GET", re.compile(r"^/snapshots$"), h_list_full_snapshots),
     (
@@ -1326,6 +1419,10 @@ ACCESS_LEVELS = {
     h_batch_update: "write",
     h_create_snapshot: "write",
     h_delete_snapshot: "write",
+    h_create_shard_snapshot: "write",
+    h_delete_shard_snapshot: "write",
+    h_recover_shard_snapshot: "manage",
+    h_upload_shard_snapshot: "manage",
     h_create_full_snapshot: "manage",
     h_set_locks: "manage",
     # Internal peer-to-peer plane: the reference exposes these only on a
@@ -1337,6 +1434,7 @@ ACCESS_LEVELS = {
     h_audit_log: "manage",
     h_slow_requests: "manage",
     h_clear_slow_requests: "manage",
+    h_set_logger: "manage",
     h_internal_update: "manage",
     h_internal_update_forward: "manage",
     h_internal_snapshot_recover: "manage",
@@ -1572,6 +1670,7 @@ class RestServer:
 
         self.httpd = _Server((host, port), handler)
         self.port = self.httpd.server_address[1]
+        self.toc = toc
         self._thread: Optional[threading.Thread] = None
 
     def start_background(self) -> None:

@@ -310,6 +310,116 @@ class TableOfContent:
             )
             return True
 
+    # -- shard snapshots (public API; reference: src/tonic/mod.rs:138-338
+    # ShardSnapshots service + src/actix/api/snapshot_api.rs shard routes) --
+
+    def _shard(self, name: str, shard_id: int):
+        coll = self.get_collection(name)
+        shard = coll.shards.get(int(shard_id))
+        if shard is None:
+            raise NotFoundError(f"shard {shard_id} not found in {name}")
+        return coll, shard
+
+    def _shard_snapshots_dir(self, name: str, shard_id: int) -> str:
+        coll = self.get_collection(name)
+        return os.path.join(
+            self.snapshots_path, coll.name, "shards", str(int(shard_id))
+        )
+
+    def create_shard_snapshot(self, name: str, shard_id: int) -> Dict[str, Any]:
+        import time as _time
+
+        coll, shard = self._shard(name, shard_id)
+        target = self._shard_snapshots_dir(name, shard_id)
+        os.makedirs(target, exist_ok=True)
+        stamp = _time.strftime("%Y-%m-%d-%H-%M-%S")
+        fname = f"{coll.name}-shard-{int(shard_id)}-{stamp}.snapshot"
+        full = os.path.join(target, fname)
+        with open(full, "wb") as f:
+            f.write(shard.create_snapshot_bytes())
+        return {
+            "name": fname,
+            "size": os.path.getsize(full),
+            "creation_time": None,
+        }
+
+    def list_shard_snapshots(self, name: str, shard_id: int) -> List[Dict[str, Any]]:
+        self._shard(name, shard_id)  # 404 on unknown collection/shard
+        target = self._shard_snapshots_dir(name, shard_id)
+        out = []
+        if os.path.isdir(target):
+            for f in sorted(os.listdir(target)):
+                if f.endswith(".snapshot"):
+                    out.append(
+                        {
+                            "name": f,
+                            "size": os.path.getsize(os.path.join(target, f)),
+                            "creation_time": None,
+                        }
+                    )
+        return out
+
+    def delete_shard_snapshot(self, name: str, shard_id: int, snapshot: str) -> bool:
+        self._shard(name, shard_id)
+        full = os.path.join(self._shard_snapshots_dir(name, shard_id), snapshot)
+        if not os.path.isfile(full):
+            raise NotFoundError(f"snapshot {snapshot} not found")
+        os.remove(full)
+        return True
+
+    def shard_snapshot_file(self, name: str, shard_id: int, snapshot: str) -> str:
+        self._shard(name, shard_id)
+        full = os.path.join(self._shard_snapshots_dir(name, shard_id), snapshot)
+        if not os.path.isfile(full):
+            raise NotFoundError(f"snapshot {snapshot} not found")
+        return full
+
+    def recover_shard_snapshot(
+        self, name: str, shard_id: int, location: str, checksum: Optional[str] = None
+    ) -> bool:
+        """Restore one shard from a snapshot file: a local path, a name in
+        this shard's snapshot dir, or an http(s)/file URL (reference:
+        common/snapshots.rs::recover_shard_snapshot)."""
+        coll, shard = self._shard(name, shard_id)
+        data: Optional[bytes] = None
+        if location.startswith(("http://", "https://")):
+            import urllib.request
+
+            with urllib.request.urlopen(location, timeout=60) as resp:
+                data = resp.read()
+        else:
+            if location.startswith("file://"):
+                location = location[len("file://") :]
+            candidate = location
+            if not os.path.isfile(candidate):
+                candidate = os.path.join(
+                    self._shard_snapshots_dir(name, shard_id), location
+                )
+            if not os.path.isfile(candidate):
+                raise NotFoundError(f"shard snapshot {location} not found")
+            with open(candidate, "rb") as f:
+                data = f.read()
+        if checksum:
+            import hashlib
+
+            digest = hashlib.sha256(data).hexdigest()
+            if digest != checksum.lower():
+                raise ValueError(
+                    f"snapshot checksum mismatch: expected {checksum}, got {digest}"
+                )
+        return self.restore_shard_snapshot_bytes(name, shard_id, data)
+
+    def restore_shard_snapshot_bytes(
+        self, name: str, shard_id: int, data: bytes
+    ) -> bool:
+        coll, shard = self._shard(name, shard_id)
+        shard.restore_snapshot_bytes(data)
+        # drop any cached replica wrapper (clock map resets with the snapshot)
+        cache = getattr(coll, "_local_replicas", None)
+        if cache is not None:
+            cache.pop(int(shard_id), None)
+        return True
+
     def create_full_snapshot(self) -> Dict[str, Any]:
         """Full-storage snapshot: tar of every collection (reference:
         /snapshots full-storage API)."""

@@ -543,3 +543,72 @@ def test_collections_update_over_grpc(grpc_env):
                  M["GetCollectionInfoRequest"](collection_name="gc"),
                  M["GetCollectionInfoResponse"])
     assert info.result is not None
+
+
+def test_shard_snapshots_over_grpc(grpc_env):
+    """qdrant.ShardSnapshots Create/List/Recover/Delete (reference:
+    src/tonic/mod.rs:138-338)."""
+    create = M["CreateCollection"](collection_name="gsnap")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 1
+    unary(grpc_env, "/qdrant.Collections/Create", create, M["CollectionOperationResponse"])
+    up = M["UpsertPoints"](collection_name="gsnap")
+    for i in range(4):
+        p = up.points.add()
+        p.id.num = i
+        p.vectors.vector.dense.data.extend([float(i), 1, 0, 0])
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+
+    resp = unary(
+        grpc_env,
+        "/qdrant.ShardSnapshots/Create",
+        M["CreateShardSnapshotRequest"](collection_name="gsnap", shard_id=0),
+        M["CreateSnapshotResponse"],
+    )
+    name = resp.snapshot_description.name
+    assert name.endswith(".snapshot")
+
+    lst = unary(
+        grpc_env,
+        "/qdrant.ShardSnapshots/List",
+        M["ListShardSnapshotsRequest"](collection_name="gsnap", shard_id=0),
+        M["ListSnapshotsResponse"],
+    )
+    assert [d.name for d in lst.snapshot_descriptions] == [name]
+
+    dl = M["DeletePoints"](collection_name="gsnap")
+    for i in range(4):
+        dl.points.points.ids.add().num = i
+    unary(grpc_env, "/qdrant.Points/Delete", dl, M["PointsOperationResponse"])
+
+    rec = M["RecoverShardSnapshotRequest"](collection_name="gsnap", shard_id=0)
+    rec.snapshot_location.path = name
+    unary(
+        grpc_env,
+        "/qdrant.ShardSnapshots/Recover",
+        rec,
+        M["RecoverSnapshotResponse"],
+    )
+    count = unary(
+        grpc_env,
+        "/qdrant.Points/Count",
+        M["CountPoints"](collection_name="gsnap"),
+        M["CountResponse"],
+    )
+    assert count.result.count == 4
+
+    unary(
+        grpc_env,
+        "/qdrant.ShardSnapshots/Delete",
+        M["DeleteShardSnapshotRequest"](
+            collection_name="gsnap", shard_id=0, snapshot_name=name
+        ),
+        M["DeleteSnapshotResponse"],
+    )
+    lst = unary(
+        grpc_env,
+        "/qdrant.ShardSnapshots/List",
+        M["ListShardSnapshotsRequest"](collection_name="gsnap", shard_id=0),
+        M["ListSnapshotsResponse"],
+    )
+    assert len(lst.snapshot_descriptions) == 0

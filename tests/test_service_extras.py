@@ -149,8 +149,68 @@ def test_usage_reported_in_search(server):
 def test_telemetry_detail_levels(server):
     full = call(server, "GET", "/telemetry")["result"]
     assert full["collections"]["collections"]
+    assert "memory" in full and "hardware" in full
+    assert full["cluster"] == {"enabled": False}
     light = call(server, "GET", "/telemetry?details_level=0")["result"]
-    assert light["collections"]["collections"] == []
+    assert not light["collections"]["collections"]
+    assert "memory" not in light
+    # level>=1 adds a per-endpoint request breakdown
+    assert "responses" not in light["requests"]["rest"]
+    assert "responses" in full["requests"]["rest"]
+    deep = call(server, "GET", "/telemetry?details_level=4")["result"]
+    coll = deep["collections"]["collections"][0]
+    assert coll["shards"] and "segments" in coll["shards"][0]
+
+
+def test_telemetry_anonymize(server):
+    plain = call(server, "GET", "/telemetry?details_level=2")["result"]
+    anon = call(
+        server, "GET", "/telemetry?details_level=2&anonymize=true"
+    )["result"]
+    names = {c["id"] for c in plain["collections"]["collections"]}
+    anon_names = {c["id"] for c in anon["collections"]["collections"]}
+    # collection names are hashed, structure/counters preserved
+    assert names and not (names & anon_names)
+    assert (
+        anon["collections"]["number_of_collections"]
+        == plain["collections"]["number_of_collections"]
+    )
+    # anonymization is stable
+    anon2 = call(
+        server, "GET", "/telemetry?details_level=2&anonymize=true"
+    )["result"]
+    assert anon_names == {c["id"] for c in anon2["collections"]["collections"]}
+
+
+def test_telemetry_reporter_builds_anonymized_payload(server):
+    from qdrant_tpu.utils.telemetry import TelemetryReporter
+
+    rep = TelemetryReporter(server.toc, url="http://127.0.0.1:1/none")
+    payload = rep.build_report()
+    assert payload["collections"]["number_of_collections"] >= 1
+    # reporting a payload to an unreachable sink fails without raising
+    assert rep._send(payload) is False
+
+
+def test_logger_runtime_reload(server):
+    import logging
+
+    before = call(server, "GET", "/logger")["result"]
+    assert "log_level" in before
+    out = call(
+        server,
+        "POST",
+        "/logger",
+        {"overrides": {"qdrant_tpu.test_dummy": "WARNING"}},
+    )["result"]
+    assert out["overrides"]["qdrant_tpu.test_dummy"] == "WARNING"
+    assert logging.getLogger("qdrant_tpu.test_dummy").level == logging.WARNING
+    # reset via null override
+    out = call(server, "POST", "/logger", {"overrides": {"qdrant_tpu.test_dummy": None}})[
+        "result"
+    ]
+    assert "qdrant_tpu.test_dummy" not in out["overrides"]
+    call(server, "POST", "/logger", {"log_level": "NOT_A_LEVEL"}, expect=400)
 
 
 def test_openapi_spec(server):
@@ -170,3 +230,80 @@ def test_openapi_spec(server):
     assert sum(len(ms) for ms in paths.values()) == len(ROUTES)
     # schemas referenced exist
     assert "SearchRequest" in spec["components"]["schemas"]
+
+
+def test_shard_snapshot_lifecycle(server):
+    """Public shard snapshot API (reference: snapshot_api.rs shard routes +
+    src/tonic/mod.rs ShardSnapshots): create → list → wipe → recover."""
+    call(server, "PUT", "/collections/ssnap", {"vectors": {"size": 4, "distance": "Dot"}})
+    call(
+        server,
+        "PUT",
+        "/collections/ssnap/points",
+        {
+            "points": [
+                {"id": i, "vector": [float(i), 1, 0, 0], "payload": {"i": i}}
+                for i in range(8)
+            ]
+        },
+    )
+    snap = call(server, "POST", "/collections/ssnap/shards/0/snapshots")["result"]
+    assert snap["name"].endswith(".snapshot") and snap["size"] > 0
+    lst = call(server, "GET", "/collections/ssnap/shards/0/snapshots")["result"]
+    assert [s["name"] for s in lst] == [snap["name"]]
+
+    # destroy the shard contents, then recover from the snapshot by name
+    call(
+        server,
+        "POST",
+        "/collections/ssnap/points/delete",
+        {"points": list(range(8))},
+    )
+    assert (
+        call(server, "POST", "/collections/ssnap/points/count", {})["result"]["count"]
+        == 0
+    )
+    ok = call(
+        server,
+        "PUT",
+        "/collections/ssnap/shards/0/snapshots/recover",
+        {"location": snap["name"]},
+    )["result"]
+    assert ok is True
+    assert (
+        call(server, "POST", "/collections/ssnap/points/count", {})["result"]["count"]
+        == 8
+    )
+
+    # download works, bad checksum rejected, delete removes it
+    import urllib.request
+
+    url = f"http://127.0.0.1:{server.port}/collections/ssnap/shards/0/snapshots/{snap['name']}"
+    with urllib.request.urlopen(url) as resp:
+        blob = resp.read()
+    assert len(blob) == snap["size"]
+    call(
+        server,
+        "PUT",
+        "/collections/ssnap/shards/0/snapshots/recover",
+        {"location": snap["name"], "checksum": "0" * 64},
+        expect=400,
+    )
+    assert call(
+        server, "DELETE", f"/collections/ssnap/shards/0/snapshots/{snap['name']}"
+    )["result"]
+    assert call(server, "GET", "/collections/ssnap/shards/0/snapshots")["result"] == []
+
+    # upload the downloaded snapshot back (binary body)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/collections/ssnap/shards/0/snapshots/upload",
+        data=blob,
+        method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert json.loads(resp.read())["result"] is True
+    assert (
+        call(server, "POST", "/collections/ssnap/points/count", {})["result"]["count"]
+        == 8
+    )
