@@ -52,6 +52,14 @@ def main(argv=None) -> int:
 
     init_feature_flags(settings.get("feature_flags"))
 
+    # stall watchdog (reference: service_debug deadlock checker thread,
+    # src/main.rs:331-366); also togglable at runtime via PATCH /debugger
+    if settings.get_path("service.service_debug", False):
+        from .utils.debug import WATCHDOG
+
+        WATCHDOG.configure({"enabled": True})
+        log.info("service debug: stall watchdog enabled")
+
     from .api.rest import RestServer
     from .api.toc import TableOfContent
 

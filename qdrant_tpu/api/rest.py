@@ -1129,6 +1129,35 @@ def h_telemetry(toc, m, body, q):
     return data
 
 
+def h_get_debugger(toc, m, body, q):
+    """Debug/watchdog config (reference: src/actix/api/debug_api.rs
+    /debugger + the service_debug deadlock checker, src/main.rs:331-366)."""
+    from ..utils.debug import WATCHDOG
+
+    return WATCHDOG.config()
+
+
+def h_patch_debugger(toc, m, body, q):
+    from ..utils.debug import WATCHDOG
+
+    return WATCHDOG.configure(body or {})
+
+
+def h_consistency_check(toc, m, body, q):
+    """Read-back data-consistency check (reference: the
+    data-consistency-check feature's local_shard verify)."""
+    from ..utils.debug import check_shard_consistency
+
+    coll = toc.get_collection(m["name"])
+    out = {}
+    for sid, shard in sorted(coll.shards.items()):
+        out[str(sid)] = check_shard_consistency(shard)
+    return {
+        "consistent": all(v["consistent"] for v in out.values()),
+        "shards": out,
+    }
+
+
 def h_get_logger(toc, m, body, q):
     """Runtime logging configuration (reference: src/tracing/config.rs
     reloadable filters — exposed as an endpoint instead of file-watch)."""
@@ -1180,6 +1209,13 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
     ("POST", re.compile(r"^/cluster/raft/propose$"), h_raft_propose),
     ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
+    ("GET", re.compile(r"^/debugger$"), h_get_debugger),
+    ("PATCH", re.compile(r"^/debugger$"), h_patch_debugger),
+    (
+        "GET",
+        re.compile(r"^/collections/(?P<name>[^/]+)/consistency$"),
+        h_consistency_check,
+    ),
     ("GET", re.compile(r"^/logger$"), h_get_logger),
     ("POST", re.compile(r"^/logger$"), h_set_logger),
     ("PATCH", re.compile(r"^/logger$"), h_set_logger),
@@ -1435,6 +1471,8 @@ ACCESS_LEVELS = {
     h_slow_requests: "manage",
     h_clear_slow_requests: "manage",
     h_set_logger: "manage",
+    h_get_debugger: "manage",
+    h_patch_debugger: "manage",
     h_internal_update: "manage",
     h_internal_update_forward: "manage",
     h_internal_snapshot_recover: "manage",

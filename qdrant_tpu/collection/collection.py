@@ -894,7 +894,10 @@ class Collection:
         return schema
 
     def save_config(self) -> None:
+        from ..storage.segment import SEGMENT_FORMAT_VERSION
+
         cfg = {
+            "format_version": SEGMENT_FORMAT_VERSION,
             "name": self.name,
             "params": self.params.to_dict(),
             "hnsw_config": self.hnsw_config.to_dict(),
@@ -914,6 +917,14 @@ class Collection:
     def load(cls, name: str, path: str) -> "Collection":
         with open(os.path.join(path, "collection.json")) as f:
             cfg = json.load(f)
+        from ..storage.segment import SEGMENT_FORMAT_VERSION, SegmentFormatError
+
+        fv = int(cfg.get("format_version", 1))
+        if fv > SEGMENT_FORMAT_VERSION:
+            raise SegmentFormatError(
+                f"collection {name} has storage format v{fv}, newer than this "
+                f"build's v{SEGMENT_FORMAT_VERSION} — upgrade qdrant-tpu"
+            )
         params = CollectionParams.from_dict(cfg["params"])
         coll = cls.__new__(cls)
         coll.name = name

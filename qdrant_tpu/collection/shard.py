@@ -570,7 +570,14 @@ class LocalShard:
                 new_seg = self._defragment_into(victims, appendable=appendable)
                 versions = [v.version for v in victims]
             if need_index:
-                new_seg.build_indexes()  # no shard lock held — writes proceed
+                from ..utils.budget import BUDGET
+                from ..utils.debug import WATCHDOG
+
+                # permit-gated, lock released — writes proceed, and the
+                # builder yields the device to searches between batches
+                with WATCHDOG.section("optimizer.build_indexes"):
+                    with BUDGET.acquire_build():
+                        new_seg.build_indexes()
             with self._lock:
                 if any(v not in self.segments for v in victims) or [
                     v.version for v in victims

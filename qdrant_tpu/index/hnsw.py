@@ -337,6 +337,9 @@ class HnswIndex:
                 inserted += bsz
                 if progress_fn:
                     progress_fn(inserted, n_alive)
+                from ..utils.budget import BUDGET
+
+                BUDGET.yield_to_searches()
 
         self._heal_low_indegree(order)
 
@@ -498,6 +501,11 @@ class HnswIndex:
             inserted += bsz
             if progress_fn:
                 progress_fn(inserted, n_alive)
+            # let queued search programs run before the next build batch
+            # (utils/budget.py; reference: ResourceBudget in main.rs:509)
+            from ..utils.budget import BUDGET
+
+            BUDGET.yield_to_searches()
 
         # in-degree healing runs on device; the host mirror is NOT
         # downloaded here (tunnel downloads run at ~0.1 MB/s — 130 s for a

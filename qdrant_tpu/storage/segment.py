@@ -48,11 +48,53 @@ from .id_tracker import IdTracker
 from .payload import PayloadStorage
 from .vectors import DenseVectorStore, MultiVectorStore
 from ..utils import hw_counter
+from ..utils.budget import BUDGET
+
+import functools
 
 import jax.numpy as jnp
 
 
+def _with_search_budget(fn):
+    """Register the call as an in-flight search so optimizer builds yield
+    the device between batches (utils/budget.py; reference: ResourceBudget,
+    lib/common/common/src/budget.rs)."""
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        with BUDGET.search():
+            return fn(*a, **kw)
+
+    return wrapper
+
+
 DEFAULT_FULL_SCAN_THRESHOLD = 10_000
+
+# On-disk segment format version (reference: lib/segment StorageVersion +
+# tests/e2e_tests/test_data_compatibility.py). Bump when segment.json or a
+# store layout changes shape; add an upgrade step to _migrate_segment_meta.
+# v1 = un-versioned layout (rounds 1-2, no format_version field).
+# v2 = current (adds the field itself; layout unchanged).
+SEGMENT_FORMAT_VERSION = 2
+
+
+class SegmentFormatError(Exception):
+    pass
+
+
+def _migrate_segment_meta(meta: dict, path: str) -> dict:
+    """Load-time migration hook: upgrade older on-disk metas in place,
+    refuse newer ones with a clear error instead of misreading them."""
+    fv = int(meta.get("format_version", 1))
+    if fv > SEGMENT_FORMAT_VERSION:
+        raise SegmentFormatError(
+            f"segment at {path} has format v{fv}, newer than this build's "
+            f"v{SEGMENT_FORMAT_VERSION} — upgrade qdrant-tpu to read it"
+        )
+    if fv < 2:
+        # v1 → v2: field added, layout identical — stamp and continue
+        meta["format_version"] = 2
+    return meta
 DEFAULT_OVERSAMPLING = 3.0
 
 
@@ -426,6 +468,7 @@ class Segment:
     # search
     # ------------------------------------------------------------------
 
+    @_with_search_budget
     def search_dense(
         self,
         name: str,
@@ -807,6 +850,7 @@ class Segment:
             i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
         return s, i
 
+    @_with_search_budget
     def search_multi(
         self,
         name: str,
@@ -880,6 +924,7 @@ class Segment:
             i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return s, i
 
+    @_with_search_budget
     def search_sparse(
         self,
         name: str,
@@ -964,6 +1009,7 @@ class Segment:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         meta = {
+            "format_version": SEGMENT_FORMAT_VERSION,
             "version": self.version,
             "appendable": self.appendable,
             "params": self.params.to_dict(),
@@ -1034,6 +1080,7 @@ class Segment:
     def load(cls, path: str) -> "Segment":
         with open(os.path.join(path, "segment.json")) as f:
             meta = json.load(f)
+        meta = _migrate_segment_meta(meta, path)
         params = CollectionParams.from_dict(meta["params"])
         seg = cls(params, appendable=meta["appendable"])
         seg.version = meta["version"]

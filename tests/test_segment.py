@@ -238,3 +238,41 @@ def test_on_disk_payload_gridstore(tmp_path):
     # mutations write through
     loaded.set_payload(100, 7, {"extra": True}, None)
     assert loaded.get_payload(7)["extra"] is True
+
+
+def test_segment_format_versioning(tmp_path):
+    """Storage format version: stamped on save, migrated on load, newer
+    formats refused (reference: StorageVersion + data-compat e2e tests)."""
+    import json
+    import os
+
+    import pytest
+
+    from qdrant_tpu.storage.segment import (
+        SEGMENT_FORMAT_VERSION,
+        Segment,
+        SegmentFormatError,
+    )
+    from qdrant_tpu.types import CollectionParams, Distance, VectorParams
+
+    params = CollectionParams(
+        vectors={"": VectorParams(size=4, distance=Distance.DOT)}
+    )
+    seg = Segment(params)
+    seg.upsert_point(1, 1, {"": np.asarray([1.0, 0, 0, 0], np.float32)}, {})
+    path = str(tmp_path / "seg")
+    seg.save(path)
+    meta = json.load(open(os.path.join(path, "segment.json")))
+    assert meta["format_version"] == SEGMENT_FORMAT_VERSION
+
+    # v1 (un-versioned) metas load through the migration hook
+    del meta["format_version"]
+    json.dump(meta, open(os.path.join(path, "segment.json"), "w"))
+    seg2 = Segment.load(path)
+    assert len(seg2) == 1
+
+    # a FUTURE format is refused with a clear error, not misread
+    meta["format_version"] = SEGMENT_FORMAT_VERSION + 1
+    json.dump(meta, open(os.path.join(path, "segment.json"), "w"))
+    with pytest.raises(SegmentFormatError, match="newer than this build"):
+        Segment.load(path)
