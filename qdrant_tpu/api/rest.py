@@ -822,10 +822,69 @@ def h_cluster(toc, m, body, q):
 
 def h_collection_cluster_update(toc, m, body, q):
     """Collection cluster operations (reference: cluster_api.rs
-    update_collection_cluster; subset: start_resharding up/down with the
-    single-driver semantics of collection.reshard)."""
+    update_collection_cluster + cluster_ops.rs: move_shard,
+    replicate_shard, drop_replica, abort_transfer, start_resharding)."""
     coll = toc.get_collection(m["name"])
     body = body or {}
+    node = getattr(toc, "cluster_node", None)
+
+    def _shard_op(spec, required):
+        sid = spec.get("shard_id")
+        if sid is None or int(sid) not in coll.all_shard_ids():
+            raise ApiError(f"shard {sid} not found", 404)
+        for f in required:
+            if spec.get(f) is None:
+                raise ApiError(f"missing field {f}")
+        return int(sid)
+
+    if "move_shard" in body:
+        spec = body["move_shard"] or {}
+        sid = _shard_op(spec, ("from_peer_id", "to_peer_id"))
+        frm, to = int(spec["from_peer_id"]), int(spec["to_peer_id"])
+        placed = coll.placement.get(sid) or []
+        if frm not in placed:
+            raise ApiError(f"peer {frm} does not hold shard {sid}")
+        if to in placed:
+            raise ApiError(f"peer {to} already holds shard {sid}")
+        op = {"type": "move_replica", "name": coll.name, "shard_id": sid,
+              "from_peer": frm, "to_peer": to}
+        if _meta_submit(toc, op) is None:
+            raise ApiError("cluster mode disabled", 400)
+        return True
+    if "replicate_shard" in body:
+        spec = body["replicate_shard"] or {}
+        sid = _shard_op(spec, ("to_peer_id",))
+        to = int(spec["to_peer_id"])
+        if to in (coll.placement.get(sid) or []):
+            raise ApiError(f"peer {to} already holds shard {sid}")
+        op = {"type": "replicate_replica", "name": coll.name,
+              "shard_id": sid, "to_peer": to}
+        if _meta_submit(toc, op) is None:
+            raise ApiError("cluster mode disabled", 400)
+        return True
+    if "drop_replica" in body:
+        spec = body["drop_replica"] or {}
+        sid = _shard_op(spec, ("peer_id",))
+        peer = int(spec["peer_id"])
+        placed = coll.placement.get(sid) or []
+        if peer not in placed:
+            raise ApiError(f"peer {peer} does not hold shard {sid}")
+        if len(placed) <= 1:
+            raise ApiError(
+                f"peer {peer} holds the only replica of shard {sid}; "
+                "replicate it elsewhere first"
+            )
+        op = {"type": "drop_replica", "name": coll.name, "shard_id": sid,
+              "peer_id": peer}
+        if _meta_submit(toc, op) is None:
+            raise ApiError("cluster mode disabled", 400)
+        return True
+    if "abort_transfer" in body:
+        spec = body["abort_transfer"] or {}
+        sid = _shard_op(spec, ("to_peer_id",))
+        if node is None:
+            raise ApiError("cluster mode disabled", 400)
+        return node.abort_transfer(coll.name, sid, int(spec["to_peer_id"]))
     if "start_resharding" in body:
         spec = body["start_resharding"] or {}
         direction = spec.get("direction", "up")
@@ -866,12 +925,26 @@ def h_collection_cluster(toc, m, body, q):
             remote.append(
                 {"shard_id": sid, "peer_id": peer_id, "state": "Active"}
             )
+    transfers = []
+    if node is not None:
+        for (cname, sid, to), rec in list(node.active_transfers.items()):
+            if cname != coll.name:
+                continue
+            transfers.append(
+                {
+                    "shard_id": sid,
+                    "from": rec["from"],
+                    "to": rec["to"],
+                    "method": rec["method"],
+                    "sync": False,
+                }
+            )
     return {
         "peer_id": node.peer_id if node is not None else 0,
         "shard_count": len(coll.all_shard_ids()),
         "local_shards": local,
         "remote_shards": remote,
-        "shard_transfers": [],
+        "shard_transfers": transfers,
     }
 
 

@@ -26,6 +26,8 @@ class ConsensusManager:
         self.on_peer_added = None  # hook: ClusterNode membership
         self.on_replica_down = None  # hook: ClusterNode repair driver
         self.on_replica_move = None  # hook: ClusterNode placement move
+        self.on_replica_add = None  # hook: ClusterNode replicate (copy)
+        self.on_replica_drop = None  # hook: ClusterNode replica removal
         self.on_replica_activate = None  # hook: transfer completion
 
     def apply(self, op: dict) -> None:
@@ -97,6 +99,20 @@ class ConsensusManager:
                         int(op["shard_id"]),
                         int(op["from_peer"]),
                         int(op["to_peer"]),
+                    )
+            elif t == "replicate_replica":
+                # add a replica WITHOUT removing the source (reference:
+                # ReplicateShard in collection_meta_ops.rs / cluster_ops.rs)
+                if self.on_replica_add is not None:
+                    self.on_replica_add(
+                        op["name"], int(op["shard_id"]), int(op["to_peer"])
+                    )
+            elif t == "drop_replica":
+                # remove one peer's replica of a shard (reference:
+                # DropReplica in cluster_ops.rs)
+                if self.on_replica_drop is not None:
+                    self.on_replica_drop(
+                        op["name"], int(op["shard_id"]), int(op["peer_id"])
                     )
             elif t == "activate_replica":
                 if self.on_replica_activate is not None:

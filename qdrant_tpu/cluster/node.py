@@ -101,7 +101,13 @@ class ClusterNode:
         self.manager.on_peer_added = self.add_peer
         self.manager.on_replica_down = self._on_replica_down
         self.manager.on_replica_move = self._on_replica_move
+        self.manager.on_replica_add = self._on_replica_add
+        self.manager.on_replica_drop = self._on_replica_drop
         self.manager.on_replica_activate = self._on_replica_activate
+        # live shard transfers driven by this peer, keyed
+        # (collection, shard_id, to_peer) → status record (reference:
+        # transfer tracking in shard_transfer/mod.rs + /cluster listing)
+        self.active_transfers: Dict[tuple, dict] = {}
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -338,62 +344,165 @@ class ClusterNode:
             return
         coll.placement[sid] = [to if p == frm else p for p in placed]
         coll.save_config()
-        if to == self.peer_id and sid not in coll.shards:
-            coll._create_shard(sid)
-            # serve reads for this shard remotely until the transfer lands
-            coll.partial_local.add(sid)
-            from .remote import RemoteReplica, RemoteShardHandle
-
-            readers = []
-            for p in coll.placement[sid]:
-                if p == self.peer_id:
-                    continue
-                url = self.transport.peer_urls.get(p)
-                if url is not None:
-                    readers.append(
-                        (p, RemoteReplica(url, collection, sid,
-                                          api_key=self.api_key))
-                    )
-            coll.remote_shards[sid] = RemoteShardHandle(readers)
+        self._materialize_replica_target(coll, collection, sid, to, source=frm)
         self.attach_replication(collection)
+        self._start_stream_transfer(coll, collection, sid, to, source=frm)
+
+    def _materialize_replica_target(
+        self, coll, collection: str, sid: int, to: int, source: int = None
+    ) -> None:
+        """Create the (empty) shard on `to` when that's this peer; serve
+        reads for it remotely until the transfer lands. `source` — a peer
+        that still holds the data but left the placement (rf=1 move) — is
+        included as a read route for the transfer window."""
+        if to != self.peer_id or sid in coll.shards:
+            return
+        coll._create_shard(sid)
+        coll.partial_local.add(sid)
+        from .remote import RemoteReplica, RemoteShardHandle
+
+        readers = []
+        route_peers = list(coll.placement[sid])
+        if source is not None and source not in route_peers:
+            route_peers.append(source)
+        for p in route_peers:
+            if p == self.peer_id:
+                continue
+            url = self.transport.peer_urls.get(p)
+            if url is not None:
+                readers.append(
+                    (p, RemoteReplica(url, collection, sid,
+                                      api_key=self.api_key))
+                )
+        coll.remote_shards[sid] = RemoteShardHandle(readers)
+
+    def _start_stream_transfer(
+        self, coll, collection: str, sid: int, to: int, source: int = None
+    ) -> None:
+        """Lowest alive holder streams the shard to `to`, then proposes
+        activation. Tracked in active_transfers; abortable between retries
+        (reference: shard_transfer driver + abort, transfer/driver.rs).
+
+        `source` covers the rf=1 move: placement already points at `to`
+        only, but `source` still physically holds the data and must drive
+        the copy (a dead `source` — rf=1 repair — simply never drives; the
+        shard starts empty on the target)."""
         others = [p for p in coll.placement[sid] if p != to]
+        if not others and source is not None:
+            others = [source]
         if not others:
-            # rf=1 repair where the target is the only holder left: there is
-            # no source peer to stream from; the shard starts empty on `to`.
             return
         driver = min(others)
         if driver != self.peer_id:
             return
+        key = (collection, sid, to)
+        rec = {
+            "shard_id": sid,
+            "from": driver,
+            "to": to,
+            "method": "stream_records",
+            "aborted": False,
+        }
+        self.active_transfers[key] = rec
 
         def _transfer():
             from .remote import RemoteReplica
             from .transfer import transfer_shard_stream_records
 
-            rs = coll.replica_sets.get(sid)
-            url = self.transport.peer_urls.get(to)
-            if rs is None or url is None:
-                return
-            target = RemoteReplica(url, collection, sid, api_key=self.api_key)
-            for attempt in range(40):
-                try:
-                    transfer_shard_stream_records(rs, to, target)
-                    break
-                except Exception:
-                    if attempt == 39:
-                        return
-                    import time as _time
+            try:
+                rs = coll.replica_sets.get(sid)
+                if rs is None and sid in coll.shards:
+                    # rf=1 local shard (or source already out of placement):
+                    # build a transfer-only replica set over the local copy
+                    from .replica_set import LocalReplica, ShardReplicaSet
 
-                    _time.sleep(0.25)
-            self.propose_anywhere(
-                {
-                    "type": "activate_replica",
-                    "name": collection,
-                    "shard_id": sid,
-                    "peer_id": to,
-                }
-            )
+                    rs = ShardReplicaSet(
+                        sid,
+                        this_peer_id=self.peer_id,
+                        local=LocalReplica(coll.shards[sid]),
+                        write_consistency_factor=1,
+                    )
+                url = self.transport.peer_urls.get(to)
+                if rs is None or url is None:
+                    return
+                target = RemoteReplica(
+                    url, collection, sid, api_key=self.api_key
+                )
+                for attempt in range(40):
+                    if rec["aborted"]:
+                        return
+                    try:
+                        transfer_shard_stream_records(rs, to, target)
+                        break
+                    except Exception:
+                        if attempt == 39:
+                            return
+                        import time as _time
+
+                        _time.sleep(0.25)
+                if rec["aborted"]:
+                    return
+                self.propose_anywhere(
+                    {
+                        "type": "activate_replica",
+                        "name": collection,
+                        "shard_id": sid,
+                        "peer_id": to,
+                    }
+                )
+            finally:
+                self.active_transfers.pop(key, None)
 
         threading.Thread(target=_transfer, daemon=True).start()
+
+    def abort_transfer(self, collection: str, sid: int, to: int) -> bool:
+        """Cancel a transfer this peer is driving (between retry attempts;
+        an in-flight stream batch completes first). → True if one matched."""
+        rec = self.active_transfers.get((collection, sid, to))
+        if rec is None:
+            return False
+        rec["aborted"] = True
+        return True
+
+    def _on_replica_add(self, collection: str, sid: int, to: int) -> None:
+        """Committed replicate_shard: ADD a replica on `to` (the source
+        set keeps serving); lowest holder streams the data over and then
+        proposes activation (reference: ReplicateShard, cluster_ops.rs)."""
+        try:
+            coll = self.toc.get_collection(collection)
+        except Exception:
+            return
+        placed = coll.placement.get(sid)
+        if placed is None or to in placed:
+            return
+        coll.placement[sid] = list(placed) + [to]
+        coll.save_config()
+        self._materialize_replica_target(coll, collection, sid, to)
+        self.attach_replication(collection)
+        self._start_stream_transfer(coll, collection, sid, to)
+
+    def _on_replica_drop(self, collection: str, sid: int, peer: int) -> None:
+        """Committed drop_replica: remove `peer`'s copy of the shard. The
+        last remaining replica is never dropped (validated at the API, and
+        re-checked here since ops replay on every peer)."""
+        try:
+            coll = self.toc.get_collection(collection)
+        except Exception:
+            return
+        placed = coll.placement.get(sid)
+        if not placed or peer not in placed or len(placed) <= 1:
+            return
+        coll.placement[sid] = [p for p in placed if p != peer]
+        coll.save_config()
+        if peer == self.peer_id and sid in coll.shards:
+            import shutil
+
+            shard = coll.shards.pop(sid)
+            shard.close()
+            coll.replica_sets.pop(sid, None)
+            coll.partial_local.discard(sid)
+            shutil.rmtree(coll._shard_path(sid), ignore_errors=True)
+        self.attach_replication(collection)
 
     def _on_replica_activate(self, collection: str, sid: int, peer: int) -> None:
         try:
@@ -408,6 +517,22 @@ class ClusterNode:
         if peer == self.peer_id:
             coll.partial_local.discard(sid)
             coll.remote_shards.pop(sid, None)
+        elif (
+            coll.placement.get(sid)
+            and self.peer_id not in coll.placement[sid]
+            and sid in coll.shards
+        ):
+            # move handoff complete: this peer was the source and is no
+            # longer in the placement — drop its local copy (reference:
+            # move_shard finalize drops the source replica)
+            import shutil
+
+            shard = coll.shards.pop(sid)
+            shard.close()
+            coll.replica_sets.pop(sid, None)
+            coll.partial_local.discard(sid)
+            shutil.rmtree(coll._shard_path(sid), ignore_errors=True)
+            self.attach_replication(collection)
 
     def add_peer(self, peer_id: int, url: str) -> None:
         """Committed add_peer op: extend transport + raft membership and

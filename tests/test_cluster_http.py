@@ -523,3 +523,114 @@ def test_peer_restart_rejoin_consistency(cluster, tmp_path):
         node_r.stop()
         srv_r.shutdown()
         toc_r.close()
+
+
+def test_public_cluster_shard_ops(cluster):
+    """Public POST /collections/{name}/cluster operations (reference:
+    cluster_api.rs update_collection_cluster + cluster_ops.rs):
+    replicate_shard copies a shard to a new peer, move_shard relocates one,
+    drop_replica removes a copy (never the last), abort_transfer cancels."""
+    servers, tocs, nodes, leader = cluster
+    leader_port = servers[leader.peer_id - 1].port
+    call(leader_port, "PUT", "/collections/ops", {
+        "vectors": {"size": 4, "distance": "Dot"}, "shard_number": 2})
+    deadline = time.time() + 10
+    while time.time() < deadline and not all(
+            t.has_collection("ops") for t in tocs):
+        time.sleep(0.05)
+    call(leader_port, "PUT", "/collections/ops/points?wait=true", {
+        "points": [{"id": i, "vector": [float(i), 0, 0, 0]}
+                   for i in range(20)]})
+
+    placement = tocs[leader.peer_id - 1].get_collection("ops").placement
+    sid = 0
+    holder = placement[sid][0]
+    target = next(p for p in (1, 2, 3) if p not in placement[sid])
+
+    # --- replicate_shard: add a copy on `target`, data streams over ---
+    call(leader_port, "POST", "/collections/ops/cluster", {
+        "replicate_shard": {"shard_id": sid, "from_peer_id": holder,
+                            "to_peer_id": target}})
+    shard_pts = tocs[holder - 1].get_collection("ops").shards[sid].point_count()
+    deadline = time.time() + 30
+
+    def replicated():
+        for t in tocs:
+            pl = t.get_collection("ops").placement.get(sid, [])
+            if sorted(pl) != sorted([holder, target]):
+                return False
+        tgt = tocs[target - 1].get_collection("ops").shards.get(sid)
+        return tgt is not None and tgt.point_count() == shard_pts
+
+    while time.time() < deadline and not replicated():
+        time.sleep(0.2)
+    assert replicated(), {
+        "placements": [t.get_collection("ops").placement for t in tocs]}
+
+    # the transfer target serves reads; cluster info lists both holders
+    info = call(servers[target - 1].port, "GET",
+                "/collections/ops/cluster")["result"]
+    assert any(s["shard_id"] == sid for s in info["local_shards"])
+
+    # --- drop_replica: back down to one holder; local data removed ---
+    call(leader_port, "POST", "/collections/ops/cluster", {
+        "drop_replica": {"shard_id": sid, "peer_id": target}})
+    deadline = time.time() + 20
+
+    def dropped():
+        for t in tocs:
+            if t.get_collection("ops").placement.get(sid, []) != [holder]:
+                return False
+        return sid not in tocs[target - 1].get_collection("ops").shards
+
+    while time.time() < deadline and not dropped():
+        time.sleep(0.2)
+    assert dropped(), {
+        "placements": [t.get_collection("ops").placement for t in tocs]}
+
+    # --- dropping the LAST replica is refused ---
+    out = call(leader_port, "POST", "/collections/ops/cluster", {
+        "drop_replica": {"shard_id": sid, "peer_id": holder}}, expect=400)
+    assert "only replica" in out["status"]["error"]
+
+    # --- move_shard: relocate shard 1 to a peer that lacks it ---
+    sid2 = 1
+    holder2 = placement[sid2][0]
+    target2 = next(p for p in (1, 2, 3) if p not in placement[sid2])
+    pts2 = tocs[holder2 - 1].get_collection("ops").shards[sid2].point_count()
+    call(leader_port, "POST", "/collections/ops/cluster", {
+        "move_shard": {"shard_id": sid2, "from_peer_id": holder2,
+                       "to_peer_id": target2}})
+    deadline = time.time() + 30
+
+    def moved():
+        for t in tocs:
+            if t.get_collection("ops").placement.get(sid2, []) != [target2]:
+                return False
+        tgt = tocs[target2 - 1].get_collection("ops").shards.get(sid2)
+        return tgt is not None and tgt.point_count() == pts2
+
+    while time.time() < deadline and not moved():
+        time.sleep(0.2)
+    assert moved(), {
+        "placements": [t.get_collection("ops").placement for t in tocs]}
+
+    # full collection still readable from every peer after all the moves
+    for srv in servers:
+        cnt = call(srv.port, "POST", "/collections/ops/points/count", {})
+        assert cnt["result"]["count"] == 20
+
+    # --- abort_transfer with nothing in flight → False, not an error ---
+    out = call(leader_port, "POST", "/collections/ops/cluster", {
+        "abort_transfer": {"shard_id": sid, "from_peer_id": holder,
+                           "to_peer_id": target}})
+    assert out["result"] is False
+
+    # --- validation errors ---
+    call(leader_port, "POST", "/collections/ops/cluster", {
+        "move_shard": {"shard_id": 99, "from_peer_id": 1, "to_peer_id": 2}},
+        expect=404)
+    out = call(leader_port, "POST", "/collections/ops/cluster", {
+        "replicate_shard": {"shard_id": sid, "to_peer_id": holder}},
+        expect=400)
+    assert "already holds" in out["status"]["error"]
