@@ -392,7 +392,7 @@ def sparse_cfg(rng, cpu_qps):
     t0 = time.perf_counter()
     sidx._device()
     sidx._hot_device()
-    sidx._forward_device()
+    sidx._fwd_cold_device()
     log(f"sparse index build {time.perf_counter() - t0:.1f}s")
 
     nq = 64
@@ -421,11 +421,18 @@ def sparse_cfg(rng, cpu_qps):
     _, s_ids = sidx.search(s_queries, k=K)
     s_recall = recall(s_ids[:nq], s_truth)
     s_qps = measure_qps(lambda: sidx.search(s_queries, k=K), nq, reps=5)
-    log(f"sparse splade {n5}: recall@10={s_recall:.4f} qps={s_qps:.1f}")
+    # serving throughput at batch 256 (the micro-batcher coalesces
+    # concurrent callers into batches like this; recall is measured on the
+    # 64 distinct queries above)
+    s_q256 = s_queries * 4
+    s_qps256 = measure_qps(lambda: sidx.search(s_q256, k=K), 4 * nq, reps=3)
+    log(f"sparse splade {n5}: recall@10={s_recall:.4f} qps={s_qps:.1f} "
+        f"qps@b256={s_qps256:.1f}")
     STATE["detail"]["sparse_splade_1m"] = {
         "n": n5,
         "recall_at_10": round(s_recall, 4),
         "qps": round(s_qps, 1),
+        "qps_batch256": round(s_qps256, 1),
         "postings": total,
     }
     emit()

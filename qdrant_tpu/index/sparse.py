@@ -256,7 +256,8 @@ class SparseIndex:
         if self._postings_weight_sorted:
             order = _sort_by_key_desc_weight(all_dims, all_w)
         else:
-            order = np.argsort(all_dims, kind="stable")
+            # int32 radix argsort is ~1.6x the int64 one at 64M postings
+            order = np.argsort(all_dims.astype(np.int32), kind="stable")
         flat_ids = np.ascontiguousarray(all_offs[order])
         flat_w = np.ascontiguousarray(all_w[order])
         dims_sorted = all_dims[order]
@@ -265,6 +266,13 @@ class SparseIndex:
         starts = np.concatenate([[0], change]).astype(np.int64)
         uniq = dims_sorted[starts]
         counts = np.diff(np.concatenate([starts, [len(dims_sorted)]]))
+        # per-posting compact tid in STORE order — _fwd_cold_device reuses
+        # this (a fresh 64M searchsorted costs ~18 s)
+        tids_store = np.empty(len(all_dims), dtype=np.int32)
+        tids_store[order] = np.repeat(
+            np.arange(len(uniq), dtype=np.int32), counts
+        )
+        self._tids_store = tids_store
         return (
             flat_ids,
             flat_w,
@@ -334,6 +342,8 @@ class SparseIndex:
                     )
             self._dirty = False
             self._fwd = None  # forward rows rebuild lazily
+            self._fwd_cold = None
+            self._win = None  # top-W window CSR rebuilds lazily
             self._hot = None  # hot matrix rebuilds lazily
             self._hot_built = False
             self._mask_cache = None
@@ -344,8 +354,11 @@ class SparseIndex:
     def _hot_device(self):
         """Build (lazily) the dense hot-term matrix for the hybrid path.
 
-        → (hot [N_pad, H] bf16, hot_tids [H] int32, hot_col_of_dim [U]
-        int32 host) or None when the store is too small / budget is 0."""
+        → (hot [N_pad, H] f32, hot_col_of_dim [U] int32 host) or None when
+        the store is too small / budget is 0. f32 (not bf16): with
+        Precision.HIGHEST matmuls the hot contribution is exact to f32
+        rounding, so the candidate rescore only needs the narrow COLD
+        forward rows (_fwd_cold_device), not a full-row table."""
         self._device()
         if self._hot_built:
             return self._hot
@@ -354,10 +367,10 @@ class SparseIndex:
         _fi, _fw, sorted_dims, d_starts, d_lens = self._csr_host
         u = len(sorted_dims)
         budget = int(
-            os.environ.get("QDRANT_TPU_SPARSE_HOT_BYTES", 3_000_000_000)
+            os.environ.get("QDRANT_TPU_SPARSE_HOT_BYTES", 4_600_000_000)
         )
         cap = int(os.environ.get("QDRANT_TPU_SPARSE_HOT_MAX", 4096))
-        h = min(cap, budget // max(2 * n_pad, 1))
+        h = min(cap, budget // max(4 * n_pad, 1))
         if u == 0 or n_pad < 1024 or h < 128:
             self._hot = None
             return None
@@ -369,8 +382,6 @@ class SparseIndex:
         top = np.argsort(-d_lens, kind="stable")[:n_hot]
         hot_col_of_dim = np.full(u, -1, dtype=np.int32)
         hot_col_of_dim[top] = np.arange(n_hot, dtype=np.int32)
-        hot_tids = np.full(h, -1, dtype=np.int32)
-        hot_tids[:n_hot] = top.astype(np.int32)
         from ..ops.sparse import build_hot_matrix
 
         hot = build_hot_matrix(
@@ -378,9 +389,9 @@ class SparseIndex:
             flat_w_d,
             jnp.asarray(d_starts),
             jnp.asarray(hot_col_of_dim),
-            jnp.zeros((n_pad, h), dtype=jnp.bfloat16),
+            jnp.zeros((n_pad, h), dtype=jnp.float32),
         )
-        self._hot = (hot, jnp.asarray(hot_tids), hot_col_of_dim)
+        self._hot = (hot, hot_col_of_dim)
         return self._hot
 
     def _forward_device(self):
@@ -450,8 +461,124 @@ class SparseIndex:
                 keep = valid
             terms[all_offs[keep], within[keep]] = tids[keep].astype(np.int32)
             weights[all_offs[keep], within[keep]] = all_w[keep]
-        self._fwd = (jnp.asarray(terms), jnp.asarray(weights), tid_of)
+        # packed [N_pad, 2J] int32: [tids | f32 weight bits] — one device
+        # row gather per candidate in the rescore instead of two
+        packed = np.concatenate([terms, weights.view(np.int32)], axis=1)
+        self._fwd = (jnp.asarray(packed), tid_of)
         return self._fwd
+
+    def _window_device(self):
+        """Top-W window CSR for the hybrid SELECTION pass: per dim, its W
+        heaviest postings as a compact device CSR (w_ids, w_w) with host
+        (w_starts, w_lens). This preserves the WAND max_next_weight
+        invariant (search_context.rs:25-80) WITHOUT weight-sorting the full
+        64M-posting CSR (a ~30 s host sort or ~2 min device-variadic-sort):
+        Σ min(df, W) is ~3% of the postings, extracted with one
+        argpartition per dim (~1 s total) and uploaded once (~10 MB)."""
+        if getattr(self, "_win", None) is not None:
+            return self._win
+        self._device()
+        flat_ids, flat_w, sorted_dims, d_starts, d_lens = self._csr_host
+        u = len(sorted_dims)
+        if u == 0:
+            return None
+        w_cap = int(os.environ.get("QDRANT_TPU_SPARSE_WINDOW", 64))
+        w_lens = np.minimum(d_lens, w_cap).astype(np.int32)
+        w_starts = np.concatenate([[0], np.cumsum(w_lens)[:-1]]).astype(
+            np.int32
+        )
+        total = int(w_lens.sum())
+        n = len(self.store)
+        w_ids = np.full(total + w_cap, n, dtype=np.int32)
+        w_w = np.zeros(total + w_cap, dtype=np.float32)
+        ws = getattr(self, "_postings_weight_sorted", True)
+        for i in range(u):
+            s, ln, wl = int(d_starts[i]), int(d_lens[i]), int(w_lens[i])
+            dst = slice(int(w_starts[i]), int(w_starts[i]) + wl)
+            if ws or ln <= wl:
+                w_ids[dst] = flat_ids[s : s + wl]
+                w_w[dst] = flat_w[s : s + wl]
+            else:
+                seg_w = flat_w[s : s + ln]
+                idx = np.argpartition(-np.abs(seg_w), wl - 1)[:wl]
+                w_ids[dst] = flat_ids[s : s + ln][idx]
+                w_w[dst] = seg_w[idx]
+        self._win = (jnp.asarray(w_ids), jnp.asarray(w_w), w_starts, w_lens)
+        return self._win
+
+    def _fwd_cold_device(self):
+        """Cold-only packed forward rows [N_pad, 2*Jc] int32 for the exact
+        hybrid rescore: per point, only the entries whose dim is NOT a hot
+        column (those score exactly through the hot matrix), as
+        [compact tids | f32 weight bits]. Hot terms absorb the head of the
+        document-frequency distribution, so cold rows are ~4x narrower
+        than full forward rows — and the rescore's element-gather count
+        (B*k_fetch*Jc at ~19 ns each, the measured cost driver) shrinks
+        with them. Rows with more than Jc cold entries keep their Jc
+        HEAVIEST (weight-sorted before truncation); Jc is the 99.9th
+        percentile, so this touches ~0.1% of rows."""
+        if getattr(self, "_fwd_cold", None) is not None:
+            return self._fwd_cold
+        if self._hot is None:
+            return None
+        _hot, hot_col_of_dim = self._hot
+        _fi, _fw, sorted_dims, _ds, _dl = self._csr_host
+        n_pad = self._dev[3]
+        if len(sorted_dims) == 0:
+            return None
+        all_dims, all_w, row_lens, row_offs = self.store.flat_arrays()
+        if not len(all_dims):
+            return None
+        all_offs = np.repeat(row_offs, row_lens)
+        tids = getattr(self, "_tids_store", None)
+        if tids is None or len(tids) != len(all_dims):
+            tids = np.searchsorted(sorted_dims, all_dims)
+            tids = np.clip(tids, 0, len(sorted_dims) - 1)
+            valid = sorted_dims[tids] == all_dims
+        else:
+            valid = np.ones(len(all_dims), bool)  # cache covers live rows
+        coldmask = valid & (hot_col_of_dim[tids] < 0)
+        s_offs = all_offs[coldmask].astype(np.int64)
+        s_w = all_w[coldmask]
+        s_tids = tids[coldmask].astype(np.int32)
+        n_rows = len(self.store)
+        c_lens = np.bincount(s_offs, minlength=n_rows).astype(np.int64)
+        jc_need = int(np.percentile(c_lens, 99.9)) if len(c_lens) else 1
+        jc = max(8, 1 << (max(jc_need, 1) - 1).bit_length())
+        jc = min(jc, 256)
+        budget = int(
+            os.environ.get("QDRANT_TPU_SPARSE_FWD_MAX_BYTES", 2_000_000_000)
+        )
+        if n_pad * jc * 8 > budget:
+            self._fwd_cold = None
+            return None
+        terms = np.full((n_pad, jc), -1, dtype=np.int32)
+        weights = np.zeros((n_pad, jc), dtype=np.float32)
+        # within-row positions over the cold subset (entries arrive in
+        # row-major store order, so positions are a prefix-sum offset; the
+        # gather by row id beats np.repeat by ~10x at 27M entries)
+        starts = np.concatenate([[0], np.cumsum(c_lens)[:-1]])
+        within = np.arange(len(s_offs)) - starts[s_offs]
+        long_rows = c_lens > jc
+        if long_rows.any():
+            sel = long_rows[s_offs]
+            l_offs, l_w, l_tids = s_offs[sel], s_w[sel], s_tids[sel]
+            order = np.lexsort((-np.abs(l_w), l_offs))
+            l_offs, l_w, l_tids = l_offs[order], l_w[order], l_tids[order]
+            l_lens = c_lens[long_rows]
+            l_starts = np.concatenate([[0], np.cumsum(l_lens)[:-1]])
+            l_within = np.arange(len(l_offs)) - np.repeat(l_starts, l_lens)
+            keep = l_within < jc
+            terms[l_offs[keep], l_within[keep]] = l_tids[keep]
+            weights[l_offs[keep], l_within[keep]] = l_w[keep]
+            keep = ~sel
+        else:
+            keep = np.ones(len(s_offs), bool)
+        terms[s_offs[keep], within[keep]] = s_tids[keep]
+        weights[s_offs[keep], within[keep]] = s_w[keep]
+        packed = np.concatenate([terms, weights.view(np.int32)], axis=1)
+        self._fwd_cold = jnp.asarray(packed)
+        return self._fwd_cold
 
     def idf(self, dim: int) -> float:
         """BM25-style IDF (reference: idf_statistics / modifier=idf)."""
@@ -493,7 +620,11 @@ class SparseIndex:
         exact_mode = flag_env("sparse_exact_search", "QDRANT_TPU_SPARSE_EXACT")
         if not exact_mode:
             hot = self._hot_device()
-            if hot is not None and self._forward_device() is not None:
+            if (
+                hot is not None
+                and self._fwd_cold_device() is not None
+                and self._window_device() is not None
+            ):
                 out = [
                     self._search_hybrid(
                         queries[i : i + 256], k, filter_mask, window
@@ -529,10 +660,10 @@ class SparseIndex:
         from ..ops.sparse import sparse_hybrid_search
 
         flat_ids_d, flat_w_d, _table, n_pad = self._dev
-        flat_w_h, sorted_dims = self._csr_host[1], self._csr_host[2]
+        sorted_dims = self._csr_host[2]
         d_starts, d_lens = self._csr_host[3], self._csr_host[4]
-        hot, hot_tids_dev, hot_col_of_dim = self._hot
-        row_terms, row_weights, _tid_of = self._fwd
+        hot, hot_col_of_dim = self._hot
+        h = hot.shape[1]
         u = len(sorted_dims)
         b = len(queries)
         # pad the batch to a pow2 bucket: the program compiles per shape
@@ -557,86 +688,75 @@ class SparseIndex:
         qidx, tids, all_w = qidx[valid], tids[valid].astype(np.int32), all_w[valid]
         all_w = self._remap_weights_idf(qidx, tids, all_w)
 
-        # q_tids / q_w [B, Tq_pad] (position within query via prefix counts)
-        first = np.searchsorted(qidx, np.arange(b))
-        pos = np.arange(len(qidx)) - first[qidx]
-        tq = int(pos.max()) + 1 if len(pos) else 1
-        tq_pad = max(8, 1 << (tq - 1).bit_length())
-        q_tids = np.full((b_pad, tq_pad), -1, dtype=np.int32)
-        q_w = np.zeros((b_pad, tq_pad), dtype=np.float32)
-        q_tids[qidx, pos] = tids
-        q_w[qidx, pos] = all_w
+        # hot query matrix [B, H] built on host (tiny: B x H x 4 bytes)
+        hc = hot_col_of_dim[tids]
+        hot_sel = hc >= 0
+        qhot = np.zeros((b_pad, h), dtype=np.float32)
+        np.add.at(qhot, (qidx[hot_sel], hc[hot_sel]), all_w[hot_sel])
 
-        # cold chunk expansion: every posting chunk of every cold query
-        # term, impact-ordered, capped per query
-        cold_window = min(window, 512)
-        cap = int(os.environ.get("QDRANT_TPU_SPARSE_COLD_CAP", 1024))
-        cold = hot_col_of_dim[tids] < 0
+        # full query term lists [B, Tq] — the device scatter-builds a dense
+        # [B, U] query vector from these for the exact candidate rescore
+        q_count = np.bincount(qidx, minlength=b)
+        tq = int(q_count.max()) if len(qidx) else 1
+        tq_pad = max(8, 1 << (max(tq, 1) - 1).bit_length())
+        q_tids = np.full((b_pad, tq_pad), -1, dtype=np.int32)
+        q_wmat = np.zeros((b_pad, tq_pad), dtype=np.float32)
+        if len(qidx):
+            qpos = np.arange(len(qidx)) - np.searchsorted(qidx, np.arange(b))[qidx]
+            q_tids[qidx, qpos] = tids
+            q_wmat[qidx, qpos] = all_w
+
+        # cold terms ship as per-TERM window descriptors (start, len, qw) —
+        # ~2 KB/batch; the device expands them to entry positions itself
+        # (entry-level payloads cost ~160 ms/batch of host→device
+        # transfer). Windows come from the top-W window CSR — each cold
+        # term's W heaviest postings (the WAND max_next_weight analogue,
+        # search_context.rs:25-80); truncation only affects candidate
+        # SELECTION — reported scores are exact via the cold-forward-row
+        # rescore.
+        w_ids_d, w_w_d, w_starts, w_lens = self._win
+        cold = ~hot_sel
         cq, ct, cw = qidx[cold], tids[cold], all_w[cold]
-        starts_c = d_starts[ct].astype(np.int64)
-        lens_c = d_lens[ct].astype(np.int64)
-        n_ch = (lens_c + cold_window - 1) // cold_window
-        total = int(n_ch.sum())
-        if total:
-            rep_q = np.repeat(cq, n_ch)
-            rep_s = np.repeat(starts_c, n_ch)
-            rep_len = np.repeat(lens_c, n_ch)
-            rep_w = np.repeat(cw, n_ch)
-            firstc = np.repeat(
-                np.concatenate([[0], np.cumsum(n_ch)[:-1]]), n_ch
-            )
-            within = np.arange(total) - firstc
-            ch_start = rep_s + within * cold_window
-            ch_len = np.minimum(cold_window, rep_len - within * cold_window)
-            # impact = |q weight| x dim max weight (per-chunk bound when
-            # postings are weight-sorted; per-dim bound otherwise)
-            if getattr(self, "_postings_weight_sorted", True):
-                impact = np.abs(rep_w) * np.abs(flat_w_h[ch_start])
-            else:
-                impact = np.abs(rep_w) * np.repeat(self._dim_maxes[ct], n_ch)
-            order = np.lexsort((-impact, rep_q))
-            rep_q, ch_start = rep_q[order], ch_start[order]
-            ch_len, rep_w = ch_len[order], rep_w[order]
-            firstq = np.searchsorted(rep_q, np.arange(b))
-            posq = np.arange(total) - firstq[rep_q]
-            keep = posq < cap
-            rep_q, ch_start = rep_q[keep], ch_start[keep]
-            ch_len, rep_w, posq = ch_len[keep], rep_w[keep], posq[keep]
-            t_cold = int(posq.max()) + 1 if len(posq) else 1
+        starts_c = w_starts[ct]
+        lens_c = w_lens[ct]
+        if len(cq):
+            post = np.arange(len(cq)) - np.searchsorted(cq, np.arange(b))[cq]
+            tc = int(post.max()) + 1 if len(post) else 1
+            totals = np.bincount(cq, weights=lens_c, minlength=b)
+            e_max = int(totals.max()) if len(totals) else 1
         else:
-            t_cold = 1
-        t_pad = max(8, 1 << (t_cold - 1).bit_length())
-        cold_starts = np.full((b_pad, t_pad), -1, dtype=np.int32)
+            tc, e_max = 1, 1
+        t_pad = max(8, 1 << (tc - 1).bit_length())
+        e_pad = max(8, 1 << (max(e_max, 1) - 1).bit_length())
+        cold_starts = np.zeros((b_pad, t_pad), dtype=np.int32)
         cold_lens = np.zeros((b_pad, t_pad), dtype=np.int32)
         cold_qw = np.zeros((b_pad, t_pad), dtype=np.float32)
-        if total:
-            cold_starts[rep_q, posq] = ch_start.astype(np.int32)
-            cold_lens[rep_q, posq] = ch_len.astype(np.int32)
-            cold_qw[rep_q, posq] = rep_w
+        if len(cq):
+            cold_starts[cq, post] = starts_c
+            cold_lens[cq, post] = lens_c
+            cold_qw[cq, post] = cw
 
-        v_pad = max(8, 1 << max(u - 1, 0).bit_length()) if u else 8
-        c_min = int(os.environ.get("QDRANT_TPU_SPARSE_CANDIDATES", 512))
+        c_min = int(os.environ.get("QDRANT_TPU_SPARSE_CANDIDATES", 256))
         k_fetch = min(max(4 * k, c_min), n_pad)
+        u_pad = max(8, 1 << (max(u, 1) - 1).bit_length())
         mask = self._mask_device(filter_mask, n_pad)
 
         scores, ids = sparse_hybrid_search(
             hot,
-            hot_tids_dev,
-            flat_ids_d,
-            flat_w_d,
-            jnp.asarray(q_tids),
-            jnp.asarray(q_w),
+            jnp.asarray(qhot),
+            w_ids_d,
+            w_w_d,
             jnp.asarray(cold_starts),
             jnp.asarray(cold_lens),
             jnp.asarray(cold_qw),
-            row_terms,
-            row_weights,
+            self._fwd_cold,
+            jnp.asarray(q_tids),
+            jnp.asarray(q_wmat),
             mask,
-            cold_window,
-            v_pad,
+            u_pad,
+            e_pad,
             k_fetch,
             k,
-            _bf16_dot(),
         )
         scores = np.asarray(scores, dtype=np.float32)[:b]
         ids = np.asarray(ids, dtype=np.int32)[:b]
@@ -754,9 +874,9 @@ class SparseIndex:
             _mask_to_dev(filter_mask, n_pad, len(self.store)),
         )
         if fwd is not None:
-            from ..ops.sparse import rescore_sparse_candidates
+            from ..ops.sparse import rescore_sparse_packed
 
-            row_terms, row_weights, tid_of = fwd
+            fwd_rows, tid_of = fwd
             v = len(tid_of)
             qvec = np.zeros((b, v), dtype=np.float32)
             for i, q in enumerate(queries):
@@ -767,8 +887,8 @@ class SparseIndex:
             cand = jnp.where(
                 jnp.isfinite(scores), ids, -1
             )
-            exact_scores = rescore_sparse_candidates(
-                cand, row_terms, row_weights, jnp.asarray(qvec)
+            exact_scores = rescore_sparse_packed(
+                cand, fwd_rows, jnp.asarray(qvec)
             )
             k_eff = min(k, k_fetch)
             top_s, ti = jax.lax.top_k(exact_scores, k_eff)

@@ -61,22 +61,26 @@ def score_sparse_batch(
     return scores
 
 
+LANES = 128
+HOT_BLOCK = 8192
+SCAN_UNROLL = 4
+
+
 @functools.partial(jax.jit, static_argnames=())
-def rescore_sparse_candidates(
+def rescore_sparse_packed(
     cand_ids: jax.Array,  # [B, C] int32 point offsets (-1 padded)
-    row_terms: jax.Array,  # [N_pad, J] int32 compact term ids (-1 padded)
-    row_weights: jax.Array,  # [N_pad, J] f32
+    fwd_rows: jax.Array,  # [N_pad, 2J] int32: [tids (-1 pad) | f32 bits]
     qvec: jax.Array,  # [B, V] f32 dense query over compact term ids
 ) -> jax.Array:
-    """Exact sparse scores of the candidates: gather each candidate's
-    forward row and dot it against the dense query vector. The windowed
-    first pass may mis-rank points whose contributions lie beyond the
-    posting windows; this recovers the exact ordering for the candidate
-    set (the TPU rendering of the reference's exact posting merge over a
-    pruned candidate stream, search_context.rs:25-80)."""
+    """Exact f32 candidate rescore over the PACKED forward table: term ids
+    and f32 weight bit patterns live side by side in one int32 row, so each
+    candidate costs ONE row gather instead of two (TPU row gathers carry a
+    fixed per-gather cost that dominated the two-table variant)."""
+    j = fwd_rows.shape[1] // 2
     safe = jnp.maximum(cand_ids, 0)
-    terms = jnp.take(row_terms, safe, axis=0)  # [B, C, J]
-    weights = jnp.take(row_weights, safe, axis=0)  # [B, C, J]
+    rows = jnp.take(fwd_rows, safe, axis=0)  # [B, C, 2J]
+    terms = rows[..., :j]
+    weights = jax.lax.bitcast_convert_type(rows[..., j:], jnp.float32)
 
     def one(qv, t, w):
         contrib = jnp.where(t >= 0, jnp.take(qv, jnp.maximum(t, 0)), 0.0)
@@ -86,18 +90,13 @@ def rescore_sparse_candidates(
     return jnp.where(cand_ids >= 0, scores, NEG_INF)
 
 
-LANES = 128
-HOT_BLOCK = 8192
-SCAN_UNROLL = 4
-
-
 @functools.partial(jax.jit, static_argnames=())
 def build_hot_matrix(
     flat_ids: jax.Array,  # [L] int32 point offsets (pad tail allowed)
     flat_weights: jax.Array,  # [L] f32 (pad tail zero)
     dim_starts: jax.Array,  # [U] int32 posting start per sorted dim
     hot_col_of_dim: jax.Array,  # [U] int32 hot column per dim (-1 = cold)
-    hot_init: jax.Array,  # [N_pad, H] bf16 zeros (donated)
+    hot_init: jax.Array,  # [N_pad, H] f32 zeros (donated)
 ) -> jax.Array:
     """Seal-time build of the dense hot-term matrix from the device CSR.
 
@@ -113,94 +112,105 @@ def build_hot_matrix(
     col = jnp.take(hot_col_of_dim, jnp.clip(dim_idx, 0), axis=0)
     valid = col >= 0
     rows = jnp.where(valid, flat_ids, n_pad)  # OOB rows are dropped
-    w = jnp.where(valid, flat_weights, 0.0).astype(jnp.bfloat16)
+    w = jnp.where(valid, flat_weights, 0.0).astype(hot_init.dtype)
     return hot_init.at[rows, jnp.maximum(col, 0)].add(w, mode="drop")
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "v_pad", "k_fetch", "k", "bf16_dot")
+    jax.jit, static_argnames=("u_pad", "e_pad", "k_fetch", "k")
 )
 def sparse_hybrid_search(
-    hot: jax.Array,  # [N_pad, H] bf16 dense hot-term matrix
-    hot_tids: jax.Array,  # [H] int32 compact term id per hot column (-1 pad)
-    flat_ids: jax.Array,  # [L] int32 (cold CSR gathers)
-    flat_weights: jax.Array,  # [L] f32
-    q_tids: jax.Array,  # [B, Tq] int32 compact term ids (-1 pad)
-    q_w: jax.Array,  # [B, Tq] f32
-    cold_starts: jax.Array,  # [B, T] int32 posting-chunk starts (-1 pad)
-    cold_lens: jax.Array,  # [B, T] int32 chunk lengths
-    cold_qw: jax.Array,  # [B, T] f32 query weight per chunk
-    row_terms: jax.Array,  # [N_pad, J] int32 forward rows (-1 pad)
-    row_weights: jax.Array,  # [N_pad, J] f32
+    hot: jax.Array,  # [N_pad, H] f32 dense hot-term matrix
+    qhot: jax.Array,  # [B, H] f32 query weights over hot columns (host-built)
+    flat_ids: jax.Array,  # [Lw] int32 top-W window CSR: point offsets
+    flat_weights: jax.Array,  # [Lw] f32 window CSR: posting weights
+    cold_starts: jax.Array,  # [B, Tc] int32 window start per cold term
+    cold_lens: jax.Array,  # [B, Tc] int32 window length taken per term (0 pad)
+    cold_qw: jax.Array,  # [B, Tc] f32 query weight per cold term
+    fwd_cold: jax.Array,  # [N_pad, 2*Jc] int32 packed [cold tids | f32 bits]
+    q_tids: jax.Array,  # [B, Tq] int32 compact term ids, -1 pad (ALL terms)
+    q_w: jax.Array,  # [B, Tq] f32 query weights (idf-remapped)
     valid_mask: jax.Array,  # [N_pad] bool
-    window: int,  # static cold chunk size
-    v_pad: int,  # static compact vocab size
+    u_pad: int,  # static dense query width (compact term space)
+    e_pad: int,  # static per-query cold window entry budget
     k_fetch: int,  # static candidate count
     k: int,
-    bf16_dot: bool = True,  # False on CPU backends (no bf16 DotThunk)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Hot-dense + cold-sparse hybrid sparse search, fused with the exact
-    forward-row rescore — ONE compiled program per shape bucket.
+    """Hot-dense + windowed-cold SELECTION, exact candidate RESCORE — one
+    compiled program per shape bucket.
 
     TPU-first inversion of the reference's WAND posting merge
-    (lib/sparse/src/index/search_context.rs:25-80): the top-H
-    highest-document-frequency terms live as a dense [N, H] bf16 matrix and
-    are scored on the MXU in one matmul (where FLOPs are ~free); the
-    remaining cold terms — whose postings are short by construction (every
-    cold posting list is shorter than the H-th hottest) — go through a
-    small exact gather + scatter-add. The sum is an (almost) exact score
-    for EVERY point, streamed block-wise with the strided group-reduction
-    top-k of ops/scan.py, and the k_fetch winners are exactly rescored in
-    f32 against the forward rows inside the same program."""
-    b, n_pad = q_tids.shape[0], hot.shape[0]
-    h = hot.shape[1]
+    (lib/sparse/src/index/search_context.rs:25-80), shaped by measured
+    per-element costs on the hardware (element-granular HBM gathers
+    ~19 ns, scatter-adds ~50-200 ns — both catastrophic at
+    postings-per-batch scale, while MXU matmuls and contiguous row
+    gathers are effectively free):
+
+      * SELECTION: the top-H document-frequency terms live as a dense
+        [N, H] f32 matrix scored block-wise on the MXU with
+        Precision.HIGHEST (exact to f32 rounding). Cold terms contribute
+        through a bounded WINDOW of their heaviest postings (postings are
+        weight-descending per dim at seal — the window is the analogue of
+        the reference's max_next_weight pruning): per-term (start, len,
+        qw) descriptors expand to entry positions on device via a
+        vectorized searchsorted over per-query prefix sums. Window
+        truncation only perturbs CANDIDATE CHOICE, never reported scores.
+      * RESCORE: the top k_fetch candidates get exact f32 scores:
+        s_hot from a contiguous hot-row gather + einsum, s_cold from the
+        cold-only packed forward rows (a doc's hot entries live in the
+        hot matrix, so rows carry only its ~¼ cold entries) against a
+        dense per-query term vector scatter-built on device — B·kf·Jc
+        element gathers instead of postings-scale work."""
+    b, h = qhot.shape
+    n_pad = hot.shape[0]
     blk = min(HOT_BLOCK, n_pad)
     nb = n_pad // blk
     g = blk // LANES
+    prec = jax.lax.Precision.HIGHEST
+    jc = fwd_cold.shape[1] // 2
 
-    # dense query over the compact vocabulary (for hot gather + rescore)
-    qv_valid = q_tids >= 0
-    qvec = jnp.zeros((b, v_pad), jnp.float32)
-    brow = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], q_tids.shape)
-    qvec = qvec.at[
-        brow.reshape(-1),
-        jnp.where(qv_valid, q_tids, 0).reshape(-1),
-    ].add(jnp.where(qv_valid, q_w, 0.0).reshape(-1), mode="drop")
+    # ---- dense per-query term vector (compact tid space) ----
+    def one_qdense(tids, w):
+        v = jnp.zeros((u_pad,), dtype=jnp.float32)
+        safe_t = jnp.where(tids >= 0, tids, u_pad)
+        return v.at[safe_t].add(jnp.where(tids >= 0, w, 0.0), mode="drop")
 
-    qhot = jnp.take(qvec, jnp.maximum(hot_tids, 0), axis=1)  # [B, H]
-    qhot = jnp.where(hot_tids[None, :] >= 0, qhot, 0.0)
-    qhot_b = qhot.astype(jnp.bfloat16 if bf16_dot else jnp.float32)
+    qdense = jax.vmap(one_qdense)(q_tids, q_w)  # [B, u_pad]
 
-    # cold accumulator [B, N_pad] via windowed gathers + scatter-add
-    def one_query(starts, lens, qw):
-        def one_chunk(start, ln, w):
-            s = jnp.maximum(start, 0)
-            ids = jax.lax.dynamic_slice(flat_ids, (s,), (window,))
-            ws = jax.lax.dynamic_slice(flat_weights, (s,), (window,))
-            pos = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
-            ok = (pos < ln) & (start >= 0)
-            ids = jnp.where(ok, ids, n_pad)
-            contrib = jnp.where(ok, ws * w, 0.0)
-            return ids, contrib
+    # ---- cold window accumulator: entry expansion + scatter-add ----
+    cum = jnp.cumsum(cold_lens, axis=1)  # [B, Tc]
+    ent = jnp.arange(e_pad, dtype=jnp.int32)
 
-        ids, contribs = jax.vmap(one_chunk)(starts, lens, qw)  # [T, P]
+    def one_query(starts, lens, qw, cum_q):
+        tot = cum_q[-1]
+        term = jnp.searchsorted(cum_q, ent, side="right").astype(jnp.int32)
+        term_c = jnp.minimum(term, cum_q.shape[0] - 1)
+        base = cum_q - lens  # entry offset where each term begins
+        within = ent - jnp.take(base, term_c)
+        pos = jnp.take(starts, term_c) + within
+        ok = ent < tot
+        ids = jnp.where(ok, jnp.take(flat_ids, jnp.maximum(pos, 0)), n_pad)
+        contrib = jnp.where(
+            ok,
+            jnp.take(flat_weights, jnp.maximum(pos, 0)) * jnp.take(qw, term_c),
+            0.0,
+        )
         acc = jnp.zeros((n_pad,), dtype=jnp.float32)
-        return acc.at[ids.reshape(-1)].add(contribs.reshape(-1), mode="drop")
+        return acc.at[ids].add(contrib, mode="drop")
 
-    acc = jax.vmap(one_query)(cold_starts, cold_lens, cold_qw)  # [B, N_pad]
+    acc = jax.vmap(one_query)(cold_starts, cold_lens, cold_qw, cum)
     acc_b = acc.reshape(b, nb, blk).transpose(1, 0, 2)  # [nb, B, blk]
     hot_b = hot.reshape(nb, blk, h)
     mask_b = valid_mask.reshape(nb, blk)
 
     def body(carry, inp):
         hblk, ablk, mb = inp
-        if not bf16_dot:
-            hblk = hblk.astype(jnp.float32)
         s = (
             jax.lax.dot_general(
-                qhot_b,
+                qhot,
                 hblk,
                 (((1,), (1,)), ((), ())),
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )
             + ablk
@@ -228,8 +238,21 @@ def sparse_hybrid_search(
     cand = jnp.take_along_axis(flat_i, ti, axis=1)
     cand = jnp.where(jnp.isfinite(top_s), cand, -1)
 
-    # fused exact f32 rescore against forward rows
-    exact = rescore_sparse_candidates(cand, row_terms, row_weights, qvec)
+    # ---- exact f32 rescore of the candidates ----
+    safe = jnp.maximum(cand, 0)
+    rows = jnp.take(hot, safe, axis=0)  # [B, kf, H] contiguous row gather
+    s_hot = jnp.einsum("bkh,bh->bk", rows, qhot, precision=prec)
+    fr = jnp.take(fwd_cold, safe, axis=0)  # [B, kf, 2Jc]
+    ct = fr[..., :jc]
+    cw = jax.lax.bitcast_convert_type(fr[..., jc:], jnp.float32)
+
+    def one_rescore(qv, t, w):
+        qc = jnp.where(t >= 0, jnp.take(qv, jnp.maximum(t, 0)), 0.0)
+        return jnp.sum(qc * w, axis=-1)
+
+    s_cold = jax.vmap(one_rescore)(qdense, ct, cw)  # [B, kf]
+    exact = s_hot + s_cold
+    exact = jnp.where((cand >= 0) & (exact != 0.0), exact, NEG_INF)
     k_eff = min(k, kf)
     out_s, oi = jax.lax.top_k(exact, k_eff)
     out_i = jnp.take_along_axis(cand, oi, axis=1)

@@ -61,11 +61,11 @@ def test_hybrid_matches_exact(corpus, monkeypatch):
 
     # small hot budget → H=128 < U=500 so BOTH hot and cold paths exercise
     monkeypatch.setenv(
-        "QDRANT_TPU_SPARSE_HOT_BYTES", str(2 * 32768 * 128)
+        "QDRANT_TPU_SPARSE_HOT_BYTES", str(4 * 32768 * 128)
     )
     idx2 = SparseIndex(store)
     assert idx2._hot_device() is not None
-    hot_cols = int((idx2._hot[2] >= 0).sum())
+    hot_cols = int((idx2._hot[1] >= 0).sum())
     assert 0 < hot_cols < 500  # genuine hot/cold split
     scores, ids = idx2.search(queries, k=k)
     assert _recall(ids, truth) >= 0.98  # bf16 hot part may flip near-ties
