@@ -413,8 +413,12 @@ def sparse_cfg(rng, cpu_qps):
     q_mat = np.zeros((nq, vocab), np.float32)
     for i, q in enumerate(s_queries):
         q_mat[i, q.indices] = q.values
-    s_all = x_csr @ q_mat.T  # [n5, nq]
-    s_truth30 = np.argsort(-s_all, axis=0)[:30].T
+    s_all = np.asarray((x_csr @ q_mat.T).T)  # [nq, n5]
+    # argpartition top-30 then order (a full 1M argsort per query costs
+    # ~60 s across the batch; partition is ~6x cheaper)
+    part = np.argpartition(-s_all, 30, axis=1)[:, :30]
+    rows = np.arange(nq)[:, None]
+    s_truth30 = part[rows, np.argsort(-s_all[rows, part], axis=1)]
     s_truth = s_truth30[:, :K]
     log(f"sparse truth {time.perf_counter() - t0:.1f}s")
 

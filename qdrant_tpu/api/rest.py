@@ -176,7 +176,13 @@ def h_delete_collection(toc, m, body, q):
 
 
 def h_update_aliases(toc, m, body, q):
-    return toc.update_aliases((body or {}).get("actions", []))
+    actions = (body or {}).get("actions", [])
+    # aliases are cluster metadata: committed through consensus so every
+    # peer resolves them identically (reference: CollectionMetaOperations::
+    # ChangeAliases, collection_meta_ops.rs:488-511)
+    if _meta_submit(toc, {"type": "update_aliases", "actions": actions}):
+        return True
+    return toc.update_aliases(actions)
 
 
 def h_collection_aliases(toc, m, body, q):
@@ -971,11 +977,14 @@ def _local_replica(toc, name: str, shard_id: int):
     if cache is None:
         cache = {}
         coll._local_replicas = cache
-    if shard_id not in cache:
+    cached = cache.get(shard_id)
+    if cached is None or cached.shard is not shard:
+        # identity check: a dropped-then-recreated shard (transfer abort
+        # cleanup + fresh replicate) must not resolve to the closed object
         from ..cluster.replica_set import LocalReplica
 
-        cache[shard_id] = LocalReplica(shard)
-    return cache[shard_id]
+        cached = cache[shard_id] = LocalReplica(shard)
+    return cached
 
 
 def h_internal_update(toc, m, body, q):

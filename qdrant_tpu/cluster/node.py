@@ -432,7 +432,9 @@ class ClusterNode:
                     if rec["aborted"]:
                         return
                     try:
-                        transfer_shard_stream_records(rs, to, target)
+                        transfer_shard_stream_records(
+                            rs, to, target, cancel=lambda: rec["aborted"]
+                        )
                         break
                     except Exception:
                         if attempt == 39:
@@ -451,17 +453,42 @@ class ClusterNode:
                     }
                 )
             finally:
-                self.active_transfers.pop(key, None)
+                # guarded: a fresh transfer for the same (coll, sid, to) may
+                # have re-registered the key after this one aborted
+                if self.active_transfers.get(key) is rec:
+                    self.active_transfers.pop(key, None)
 
         threading.Thread(target=_transfer, daemon=True).start()
 
     def abort_transfer(self, collection: str, sid: int, to: int) -> bool:
         """Cancel a transfer this peer is driving (between retry attempts;
-        an in-flight stream batch completes first). → True if one matched."""
+        an in-flight stream batch completes first), then clean up: the
+        half-copied target replica is dropped through consensus so
+        placement never routes reads at partial data (reference: transfer
+        abort removes the PARTIAL replica, transfer/mod.rs). The sole
+        remaining holder of an rf=1 move cannot be aborted — the source
+        already left the placement. → True if a transfer matched."""
         rec = self.active_transfers.get((collection, sid, to))
         if rec is None:
             return False
         rec["aborted"] = True
+        try:
+            coll = self.toc.get_collection(collection)
+            others = [p for p in coll.placement.get(sid, []) if p != to]
+        except Exception:
+            others = []
+        if others:
+            # inline (not a thread): by the time the abort call returns, the
+            # drop is committed (or at least handed to the leader), so a
+            # follow-up replicate cannot race a late drop of its fresh copy
+            self.propose_anywhere(
+                {
+                    "type": "drop_replica",
+                    "name": collection,
+                    "shard_id": sid,
+                    "peer_id": to,
+                }
+            )
         return True
 
     def _on_replica_add(self, collection: str, sid: int, to: int) -> None:

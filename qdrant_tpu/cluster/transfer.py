@@ -57,12 +57,21 @@ class ForwardProxyReplica(ShardOperations):
         return self.inner.scroll_ids(*a, **k)
 
 
-def stream_records(source_shard, target: ShardOperations, batch_size: int = 100) -> int:
+def stream_records(
+    source_shard,
+    target: ShardOperations,
+    batch_size: int = 100,
+    cancel=None,
+) -> int:
     """Scroll the source shard and upsert every live point into the target.
+    `cancel` (zero-arg callable) is checked between batches — an abort takes
+    effect within one batch instead of after the whole shard streamed.
     → number of transferred points."""
     transferred = 0
     offset = None
     while True:
+        if cancel is not None and cancel():
+            raise TransferError("transfer aborted")
         ids = source_shard.scroll_ids(batch_size + 1, offset)
         if not ids:
             break
@@ -178,10 +187,13 @@ def transfer_shard_stream_records(
     target_peer: int,
     target: ShardOperations,
     batch_size: int = 100,
+    cancel=None,
 ) -> int:
     """Full StreamRecords transfer into `target`, registered as a replica of
     `replica_set`. Live writes during the copy reach the target both via the
-    PARTIAL replica state (normal fan-out) and the forward proxy."""
+    PARTIAL replica state (normal fan-out) and the forward proxy. A `cancel`
+    that fires mid-stream raises TransferError after deregistering the
+    PARTIAL replica (the caller drops the half-copied data)."""
     local_peer = replica_set.this_peer_id
     local = replica_set.replicas.get(local_peer)
     if local is None:
@@ -195,7 +207,11 @@ def transfer_shard_stream_records(
             proxy.inner.shard if isinstance(proxy.inner, LocalReplica) else None,
             target,
             batch_size,
+            cancel=cancel,
         )
+    except TransferError:
+        replica_set.remove_replica(target_peer)
+        raise
     finally:
         replica_set.replicas[local_peer] = local
     replica_set.set_replica_state(target_peer, ReplicaState.ACTIVE)

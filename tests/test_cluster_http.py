@@ -118,7 +118,10 @@ def test_replicated_collection_end_to_end(cluster):
     )
     deadline = time.time() + 10
     while time.time() < deadline:
-        if all(t.has_collection("repl2") for t in tocs):
+        if all(
+            t.has_collection("repl2") and t.get_collection("repl2").replica_sets
+            for t in tocs
+        ):
             break
         time.sleep(0.05)
     # replication attached on every peer
