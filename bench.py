@@ -89,6 +89,19 @@ def make_dataset(rng, n, d, n_queries, n_clusters=1024, spread=20.0):
     return data, queries
 
 
+def tiled_noise(rng, n, d, pool_rows=65536, pool=None):
+    """High-dim gaussian-ish noise in O(pool) RNG work: draw a pool of rows
+    once, then assemble n rows as pool[p_i] * g_i with a per-row scalar
+    jitter (fresh standard_normal at 1M x 1536 costs 70-360 s of host RNG —
+    measured; the pool version is ~seconds and keeps rows distinct). Pass
+    `pool` to amortize the draw across blocks."""
+    if pool is None:
+        pool = rng.standard_normal((pool_rows, d), dtype=np.float32)
+    pick = rng.integers(0, len(pool), size=n)
+    jit = (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    return pool[pick] * jit[:, None]
+
+
 def host_exact_topk(data, queries, k):
     """Numpy exact search (the CPU baseline) → ids + elapsed seconds."""
     d_sq = (data * data).sum(1)
@@ -291,9 +304,7 @@ def main():
         d3 = 1536
         t0 = time.perf_counter()
         centers3 = rng.standard_normal((256, d3), dtype=np.float32)
-        sq_data = centers3[rng.integers(0, 256, n3)] + rng.standard_normal(
-            (n3, d3), dtype=np.float32
-        )
+        sq_data = centers3[rng.integers(0, 256, n3)] + tiled_noise(rng, n3, d3)
         sq_q = centers3[rng.integers(0, 256, 256)] + rng.standard_normal(
             (256, d3), dtype=np.float32
         )
@@ -507,10 +518,11 @@ def tiered_cfg(rng):
     norms = np.zeros(n_pad, dtype=np.float32)
     scale = None
     step = 500_000
+    noise_pool = rng.standard_normal((65536, d), dtype=np.float32)
     for s in range(0, n, step):
         e = min(n, s + step)
-        block = centers[rng.integers(0, 512, e - s)] + rng.standard_normal(
-            (e - s, d), dtype=np.float32
+        block = centers[rng.integers(0, 512, e - s)] + tiled_noise(
+            rng, e - s, d, pool=noise_pool
         )
         mm[s:e] = block
         if scale is None:
@@ -594,9 +606,7 @@ def hnsw1536_cfg(rng):
     n, d = int(os.environ.get("BENCH_HNSW1536_N", 1_000_000)), 1536
     t0 = time.perf_counter()
     centers = rng.standard_normal((512, d), dtype=np.float32)
-    data = centers[rng.integers(0, 512, n)] + rng.standard_normal(
-        (n, d), dtype=np.float32
-    )
+    data = centers[rng.integers(0, 512, n)] + tiled_noise(rng, n, d)
     queries = centers[rng.integers(0, 512, 1024)] + rng.standard_normal(
         (1024, d), dtype=np.float32
     )

