@@ -78,7 +78,7 @@ def scan_search(
     )
     flat_s = jnp.moveaxis(ms, 0, 1).reshape(b, -1)
     flat_i = jnp.moveaxis(ids, 0, 1).reshape(b, -1)
-    top_s, ti = jax.lax.top_k(flat_s, k)
+    top_s, ti = jax.lax.top_k(flat_s, min(k, nb * LANES))
     top_i = jnp.take_along_axis(flat_i, ti, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return top_s, top_i
@@ -130,7 +130,7 @@ def scan_search_sq(
     )
     flat_s = jnp.moveaxis(ms, 0, 1).reshape(b, -1)
     flat_i = jnp.moveaxis(ids, 0, 1).reshape(b, -1)
-    top_s, ti = jax.lax.top_k(flat_s, k)
+    top_s, ti = jax.lax.top_k(flat_s, min(k, nb * LANES))
     top_i = jnp.take_along_axis(flat_i, ti, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return top_s, top_i
@@ -213,7 +213,101 @@ def scan_search_sq_flat(
     )
     flat_s = ms.reshape(b, -1)
     flat_i = ids.reshape(b, -1)
-    top_s, ti = jax.lax.top_k(flat_s, k)
+    top_s, ti = jax.lax.top_k(flat_s, min(k, nb * LANES))
+    top_i = jnp.take_along_axis(flat_i, ti, axis=1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk", "k", "euclid", "pack", "bits_w")
+)
+def scan_search_tq_flat(
+    q_rot: jax.Array,  # [B, D_pad] f32 rotated queries
+    q_norms: jax.Array,  # [B] f32 exact ||q||² (pre-rotation)
+    packed: jax.Array,  # [N, D_pad/pack] uint8 — TQ level indices, packed
+    scales: jax.Array,  # [N] f32 per-vector scale
+    norms: jax.Array,  # [N] f32 exact original norms
+    levels: jax.Array,  # [L] f32 Lloyd-Max reconstruction levels
+    mask: jax.Array,  # [N] int8 validity
+    blk: int = DEFAULT_BLOCK,
+    k: int = 10,
+    euclid: bool = False,
+    pack: int = 2,
+    bits_w: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """TQ-as-primary flat scan (reference: vector_storage/turbo/mod.rs —
+    quantized codes ARE the storage): per block, dynamic-slice the packed
+    byte array out of HBM, unpack `pack` level indices per byte, look up
+    Lloyd-Max reconstruction values, and score on the MXU in bf16. Codes are
+    never reshaped or duplicated, so residency is bits/8 bytes per rotated
+    dim — 10M x 2048-rotated at 4-bit is 10.2 GB on one 16 GB chip."""
+    b = q_rot.shape[0]
+    n = packed.shape[0]
+    g = blk // LANES
+    qb = q_rot.astype(jnp.bfloat16)
+    lv = levels.astype(jnp.bfloat16)
+    lmask = (1 << bits_w) - 1
+
+    def one_block(off):
+        pblk = jax.lax.dynamic_slice_in_dim(packed, off, blk)  # [blk, D/p]
+        subs = [
+            (pblk >> ((pack - 1 - j) * bits_w)) & lmask for j in range(pack)
+        ]
+        codes = jnp.stack(subs, axis=2).reshape(blk, -1)  # [blk, D_pad]
+        recon = jnp.take(lv, codes.astype(jnp.int32))  # [blk, D_pad] bf16
+        sc = jax.lax.dynamic_slice_in_dim(scales, off, blk)
+        nrm = jax.lax.dynamic_slice_in_dim(norms, off, blk)
+        mb = jax.lax.dynamic_slice_in_dim(mask, off, blk)
+        dots = jax.lax.dot_general(
+            qb, recon, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sc[None, :]
+        if euclid:
+            s = 2.0 * dots - q_norms[:, None] - nrm[None, :]
+        else:
+            s = dots
+        s = jnp.where(mb[None, :] != 0, s, -jnp.inf)
+        s3 = s.reshape(b, g, LANES)
+        return jnp.max(s3, axis=1), jnp.argmax(s3, axis=1).astype(jnp.int32)
+
+    unroll = 4
+    step = blk * unroll
+    ns = n // step
+    nb = n // blk
+
+    def body(i, carry):
+        ms, ams = carry
+        for j in range(unroll):
+            m, a = one_block(i * step + j * blk)
+            ms = jax.lax.dynamic_update_slice_in_dim(
+                ms, m[:, None, :], i * unroll + j, axis=1
+            )
+            ams = jax.lax.dynamic_update_slice_in_dim(
+                ams, a[:, None, :], i * unroll + j, axis=1
+            )
+        return ms, ams
+
+    ms0 = jnp.full((b, nb, LANES), -jnp.inf, dtype=jnp.float32)
+    ams0 = jnp.zeros((b, nb, LANES), dtype=jnp.int32)
+    ms, ams = jax.lax.fori_loop(0, ns, body, (ms0, ams0))
+    for off in range(ns * step, n, blk):
+        m, a = one_block(off)
+        ms = jax.lax.dynamic_update_slice_in_dim(
+            ms, m[:, None, :], off // blk, axis=1
+        )
+        ams = jax.lax.dynamic_update_slice_in_dim(
+            ams, a[:, None, :], off // blk, axis=1
+        )
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+    ids = (
+        jnp.arange(nb, dtype=jnp.int32)[None, :, None] * blk
+        + ams * LANES
+        + lane[None, None, :]
+    )
+    flat_s = ms.reshape(b, -1)
+    flat_i = ids.reshape(b, -1)
+    top_s, ti = jax.lax.top_k(flat_s, min(k, nb * LANES))
     top_i = jnp.take_along_axis(flat_i, ti, axis=1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return top_s, top_i

@@ -96,6 +96,9 @@ def _migrate_segment_meta(meta: dict, path: str) -> dict:
         meta["format_version"] = 2
     return meta
 DEFAULT_OVERSAMPLING = 3.0
+# minimum store size for the blocked/flat scan kernels (below this the
+# single-matmul scorers win; patchable in tests)
+FLAT_SCAN_MIN_N = 65536
 
 
 class SearchParams:
@@ -682,7 +685,7 @@ class Segment:
         oversampling = params.quantization_oversampling or DEFAULT_OVERSAMPLING
         k_over = min(max(int(k * oversampling), k), max(int(mask.sum()), 1))
 
-        if isinstance(quant, qops.ScalarQuantized) and len(store) >= 65536:
+        if isinstance(quant, qops.ScalarQuantized) and len(store) >= FLAT_SCAN_MIN_N:
             import os as _os
 
             from ..ops.pallas_scan import is_tpu_backend
@@ -794,6 +797,42 @@ class Segment:
                 jnp.asarray(q), signs, store.distance.value, jnp.asarray(mask_pad)
             )
         elif isinstance(quant, qops.TurboQuantized):
+            euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
+            if store.on_disk and len(store) >= FLAT_SCAN_MIN_N:
+                # TQ-as-primary tier (reference: vector_storage/turbo/
+                # mod.rs:1-29): packed low-bit codes are the ONLY device
+                # residency (bits/8 bytes per rotated dim); candidates
+                # rescore exactly from the host f32 memmap
+                from ..ops.scan import DEFAULT_BLOCK, scan_search_tq_flat
+
+                packed, scales_d, norms_d, levels_d, n_pad = (
+                    quant.flat_device(DEFAULT_BLOCK)
+                )
+                mask_pad = np.zeros(n_pad, dtype=np.int8)
+                mask_pad[: len(mask)] = mask[:n_pad]
+                k_over = min(max(k_over, 128), max(int(mask.sum()), 1))
+                q_rot = quant.rotate_queries(q)
+                bits_w = {4: 4, 2: 2, 1.5: 2, 1: 1}[quant.bits]
+                top_s, cand = scan_search_tq_flat(
+                    jnp.asarray(q_rot),
+                    jnp.asarray((q * q).sum(axis=1).astype(np.float32)),
+                    packed,
+                    scales_d,
+                    norms_d,
+                    levels_d,
+                    jnp.asarray(mask_pad),
+                    DEFAULT_BLOCK,
+                    k_over,
+                    euclid=euclid,
+                    pack=quant.pack_factor,
+                    bits_w=bits_w,
+                )
+                cand_np = np.where(
+                    np.isfinite(np.asarray(top_s)),
+                    np.asarray(cand, dtype=np.int32),
+                    -1,
+                )
+                return self._host_rescore(store, q, cand_np, k)
             recon, scales, norms = quant.device()
             cap = recon.shape[0]
             mask_pad = np.zeros(cap, dtype=bool)

@@ -108,3 +108,48 @@ def test_scan_search_sq_flat_matches_scan_variant():
     s2, i2 = scan_search_sq_flat(*args, euclid=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_scan_search_tq_flat_matches_dense_tq():
+    """Packed TQ flat scan == dense score_tq reconstruction scoring.
+
+    The flat kernel unpacks `pack` level indices per byte on device and
+    scores via Lloyd-Max lookup; the dense path materializes the bf16
+    reconstruction matrix. Same math → same candidates and scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qdrant_tpu.ops.quantization import TurboQuantized, _lloyd_max, score_tq
+    from qdrant_tpu.ops.scan import scan_search_tq_flat
+
+    rng = np.random.default_rng(1)
+    n, d, b, blk, k = 3000, 48, 4, 512, 16
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+
+    for bits, pack, bits_w in [(4, 2, 4), (2, 4, 2), (1, 8, 1)]:
+        tq = TurboQuantized.encode(data, bits=bits)
+        packed, scales, norms, levels, n_pad = tq.flat_device(blk)
+        assert packed.shape == (n_pad, tq.codes.shape[1] // pack)
+        mask = np.zeros(n_pad, np.int8)
+        mask[:n] = 1
+        q_rot = tq.rotate_queries(q)
+        s_flat, i_flat = scan_search_tq_flat(
+            jnp.asarray(q_rot),
+            jnp.asarray((q * q).sum(1).astype(np.float32)),
+            packed, scales, norms, levels,
+            jnp.asarray(mask), blk, k,
+            euclid=True, pack=pack, bits_w=bits_w,
+        )
+        recon, sc_d, nr_d = tq.device()
+        dense = np.asarray(score_tq(
+            jnp.asarray(q_rot), recon, sc_d, nr_d, "Euclid"))
+        truth = np.argsort(-dense, axis=1)[:, :k]
+        s_flat, i_flat = np.asarray(s_flat), np.asarray(i_flat)
+        for r in range(b):
+            overlap = len(set(i_flat[r].tolist()) & set(truth[r].tolist()))
+            assert overlap >= k - 1, (bits, r, overlap)
+            np.testing.assert_allclose(
+                np.sort(s_flat[r]), np.sort(dense[r, truth[r]]),
+                rtol=2e-2, atol=1e-2)

@@ -93,3 +93,89 @@ def test_on_disk_save_load_roundtrip(tmp_path):
     # loaded data matches (spot check through the public getter)
     row = store2.get(7)
     assert row.shape == (32,)
+
+
+def _tq_params():
+    from qdrant_tpu.types import TurboQuantizationConfig
+
+    return CollectionParams(
+        vectors={
+            "": VectorParams(
+                size=32,
+                distance=Distance.EUCLID,
+                on_disk=True,
+                quantization_config=TurboQuantizationConfig(bits="bits4"),
+            )
+        },
+        sparse_vectors={},
+    )
+
+
+def test_tq_primary_flat_scan_recall(monkeypatch):
+    """TQ-as-primary residency (reference: vector_storage/turbo/mod.rs:1-29
+    — TurboQuant codes ARE the storage): packed 4-bit codes on device,
+    f32 truth stays on the host memmap, candidates rescored exactly."""
+    import qdrant_tpu.ops.scan as scan_mod
+    import qdrant_tpu.storage.segment as seg_mod
+
+    monkeypatch.setattr(seg_mod, "FLAT_SCAN_MIN_N", 1000)
+    # at test scale (4k rows) shrink the block so the per-lane-group
+    # candidate pool has the same rows-per-lane density as production
+    # (65k+ rows at the default 8192 block)
+    monkeypatch.setattr(scan_mod, "DEFAULT_BLOCK", 512)
+    seg = Segment(_tq_params())
+    data, rng = _fill(seg)
+    seg.build_indexes()
+    store = seg.dense[""]
+    quant = seg.quantized[""]
+    assert store.on_disk
+    from qdrant_tpu.ops.quantization import TurboQuantized
+
+    assert isinstance(quant, TurboQuantized)
+
+    q = (data[rng.integers(0, len(data), 16)]
+         + rng.normal(0, 1, size=(16, 32))).astype(np.float32)
+    vsq = (data * data).sum(1)
+    sc = 2.0 * (q @ data.T) - vsq[None, :]
+    truth = np.argsort(-sc, axis=1)[:, :10]
+
+    scores, ids = seg.search_dense(
+        "", q, 10, None, SearchParams(quantization_oversampling=16.0)
+    )
+    # the packed flat path was actually taken: device form is cached
+    assert getattr(quant, "_flat_dev", None) is not None
+    # packed residency is dim/2 bytes per row (4-bit, pack=2)
+    assert quant._flat_dev[0].dtype == np.uint8
+    assert quant._flat_dev[0].shape[1] == quant.codes.shape[1] // 2
+    hits = sum(
+        len(set(int(seg.id_tracker.external_id(x)) for x in ids[r] if x >= 0)
+            & set(truth[r].tolist()))
+        for r in range(16)
+    )
+    assert hits / 160 >= 0.9
+    # f32 block never entered the device
+    assert store._dev is None
+    # rescored scores are exact
+    best = ids[0][0]
+    ext = int(seg.id_tracker.external_id(best))
+    d = data[ext] - q[0]
+    assert np.isclose(scores[0][0], -(d * d).sum(), rtol=1e-4)
+
+
+def test_tq_primary_respects_deletes(monkeypatch):
+    import qdrant_tpu.ops.scan as scan_mod
+    import qdrant_tpu.storage.segment as seg_mod
+
+    monkeypatch.setattr(seg_mod, "FLAT_SCAN_MIN_N", 1000)
+    monkeypatch.setattr(scan_mod, "DEFAULT_BLOCK", 512)
+    seg = Segment(_tq_params())
+    data, rng = _fill(seg, n=2000)
+    seg.build_indexes()
+    q = data[:1]
+    _, ids = seg.search_dense("", q, 5, None, SearchParams())
+    top_ext = int(seg.id_tracker.external_id(ids[0][0]))
+    assert top_ext == 0  # the point itself
+    seg.delete_point(10**9, 0)
+    _, ids2 = seg.search_dense("", q, 5, None, SearchParams())
+    assert all(int(seg.id_tracker.external_id(x)) != 0
+               for x in ids2[0] if x >= 0)
