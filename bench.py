@@ -7,10 +7,17 @@ Configs (BASELINE.md:32-38):
   3. SQ-int8 + f32 rescore  1M dbpedia-like 1536-d, dot
   4. filtered search        keyword filter at 1% / 10% / 50% selectivity
   5. sparse SPLADE + RRF    1M SPLADE-like sparse + dense hybrid
-Extras (after the core line is emitted; each re-emits the JSON):
-  6. tiered quantized-primary storage at 4M x 1536 (f32 exceeds HBM)
-  7. HNSW 1M x 1536 build (the BASELINE.md:32 build-under-a-minute target)
-  8. 4M x 128 scan-vs-graph crossover point
+Extras (after the core line is emitted; each re-emits the JSON, ordered
+by value-per-second so a harness timeout keeps completed entries):
+  6. TQ-as-primary 10M x 1536, packed 4-bit codes-only residency
+  7. 4M x 128 scan-vs-graph crossover point
+  8. HNSW 1M x 1536 build (the BASELINE.md:32 build-under-a-minute target)
+  9. SQ-primary tiered storage at 6M x 1536 (f32 exceeds HBM)
+
+All N-scale datagen/encode/truth runs ON DEVICE (SynthModel closed form):
+this image's host is a single throttled vCPU where one GB of numpy
+elementwise work costs ~200 s — host-side datagen is the round-2 bench
+killer, not the measured kernels.
 
 The CUMULATIVE result JSON is printed (flushed) after EVERY config — if the
 harness timeout kills the run mid-way, the last printed line still carries
@@ -25,7 +32,7 @@ no absolute numbers in-repo; BASELINE.md).
 
 Env knobs: BENCH_N (default 1M), BENCH_D (128), BENCH_SQ_N (1M),
 BENCH_SPARSE_N (1M), BENCH_SKIP=csv of config names
-(scan|hnsw|sq|filtered|sparse|tiered|hnsw1536|crossover).
+(scan|hnsw|sq|filtered|sparse|tiered|hnsw1536|crossover|tq).
 """
 
 from __future__ import annotations
@@ -76,30 +83,20 @@ def set_headline(qps: float, cpu_qps: float):
 
 
 def make_dataset(rng, n, d, n_queries, n_clusters=1024, spread=20.0):
-    """Clustered (SIFT-like) data: gaussian mixture, non-negative, scaled."""
+    """Clustered (SIFT-like) data: gaussian mixture, non-negative, scaled.
+    f32 standard_normal * spread, NOT rng.normal (which draws f64 then
+    casts — 2x the RNG cost; this host is a single throttled vCPU)."""
     centers = rng.uniform(0, 200, size=(n_clusters, d)).astype(np.float32)
     assign = rng.integers(0, n_clusters, size=n)
-    data = centers[assign] + rng.normal(0, spread, size=(n, d)).astype(np.float32)
-    data = np.clip(data, 0, 255).astype(np.float32)
+    data = centers[assign]
+    data += spread * rng.standard_normal((n, d), dtype=np.float32)
+    np.clip(data, 0, 255, out=data)
     q_assign = rng.integers(0, n_clusters, size=n_queries)
-    queries = centers[q_assign] + rng.normal(0, spread, size=(n_queries, d)).astype(
-        np.float32
+    queries = centers[q_assign] + spread * rng.standard_normal(
+        (n_queries, d), dtype=np.float32
     )
     queries = np.clip(queries, 0, 255).astype(np.float32)
     return data, queries
-
-
-def tiled_noise(rng, n, d, pool_rows=65536, pool=None):
-    """High-dim gaussian-ish noise in O(pool) RNG work: draw a pool of rows
-    once, then assemble n rows as pool[p_i] * g_i with a per-row scalar
-    jitter (fresh standard_normal at 1M x 1536 costs 70-360 s of host RNG —
-    measured; the pool version is ~seconds and keeps rows distinct). Pass
-    `pool` to amortize the draw across blocks."""
-    if pool is None:
-        pool = rng.standard_normal((pool_rows, d), dtype=np.float32)
-    pick = rng.integers(0, len(pool), size=n)
-    jit = (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
-    return pool[pick] * jit[:, None]
 
 
 def host_exact_topk(data, queries, k):
@@ -132,7 +129,120 @@ def measure_qps(fn, batch, reps=5):
     return batch / min(times)
 
 
+class SynthModel:
+    """Clustered gaussian data with a closed form the DEVICE generates and
+    the HOST can replay per-row: row j = centers[assign[j]] +
+    pool[pick[j]] * jitter[j].
+
+    Rationale: this image's host is one throttled vCPU (~200 s per GB of
+    numpy elementwise work, measured), so materializing N x 1536 f32 on the
+    host is impossible inside any bench budget. The closed form keeps
+    datagen on the TPU (gathers + one FMA, ~free) while `host_rows` can
+    synthesize any candidate subset in O(rows) — the same gather+BLAS shape
+    as the product's host-memmap rescore (storage/segment.py::_host_rescore),
+    standing in for a memmap this host cannot afford to write."""
+
+    def __init__(self, rng, n, d, n_centers=512, pool_rows=16384):
+        self.n, self.d = n, d
+        self.centers = rng.standard_normal((n_centers, d), dtype=np.float32)
+        self.pool = rng.standard_normal((pool_rows, d), dtype=np.float32)
+        self.assign = rng.integers(0, n_centers, n).astype(np.int32)
+        self.pick = rng.integers(0, pool_rows, n).astype(np.int32)
+        self.jitter = (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        self._dev = None
+        self._block_fn = None
+
+    def device(self):
+        import jax.numpy as jnp
+
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.centers),
+                jnp.asarray(self.pool),
+                jnp.asarray(self.assign),
+                jnp.asarray(self.pick),
+                jnp.asarray(self.jitter),
+            )
+        return self._dev
+
+    def device_block(self, off: int, bs: int):
+        """Generate rows [off, off+bs) on device → [bs, d] f32. `off` may
+        run past n (padded with row 0 repeats — mask separately)."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        centers_d, pool_d, assign_d, pick_d, jit_d = self.device()
+        if self._block_fn is None:
+
+            @functools.partial(jax.jit, static_argnames=("bs",))
+            def block_fn(centers_d, pool_d, assign_d, pick_d, jit_d, off, bs):
+                a = jax.lax.dynamic_slice_in_dim(assign_d, off, bs)
+                p = jax.lax.dynamic_slice_in_dim(pick_d, off, bs)
+                jt = jax.lax.dynamic_slice_in_dim(jit_d, off, bs)
+                return centers_d[a] + pool_d[p] * jt[:, None]
+
+            self._block_fn = block_fn
+        # index arrays are padded so dynamic_slice never clamps mid-block
+        return self._block_fn(
+            centers_d, pool_d, assign_d, pick_d, jit_d, jnp.int32(off), bs=bs
+        )
+
+    def pad_to(self, n_pad: int):
+        """Extend index arrays so device_block can run to n_pad."""
+        extra = n_pad - len(self.assign)
+        if extra > 0:
+            self.assign = np.concatenate([self.assign, np.zeros(extra, np.int32)])
+            self.pick = np.concatenate([self.pick, np.zeros(extra, np.int32)])
+            self.jitter = np.concatenate([self.jitter, np.zeros(extra, np.float32)])
+            self._dev = None
+
+    def host_rows(self, ids) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        return (
+            self.centers[self.assign[ids]]
+            + self.pool[self.pick[ids]] * self.jitter[ids][:, None]
+        )
+
+    def queries(self, rng, nq: int) -> np.ndarray:
+        a = rng.integers(0, len(self.centers), nq)
+        return self.centers[a] + rng.standard_normal(
+            (nq, self.d), dtype=np.float32
+        )
+
+
+def device_truth_ids(q_np, data_dev, k=None, mask_dev=None, euclid=False):
+    """Exact top-k ids computed ON device (dot or euclid) — the host matmul
+    equivalent costs minutes per call on this 1-vCPU image. Downloads only
+    [nq, k] int32 ids."""
+    import jax
+    import jax.numpy as jnp
+
+    k = k or K
+    q = jnp.asarray(np.asarray(q_np, dtype=np.float32))
+    # HIGHEST: truth must be exact f32 — the TPU default matmul precision
+    # is bf16-based and would make "exact truth" itself approximate
+    scores = jnp.matmul(
+        q, data_dev.T.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+    )
+    if euclid:
+        d_sq = (data_dev.astype(jnp.float32) ** 2).sum(axis=1)
+        scores = 2.0 * scores - d_sq[None, :]
+    if mask_dev is not None:
+        scores = jnp.where(mask_dev[None, :], scores, -jnp.inf)
+    _, ids = jax.lax.top_k(scores, k)
+    return np.asarray(ids, dtype=np.int32)
+
+
 def main():
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # env JAX_PLATFORMS=cpu is overridden by the axon plugin; only the
+        # config knob (set before first jax use) actually forces CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        log("NOTE: BENCH_FORCE_CPU — running on the CPU backend")
     rng = np.random.default_rng(42)
 
     from qdrant_tpu.index.plain import PlainIndex
@@ -142,23 +252,25 @@ def main():
     # ------------------------------------------------------------------
     # dense 1M x 128: scan path (headline) + HNSW (config 2) + filtered (4)
     # ------------------------------------------------------------------
-    if N != 1_000_000 or D != 128:
-        log(f"NOTE: dense config reduced via env to {N}x{D}")
-    log(f"dataset: {N}x{D} euclid, truth on {N_TRUTH}, scan QPS on {N_BATCH}")
-    t0 = time.perf_counter()
-    data, queries = make_dataset(rng, N, D, max(N_BATCH, HNSW_BATCH))
-    log(f"datagen {time.perf_counter() - t0:.1f}s")
+    cpu_qps = 1.0
+    if {"scan", "hnsw", "filtered"} - SKIP:
+        if N != 1_000_000 or D != 128:
+            log(f"NOTE: dense config reduced via env to {N}x{D}")
+        log(f"dataset: {N}x{D} euclid, truth on {N_TRUTH}, scan QPS on {N_BATCH}")
+        t0 = time.perf_counter()
+        data, queries = make_dataset(rng, N, D, max(N_BATCH, HNSW_BATCH))
+        log(f"datagen {time.perf_counter() - t0:.1f}s")
 
-    truth, cpu_elapsed = host_exact_topk(data, queries[:N_TRUTH], K)
-    cpu_qps = N_TRUTH / cpu_elapsed
-    log(f"cpu exact baseline: {cpu_elapsed:.2f}s -> {cpu_qps:.1f} qps")
+        truth, cpu_elapsed = host_exact_topk(data, queries[:N_TRUTH], K)
+        cpu_qps = N_TRUTH / cpu_elapsed
+        log(f"cpu exact baseline: {cpu_elapsed:.2f}s -> {cpu_qps:.1f} qps")
 
-    store = DenseVectorStore(D, Distance.EUCLID)
-    store.add(data)
-    t0 = time.perf_counter()
-    store.scan_index()
-    store.device_block()
-    log(f"device upload + scan prep {time.perf_counter() - t0:.1f}s")
+        store = DenseVectorStore(D, Distance.EUCLID)
+        store.add(data)
+        t0 = time.perf_counter()
+        store.scan_index()
+        store.device_block()
+        log(f"device upload + scan prep {time.perf_counter() - t0:.1f}s")
 
     if "scan" not in SKIP:
         idx = PlainIndex(store)
@@ -215,14 +327,21 @@ def main():
     # Mirrors the segment dispatch: low selectivity -> masked scan;
     # higher -> graph beam with filter bias (storage/segment.py:477-501).
     if "filtered" not in SKIP:
+        import jax.numpy as jnp
+
+        vecs_dev, _ = store.device_block()
+        cap = vecs_dev.shape[0]
         filt = {}
         for sel in (0.01, 0.10, 0.50):
             mask = rng.random(N) < sel
-            d_sq = (data * data).sum(1)
-            sc = 2.0 * (queries[:N_TRUTH] @ data.T) - d_sq[None, :]
-            sc[:, ~mask] = -np.inf
-            f_truth = np.argsort(-sc, axis=1)[:, :K]
-            del sc
+            mask_pad = np.zeros(cap, dtype=bool)
+            mask_pad[:N] = mask
+            # truth on device: a host masked matmul at 1M x 128 costs
+            # ~60 s per selectivity on this 1-vCPU image
+            f_truth = device_truth_ids(
+                queries[:N_TRUTH], vecs_dev, K, jnp.asarray(mask_pad),
+                euclid=True,
+            )
             if sel < 0.05 or hidx is None:
                 midx = PlainIndex(store)
                 _, f_ids = midx.search(queries[:N_BATCH], k=K, filter_mask=mask)
@@ -258,7 +377,8 @@ def main():
         emit()
 
     # free the dense 1M block before the 1536-d config
-    del store, data, truth
+    if {"scan", "hnsw", "filtered"} - SKIP:
+        del store, data, truth
     hidx = None
     gc.collect()
 
@@ -293,9 +413,9 @@ def main():
     # config 3: SQ-int8 + oversampled f32 rescore, 1M x 1536 dot
     # ------------------------------------------------------------------
     if "sq" not in SKIP:
+        import jax
         import jax.numpy as jnp
 
-        from qdrant_tpu.ops import quantization as qops
         from qdrant_tpu.ops.scan import DEFAULT_BLOCK, scan_search_sq_rescore
 
         n3 = int(os.environ.get("BENCH_SQ_N", 1_000_000))
@@ -303,26 +423,40 @@ def main():
             log(f"NOTE: SQ config reduced via env to n={n3}")
         d3 = 1536
         t0 = time.perf_counter()
-        centers3 = rng.standard_normal((256, d3), dtype=np.float32)
-        sq_data = centers3[rng.integers(0, 256, n3)] + tiled_noise(rng, n3, d3)
-        sq_q = centers3[rng.integers(0, 256, 256)] + rng.standard_normal(
-            (256, d3), dtype=np.float32
-        )
-        log(f"sq datagen {time.perf_counter() - t0:.1f}s")
-        quant = qops.ScalarQuantized.encode(sq_data, 0.99)
-        codes_dev, norms_dev, n_pad = quant.scan_device(DEFAULT_BLOCK)
+        # data generated ON DEVICE (host materialization of 6 GB costs
+        # minutes on this 1-vCPU image); encode = the same round/clip
+        # formula as ScalarQuantized.encode, run as one jit
+        sm = SynthModel(rng, n3, d3, n_centers=256)
+        blk = DEFAULT_BLOCK
+        n_pad = max((n3 + blk - 1) // blk * blk, blk)
+        sm.pad_to(n_pad)
+        vecs_f32 = sm.device_block(0, n_pad)  # [n_pad, d3] f32
+        sample = jnp.abs(vecs_f32[:65536].ravel())
+        sq_scale = float(jnp.quantile(sample, 0.99)) / 127.0
         mask3 = np.zeros(n_pad, np.int8)
         mask3[:n3] = 1
-        vecs_f32 = jnp.asarray(sq_data)
-        qc = jnp.asarray(quant.encode_queries(sq_q))
+        mask3_dev = jnp.asarray(mask3)
+
+        @jax.jit
+        def encode_sq(v, mask):
+            codes = jnp.clip(jnp.round(v / sq_scale), -127, 127).astype(jnp.int8)
+            norms = (v * v).sum(axis=1) * mask
+            return codes, norms
+
+        codes_dev, norms_dev = encode_sq(vecs_f32, mask3_dev.astype(jnp.float32))
+        sq_q = sm.queries(rng, 256)
+        log(f"sq datagen+encode (device) {time.perf_counter() - t0:.1f}s")
+        qc = jnp.asarray(
+            np.clip(np.round(sq_q / sq_scale), -127, 127).astype(np.int8)
+        )
         qn3 = jnp.asarray((sq_q * sq_q).sum(axis=1).astype(np.float32))
         args3 = (
             qc,
             qn3,
             codes_dev,
             norms_dev,
-            jnp.float32(quant.scale),
-            jnp.asarray(mask3),
+            jnp.float32(sq_scale),
+            mask3_dev,
             jnp.asarray(sq_q),
             vecs_f32,
             DEFAULT_BLOCK,
@@ -334,7 +468,7 @@ def main():
         sq_qps = measure_qps(
             lambda: np.asarray(scan_search_sq_rescore(*args3)[1]), 256, reps=3
         )
-        gt3 = np.argsort(-(sq_q[:N_TRUTH] @ sq_data.T), axis=1)[:, :K]
+        gt3 = device_truth_ids(sq_q[:N_TRUTH], vecs_f32, K, mask3_dev > 0)
         sq_recall = recall(sq_ids[:N_TRUTH], gt3)
         STATE["detail"]["sq_int8_1m_1536_dot"] = {
             "n": n3,
@@ -343,7 +477,7 @@ def main():
         }
         log(f"sq-int8 {n3}x1536 dot: qps={sq_qps:.0f} recall={sq_recall:.4f}")
         emit()
-        del sq_data, vecs_f32, codes_dev, quant, args3
+        del sm, vecs_f32, codes_dev, norms_dev, args3
         gc.collect()
 
     # ------------------------------------------------------------------
@@ -359,16 +493,24 @@ def main():
     # extras: each re-emits the cumulative JSON when it lands, so a
     # harness timeout mid-extra never loses completed results
     # ------------------------------------------------------------------
-    try:
-        if "tiered" not in SKIP:
-            tiered_cfg(rng)
-        if "hnsw1536" not in SKIP:
-            hnsw1536_cfg(rng)
-        if "crossover" not in SKIP:
-            crossover_cfg(rng)
-    except Exception as exc:  # extras must never invalidate the core line
-        log(f"extra config failed: {type(exc).__name__}: {exc}")
-        STATE["detail"]["extra_error"] = f"{type(exc).__name__}: {exc}"
+    # ordered by value-per-second: each extra re-emits, so a harness
+    # timeout mid-extra keeps everything completed before it
+    for name, fn in (
+        ("tq", tiered_tq_cfg),
+        ("crossover", crossover_cfg),
+        ("hnsw1536", hnsw1536_cfg),
+        ("tiered", tiered_cfg),
+    ):
+        if name in SKIP:
+            continue
+        try:
+            fn(rng)
+        except Exception as exc:  # extras must never invalidate the core line
+            log(f"extra config '{name}' failed: {type(exc).__name__}: {exc}")
+            STATE["detail"][f"extra_error_{name}"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
+            gc.collect()
     emit(final=True)
 
 
@@ -491,108 +633,199 @@ def sparse_cfg(rng, cpu_qps):
 
 
 def tiered_cfg(rng):
-    """Quantized-primary tiered storage: N x 1536 where the f32 block
-    cannot exist in HBM — only int8 codes resident (zero-copy flat scan,
-    ops/scan.py::scan_search_sq_flat), exact rescore gathered from the
-    host-side f32 memmap (segment.py::_host_rescore semantics)."""
-    import shutil
-    import tempfile
+    """Quantized-primary tiered storage, SQ-int8 codes-only residency:
+    N x 1536 where the f32 block cannot exist in HBM (reference:
+    vector_storage/quantized/quantized_vectors.rs:52). Data, encode, and
+    exact truth run ON DEVICE blockwise; the host rescores candidates from
+    the SynthModel closed form (same gather+BLAS shape as the product's
+    memmap rescore, storage/segment.py::_host_rescore)."""
+    _tiered_scan_cfg(
+        rng,
+        int(os.environ.get("BENCH_TIERED_N", 6_000_000)),
+        bits=8,
+        detail_key="tiered_quantized_primary",
+    )
 
+
+def tiered_tq_cfg(rng):
+    """TQ-as-primary at 10M x 1536 on one 16 GB chip: packed 4-bit codes
+    (2 level indices/byte -> 7.7 GB resident) are the ONLY device residency
+    (ops/scan.py::scan_search_tq_flat; reference: vector_storage/turbo/
+    mod.rs:1-29 — turbo codes ARE the storage, not a sidecar). Encode here
+    uses uniform 4-bit levels on the same kernel (the `levels` table is a
+    kernel input either way; the product Lloyd-Max+Hadamard encode is
+    covered by tests). Reports codes-only QPS AND host-rescored QPS/recall
+    (quantization_rescore true/false, both product paths)."""
+    _tiered_scan_cfg(
+        rng,
+        int(os.environ.get("BENCH_TQ_N", 10_000_000)),
+        bits=4,
+        detail_key="tiered_tq_primary",
+    )
+
+
+def _tiered_scan_cfg(rng, n, bits, detail_key):
+    """Shared skeleton for the quantized-primary scale configs.
+
+    Everything N-scale happens on device: per 256k block, one jitted step
+    generates rows from the SynthModel closed form, encodes them (int8 SQ
+    or packed 4-bit TQ), writes them into the donated codes buffer, and
+    folds the block into the exact f32 truth top-k. A 61 GB f32 copy never
+    exists anywhere — this host (one throttled vCPU) could neither build
+    nor hold one."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
-    from qdrant_tpu.ops.quantization import ScalarQuantized
-    from qdrant_tpu.ops.scan import DEFAULT_BLOCK, scan_search_sq_flat
-
-    n, d = int(os.environ.get("BENCH_TIERED_N", 6_000_000)), 1536
-    log(f"tiered config: {n}x{d} (f32 {n * d * 4 / 1e9:.1f} GB > HBM; "
-        f"codes {n * d / 1e9:.1f} GB resident)")
-    t0 = time.perf_counter()
-    centers = rng.standard_normal((512, d), dtype=np.float32)
-    tmp = tempfile.mkdtemp(prefix="bench_tiered_")
-    mm = np.lib.format.open_memmap(
-        os.path.join(tmp, "vecs.npy"), mode="w+", dtype=np.float32, shape=(n, d)
+    from qdrant_tpu.ops.scan import (
+        DEFAULT_BLOCK,
+        scan_search_sq_flat,
+        scan_search_tq_flat,
     )
-    blk = DEFAULT_BLOCK
-    n_pad = (n + blk - 1) // blk * blk
-    codes = np.zeros((n_pad, d), dtype=np.int8)
-    norms = np.zeros(n_pad, dtype=np.float32)
-    scale = None
-    step = 500_000
-    noise_pool = rng.standard_normal((65536, d), dtype=np.float32)
-    for s in range(0, n, step):
-        e = min(n, s + step)
-        block = centers[rng.integers(0, 512, e - s)] + tiled_noise(
-            rng, e - s, d, pool=noise_pool
-        )
-        mm[s:e] = block
-        if scale is None:
-            # quantile from the first block (statistically ample sample)
-            flat = np.abs(block.reshape(-1))
-            scale = max(float(np.quantile(flat, 0.99)), 1e-12) / 127.0
-        codes[s:e] = np.clip(np.round(block / scale), -127, 127).astype(np.int8)
-        norms[s:e] = (block * block).sum(axis=1)
-    mm.flush()
-    log(f"tiered datagen+encode {time.perf_counter() - t0:.1f}s")
+
+    d = 1536
+    codes_gb = n * d * (1 if bits == 8 else 0.5) / 1e9
+    log(f"tiered[{bits}bit] config: {n}x{d} (f32 {n * d * 4 / 1e9:.1f} GB "
+        f"> HBM; codes {codes_gb:.1f} GB resident)")
     t0 = time.perf_counter()
-    codes_dev = jnp.asarray(codes)
-    norms_dev = jnp.asarray(norms)
-    del codes
-    gc.collect()
+    sm = SynthModel(rng, n, d)
+    blk = DEFAULT_BLOCK
+    # 262144-row generation blocks (1.6 GB f32 transient), smaller if the
+    # whole config is smaller (CPU smoke runs)
+    bs = min(32 * blk, max((n + blk - 1) // blk * blk, blk))
+    n_pad = max((n + bs - 1) // bs * bs, bs)
+    sm.pad_to(n_pad)
+    centers_d, pool_d, assign_d, pick_d, jit_d = sm.device()
+    nq = 64
+    q = sm.queries(rng, nq)
+    q_dev = jnp.asarray(q)
+
+    half_bins = 7.5
+    levels_np = (np.arange(16, dtype=np.float32) - half_bins) / half_bins * 3.2
+    sq_scale = 3.6 / 127.0  # +-3.6 covers a unit-ish gaussian + jitter
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1, 2), static_argnames=("bs",)
+    )
+    def gen_step(codes_buf, scales_buf, norms_buf, off, bs):
+        a = jax.lax.dynamic_slice_in_dim(assign_d, off, bs)
+        p = jax.lax.dynamic_slice_in_dim(pick_d, off, bs)
+        jt = jax.lax.dynamic_slice_in_dim(jit_d, off, bs)
+        block = centers_d[a] + pool_d[p] * jt[:, None]
+        if bits == 8:
+            enc = jnp.clip(jnp.round(block / sq_scale), -127, 127).astype(
+                jnp.int8
+            )
+            sc = jnp.zeros((bs,), jnp.float32)  # unused for SQ
+        else:
+            sc = block.std(axis=1) + 1e-12
+            idx = jnp.clip(
+                jnp.round(block / (sc[:, None] * (3.2 / half_bins)))
+                + half_bins,
+                0,
+                15,
+            ).astype(jnp.uint8)
+            enc = (idx[:, 0::2] << 4) | idx[:, 1::2]
+        codes_buf = jax.lax.dynamic_update_slice(codes_buf, enc, (off, 0))
+        scales_buf = jax.lax.dynamic_update_slice(scales_buf, sc, (off,))
+        nrm = (block * block).sum(axis=1)
+        norms_buf = jax.lax.dynamic_update_slice(norms_buf, nrm, (off,))
+        # fold this block into exact truth (dot); mask pad rows
+        scores = jnp.matmul(
+            q_dev, block.T, precision=jax.lax.Precision.HIGHEST
+        )
+        valid = (off + jnp.arange(bs)) < n
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        t_s, t_i = jax.lax.top_k(scores, K)
+        return codes_buf, scales_buf, norms_buf, t_s, t_i + off
+
+    codes_buf = jnp.zeros(
+        (n_pad, d if bits == 8 else d // 2),
+        jnp.int8 if bits == 8 else jnp.uint8,
+    )
+    scales_buf = jnp.zeros((n_pad,), jnp.float32)
+    norms_buf = jnp.zeros((n_pad,), jnp.float32)
+    truth_parts = []
+    for off in range(0, n_pad, bs):
+        codes_buf, scales_buf, norms_buf, t_s, t_i = gen_step(
+            codes_buf, scales_buf, norms_buf, jnp.int32(off), bs=bs
+        )
+        truth_parts.append((np.asarray(t_s), np.asarray(t_i)))
+    all_s = np.concatenate([s for s, _ in truth_parts], axis=1)
+    all_i = np.concatenate([i for _, i in truth_parts], axis=1)
+    order = np.argsort(-all_s, axis=1)[:, : 3 * K]
+    truth30 = np.take_along_axis(all_i, order, axis=1)
+    truth = truth30[:, :K]
+    log(f"tiered[{bits}bit] device gen+encode+truth "
+        f"{time.perf_counter() - t0:.1f}s")
+
     mask = np.zeros(n_pad, np.int8)
     mask[:n] = 1
     mask_dev = jnp.asarray(mask)
-    log(f"tiered upload {time.perf_counter() - t0:.1f}s")
-
-    nq, k_over = 64, 128
-    q = centers[rng.integers(0, 512, nq)] + rng.standard_normal(
-        (nq, d), dtype=np.float32
-    )
-    qc = jnp.asarray(np.clip(np.round(q / scale), -127, 127).astype(np.int8))
     qn = jnp.asarray((q * q).sum(axis=1).astype(np.float32))
+    k_over = 128
 
-    def search():
-        _, cand = scan_search_sq_flat(
-            qc, qn, codes_dev, norms_dev, jnp.float32(scale), mask_dev,
-            DEFAULT_BLOCK, k_over, False,
-        )
+    if bits == 8:
+        qc = jnp.asarray(np.clip(np.round(q / sq_scale), -127, 127).astype(np.int8))
+
+        def device_scan(k):
+            return scan_search_sq_flat(
+                qc, qn, codes_buf, norms_buf, jnp.float32(sq_scale),
+                mask_dev, blk, k, False,
+            )
+    else:
+        levels_dev = jnp.asarray(levels_np)
+
+        def device_scan(k):
+            return scan_search_tq_flat(
+                q_dev, qn, codes_buf, scales_buf, norms_buf, levels_dev,
+                mask_dev, blk, k, euclid=False, pack=2, bits_w=4,
+            )
+
+    # codes-only path (params.quantization_rescore = false)
+    def search_codes_only():
+        _, cand = device_scan(K)
+        return np.asarray(cand, dtype=np.int32)
+
+    ids_codes = search_codes_only()
+    r_codes = recall(ids_codes[:nq], truth)
+    qps_codes = measure_qps(search_codes_only, nq, reps=3)
+    log(f"tiered[{bits}bit] codes-only: recall@10={r_codes:.4f} "
+        f"qps={qps_codes:.1f}")
+
+    # oversample + exact host rescore (quantization_rescore = true):
+    # rows synthesized from the closed form — same gather+BLAS cost shape
+    # as the product memmap gather
+    def search_rescored():
+        _, cand = device_scan(k_over)
         cand = np.asarray(cand, dtype=np.int32)
-        s_out = np.full((nq, K), -np.inf, np.float32)
         i_out = np.full((nq, K), -1, np.int32)
         for bi in range(nq):
             ids = cand[bi]
             ids = ids[(ids >= 0) & (ids < n)]
-            rows = np.asarray(mm[ids], dtype=np.float32)
+            rows = sm.host_rows(ids)
             sc = rows @ q[bi]
-            order = np.argsort(-sc)[:K]
-            s_out[bi, : len(order)] = sc[order]
-            i_out[bi, : len(order)] = ids[order]
-        return s_out, i_out
+            i_out[bi, : K] = ids[np.argsort(-sc)[:K]]
+        return i_out
 
-    _, ids = search()
-    # exact truth: blocked host matmul over the memmap
-    t0 = time.perf_counter()
-    t_scores = np.zeros((nq, n), np.float32)
-    for s in range(0, n, step):
-        e = min(n, s + step)
-        t_scores[:, s:e] = q @ np.asarray(mm[s:e]).T
-    t_truth = np.argsort(-t_scores, axis=1)[:, :K]
-    del t_scores
-    log(f"tiered truth {time.perf_counter() - t0:.1f}s")
-    r = recall(ids[:nq], t_truth)
-    qps = measure_qps(lambda: search(), nq, reps=3)
-    log(f"tiered {n}x{d}: recall@10={r:.4f} qps={qps:.1f}")
-    STATE["detail"]["tiered_quantized_primary"] = {
+    ids_re = search_rescored()
+    r_re = recall(ids_re[:nq], truth)
+    qps_re = measure_qps(search_rescored, nq, reps=3)
+    log(f"tiered[{bits}bit] rescored: recall@10={r_re:.4f} qps={qps_re:.1f}")
+    STATE["detail"][detail_key] = {
         "n": n,
         "dim": d,
+        "bits": bits,
         "f32_gb": round(n * d * 4 / 1e9, 1),
-        "codes_gb": round(n * d / 1e9, 1),
-        "recall_at_10": round(r, 4),
-        "qps": round(qps, 1),
+        "codes_gb": round(codes_gb, 1),
+        "codes_only": {"recall_at_10": round(r_codes, 4),
+                       "qps": round(qps_codes, 1)},
+        "rescored": {"recall_at_10": round(r_re, 4), "qps": round(qps_re, 1)},
     }
     emit(final=True)
-    del codes_dev, norms_dev, mm
+    del codes_buf, scales_buf, norms_buf, sm
     gc.collect()
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def hnsw1536_cfg(rng):
@@ -605,16 +838,21 @@ def hnsw1536_cfg(rng):
 
     n, d = int(os.environ.get("BENCH_HNSW1536_N", 1_000_000)), 1536
     t0 = time.perf_counter()
+    # host copy IS required here (the builder's host seed graph reads
+    # store._data) — build it with the fewest possible host passes:
+    # gather + one in-place add, no jitter multiply, truth on device
     centers = rng.standard_normal((512, d), dtype=np.float32)
-    data = centers[rng.integers(0, 512, n)] + tiled_noise(rng, n, d)
+    pool = rng.standard_normal((16384, d), dtype=np.float32)
+    data = centers[rng.integers(0, 512, n)]
+    data += pool[rng.integers(0, 16384, n)]
     queries = centers[rng.integers(0, 512, 1024)] + rng.standard_normal(
         (1024, d), dtype=np.float32
     )
     log(f"hnsw1536 datagen {time.perf_counter() - t0:.1f}s")
-    truth = np.argsort(-(queries[:N_TRUTH] @ data.T), axis=1)[:, :K]
     store = DenseVectorStore(d, Distance.DOT)
     store.add(data)
-    store.device_block()
+    vecs_dev, mask_dev = store.device_block()
+    truth = device_truth_ids(queries[:N_TRUTH], vecs_dev, K, mask_dev)
     sidx = PlainIndex(store)
     _, s_ids = sidx.search(queries[:N_BATCH], k=K)
     scan_r = recall(s_ids[:N_TRUTH], truth)
@@ -657,13 +895,12 @@ def crossover_cfg(rng):
     t0 = time.perf_counter()
     data, queries = make_dataset(rng, n, d, HNSW_BATCH)
     log(f"crossover datagen {time.perf_counter() - t0:.1f}s")
-    d_sq = (data * data).sum(1)
-    sc = 2.0 * (queries[:N_TRUTH] @ data.T) - d_sq[None, :]
-    truth = np.argsort(-sc, axis=1)[:, :K]
-    del sc
     store = DenseVectorStore(d, Distance.EUCLID)
     store.add(data)
-    store.device_block()
+    vecs_dev, mask_dev = store.device_block()
+    truth = device_truth_ids(
+        queries[:N_TRUTH], vecs_dev, K, mask_dev, euclid=True
+    )
     sidx = PlainIndex(store)
     _, s_ids = sidx.search(queries[:N_BATCH], k=K)
     scan_r = recall(s_ids[:N_TRUTH], truth)

@@ -26,7 +26,19 @@ def main(argv=None) -> int:
         help="URL of an existing peer to join (reference: src/main.rs --bootstrap)",
     )
     parser.add_argument("--peer-id", type=int, help="stable peer id (default: derived from uri)")
+    parser.add_argument(
+        "--force-cpu",
+        action="store_true",
+        help="run on the CPU backend (CPU-only hosts / accelerator outage)",
+    )
     args = parser.parse_args(argv)
+
+    if args.force_cpu or os.environ.get("QDRANT_TPU_FORCE_CPU"):
+        # must happen before ANY jax use: plugin discovery (e.g. an axon
+        # TPU tunnel) overrides JAX_PLATFORMS env, but not the config knob
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.config_path:
         os.environ["QDRANT_CONFIG_PATH"] = args.config_path

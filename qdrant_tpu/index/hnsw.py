@@ -377,14 +377,20 @@ class HnswIndex:
             scale_sq = jnp.float32(
                 (2.0 if euclid else 1.0) * sq.scale * sq.scale
             )
+            codes_dev = jnp.asarray(codes_np)
+            norms_dev = jnp.asarray(norms_np)
         else:
-            codes_np = np.zeros((cap, d), dtype=ml_dtypes.bfloat16)
-            codes_np[:n] = data.astype(ml_dtypes.bfloat16)
-            norms_np = np.zeros(cap, dtype=np.float32)
-            norms_np[:n] = (data.astype(np.float32) ** 2).sum(axis=1)
+            # bf16 codes + norms derived ON DEVICE from the resident f32
+            # block: the host cast+norm passes cost minutes at 1M x 1536 on
+            # a 1-vCPU host, and uploading bf16 codes would double the
+            # host->device transfer for data the device already holds
+            @jax.jit
+            def _bf16_codes(v):
+                vf = v.astype(jnp.float32)
+                return vf.astype(jnp.bfloat16), (vf * vf).sum(axis=1)
+
+            codes_dev, norms_dev = _bf16_codes(vectors_f32)
             scale_sq = jnp.float32(2.0 if euclid else 1.0)
-        codes_dev = jnp.asarray(codes_np)
-        norms_dev = jnp.asarray(norms_np)
         rank_dev = self._rank_device()
 
         m0 = self.config.m0
@@ -802,6 +808,27 @@ class HnswIndex:
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
+
+    def memory_usage_bytes(self):
+        """Host adjacency + device mirrors + fused inline link+code table
+        (reference: graph links storage is sized for telemetry; here the
+        inline table is the dominant HBM entry at rows*(8*m0 + m0*d))."""
+        from ..utils.memsize import sizeof_attrs
+
+        acc = sizeof_attrs(
+            self,
+            "links0", "links_upper", "counts0", "counts_upper", "rank",
+            "levels",
+            "_links0_dev", "_upper_dev", "_rank_dev", "_stack_counts_dev",
+            "_links0_host", "_links_upper_host", "_counts0_host",
+            "_counts_upper_host",
+        )
+        inline = self._inline
+        if isinstance(inline, dict):
+            from ..utils.memsize import merge, sizeof
+
+            acc = merge(acc, sizeof(inline))
+        return acc
 
     def _inline_state(self) -> Optional[dict]:
         """Build (lazily) the fused link+code table for level-0 beam search

@@ -551,6 +551,11 @@ class FieldIndexes:
             if i is not None
         ]
 
+    def memory_usage_bytes(self):
+        from ..utils.memsize import merge, sizeof_shallow
+
+        return merge(*(sizeof_shallow(i) for i in self.sub_indexes()))
+
     def add_point(self, offset: int, values: List[Any]) -> None:
         for idx in self.sub_indexes():
             idx.add_point(offset, values)
@@ -587,6 +592,11 @@ class StructPayloadIndex:
         self.id_tracker = id_tracker
         self.has_vector_fn = has_vector_fn
         self.field_indexes: Dict[str, FieldIndexes] = {}
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import merge, sizeof
+
+        return merge(*(sizeof(fi) for fi in self.field_indexes.values()))
 
     # -- schema management --------------------------------------------------
 

@@ -65,6 +65,21 @@ class SparseVectorStore:
     def available_count(self) -> int:
         return self._count - self._deleted_count
 
+    def memory_usage_bytes(self):
+        """Host bytes of the live rows + flat-concat cache. Per-row numpy
+        object overhead (~160 B/row) is excluded — posting payload bytes
+        dominate at any scale where the number matters."""
+        from ..utils.memsize import merge, sizeof, sizeof_attrs
+
+        rows = sum(
+            i.nbytes + v.nbytes
+            for i, v in zip(self._indices, self._values)
+            if i is not None and v is not None
+        )
+        acc = merge(sizeof_attrs(self, "_flat"))
+        acc["host_bytes"] += rows
+        return acc
+
     def add(self, vectors: List[SparseVector]) -> np.ndarray:
         offsets = []
         self._flat = None
@@ -227,6 +242,31 @@ class SparseIndex:
 
     def invalidate(self) -> None:
         self._dirty = True
+
+    def memory_usage_bytes(self):
+        """Host (CSR arrays, chunk-max tables) + device (padded postings,
+        hot matrix, forward rescore rows) byte accounting. The reference
+        sizes its inverted index for telemetry/optimizers
+        (lib/sparse/src/index/inverted_index/mod.rs); here the dominant
+        entries are the [N, H] hot matrix and forward tables in HBM."""
+        from ..utils.memsize import merge, sizeof, sizeof_attrs
+
+        return merge(
+            sizeof(self.store),
+            sizeof_attrs(
+                self,
+                "_dev",
+                "_csr_host",
+                "_tids_store",
+                "_dim_maxes",
+                "_chunk_maxes",
+                "_hot",
+                "_fwd",
+                "_fwd_cold",
+                "_win",
+                "_mask_cache",
+            ),
+        )
 
     def _build_csr_arrays(self):
         """Compact postings (dim → [offsets, weights] weight-sorted desc)

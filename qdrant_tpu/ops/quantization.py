@@ -97,6 +97,13 @@ class ScalarQuantized:
             self._pallas_dev = (jnp.asarray(codes), norms, n_pad)
         return self._pallas_dev
 
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(
+            self, "codes", "norms_sq", "_dev", "_scan_dev", "_pallas_dev"
+        )
+
     def encode_queries(self, queries: np.ndarray) -> np.ndarray:
         return np.clip(np.round(queries / self.scale), -127, 127).astype(np.int8)
 
@@ -170,6 +177,11 @@ class BinaryQuantized:
         if self._dev is None:
             self._dev = jnp.asarray(self.signs)
         return self._dev
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(self, "signs", "_dev")
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -311,6 +323,13 @@ class TurboQuantized:
                 jnp.asarray(self.norms_sq),
             )
         return self._dev
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(
+            self, "codes", "scales", "norms_sq", "_dev", "_rot", "_flat_dev"
+        )
 
     def rotate_queries(self, queries: np.ndarray) -> np.ndarray:
         q = np.asarray(queries, dtype=np.float32)
@@ -514,6 +533,11 @@ class ProductQuantized:
         if self._dev is None:
             self._dev = jnp.asarray(self.codes.astype(np.int32))
         return self._dev
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(self, "codes", "codebooks", "_dev")
 
     def query_lut(self, queries: np.ndarray, distance: Distance) -> np.ndarray:
         """Per-query lookup tables [B, S, 256] of sub-scores."""

@@ -485,6 +485,13 @@ class ScanIndex:
             self._row_sharding = None
         self._mask = self.mask_device(valid_mask)
 
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(
+            self, "_v", "_vsq", "_v_f32", "_vsq_host", "_mask"
+        )
+
     def mask_device(self, valid_mask: Optional[np.ndarray]) -> jax.Array:
         mask = np.zeros(self.n_pad, dtype=np.int8)
         if valid_mask is None:

@@ -75,6 +75,23 @@ class PayloadStorage:
             if p is not None:
                 yield off, p
 
+    def memory_usage_bytes(self):
+        """Sampled estimate: mean msgpack size of <=256 payloads x count,
+        x3 for dict/str interpreter overhead. Exact deep-getsizeof over
+        millions of dicts is O(total keys) — too slow for a telemetry
+        endpoint; serialized size tracks actual content within ~2x."""
+        non_null = [p for p in self._payloads[:4096] if p is not None]
+        count = sum(1 for p in self._payloads if p is not None)
+        if not non_null or not count:
+            return {"host_bytes": 0, "device_bytes": 0, "disk_bytes": 0}
+        sample = non_null[:256]
+        avg = sum(len(msgpack.packb(p, use_bin_type=True)) for p in sample) / len(sample)
+        return {
+            "host_bytes": int(avg * 3 * count),
+            "device_bytes": 0,
+            "disk_bytes": 0,
+        }
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str) -> None:

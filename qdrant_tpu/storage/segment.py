@@ -179,6 +179,39 @@ class Segment:
     def __len__(self) -> int:
         return len(self.id_tracker)
 
+    def memory_usage_bytes(self) -> Dict[str, Any]:
+        """Host/device/disk byte accounting over every store and index in
+        this segment (reference: qdrant sizes storages for telemetry and
+        optimizer placement decisions; lib/segment SegmentInfo ram/disk
+        sizes). → totals + a per-component breakdown."""
+        from ..utils.memsize import merge, sizeof, total
+
+        parts = {
+            "dense": merge(*(sizeof(s) for s in self.dense.values())),
+            "multi": merge(*(sizeof(s) for s in self.multi.values())),
+            "sparse_index": merge(
+                *(sizeof(i) for i in self.sparse_index.values())
+            ),
+            "quantized": merge(*(sizeof(q) for q in self.quantized.values())),
+            "hnsw": merge(
+                *(sizeof(h) for h in self.hnsw.values()),
+                *(sizeof(h) for h in self.hnsw_multi.values()),
+                *(
+                    sizeof(h)
+                    for blocks in self.hnsw_blocks.values()
+                    for h in blocks.values()
+                ),
+            ),
+            "payload_index": sizeof(self.payload_index),
+            "payload_storage": sizeof(self.payload_storage),
+        }
+        out: Dict[str, Any] = merge(*parts.values())
+        out["total_bytes"] = total(out)
+        out["breakdown"] = {
+            k: v for k, v in parts.items() if total(v) > 0
+        }
+        return out
+
     @property
     def total_offsets(self) -> int:
         """Upper bound on internal offsets (including deleted slots)."""

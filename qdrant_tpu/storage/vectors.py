@@ -200,6 +200,17 @@ class DenseVectorStore:
         self._scan = None
         self._dirty = True
 
+    def memory_usage_bytes(self):
+        """Host/device/disk bytes for this store incl. its device mirror
+        and cached scan searcher (reference: VectorStorage size metrics
+        feed telemetry + optimizer decisions)."""
+        from ..utils.memsize import merge, sizeof, sizeof_attrs
+
+        return merge(
+            sizeof_attrs(self, "_data", "_deleted", "_dev", "_dev_mask"),
+            sizeof(getattr(self, "_scan", None)),
+        )
+
     def scan_index(self):
         """Cached blocked-scan searcher (ops/scan.py) over this store's
         current contents — rebuilt lazily after mutations."""
@@ -313,6 +324,11 @@ class MultiVectorStore:
     @property
     def available_count(self) -> int:
         return self._count - self._deleted_count
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(self, "_flat", "_ranges", "_deleted", "_dev")
 
     def add(self, matrices) -> np.ndarray:
         offsets = []

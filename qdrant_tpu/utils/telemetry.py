@@ -119,12 +119,27 @@ def build_telemetry(toc, level: int = 2) -> Dict[str, Any]:
         coll = toc.get_collection(name)
         entry: Dict[str, Any] = {"id": name, **coll.info()}
         if level >= 3:
+            from .memsize import merge, total
+
             shards = []
+            coll_mem = merge()
             for sid, shard in sorted(coll.shards.items()):
+                seg_mems = [
+                    seg.memory_usage_bytes() for seg in shard.segments
+                ]
+                shard_mem = merge(
+                    *(
+                        {k: m[k] for k in
+                         ("host_bytes", "device_bytes", "disk_bytes")}
+                        for m in seg_mems
+                    )
+                )
+                coll_mem = merge(coll_mem, shard_mem)
                 srow: Dict[str, Any] = {
                     "shard_id": sid,
                     "points_count": shard.point_count(),
                     "segments_count": len(shard.segments),
+                    "memory": {**shard_mem, "total_bytes": total(shard_mem)},
                 }
                 if level >= 4:
                     srow["segments"] = [
@@ -133,11 +148,13 @@ def build_telemetry(toc, level: int = 2) -> Dict[str, Any]:
                             "indexed": bool(
                                 seg.hnsw or seg.hnsw_multi or seg.quantized
                             ),
+                            "memory": mem,
                         }
-                        for seg in shard.segments
+                        for seg, mem in zip(shard.segments, seg_mems)
                     ]
                 shards.append(srow)
             entry["shards"] = shards
+            entry["memory"] = {**coll_mem, "total_bytes": total(coll_mem)}
         collections.append(entry)
 
     data: Dict[str, Any] = {

@@ -160,6 +160,51 @@ def test_telemetry_detail_levels(server):
     deep = call(server, "GET", "/telemetry?details_level=4")["result"]
     coll = deep["collections"]["collections"][0]
     assert coll["shards"] and "segments" in coll["shards"][0]
+    # level>=3 accounts memory per collection/shard/segment: the dense
+    # store of 10 x 4-dim f32 vectors must show up as host bytes
+    assert coll["memory"]["total_bytes"] > 0
+    assert coll["memory"]["host_bytes"] >= 10 * 4 * 4
+    seg0 = coll["shards"][0]["segments"][0]
+    assert seg0["memory"]["total_bytes"] > 0
+    assert "dense" in seg0["memory"]["breakdown"]
+
+
+def test_segment_memory_accounting_components():
+    """memory_usage_bytes covers dense + sparse + hnsw + quantized +
+    payload index, and classifies host vs device buffers."""
+    import numpy as np
+
+    from qdrant_tpu.storage.segment import Segment
+    from qdrant_tpu.types import (
+        CollectionParams, Distance, PayloadIndexParams, PayloadSchemaType,
+        SparseVector, SparseVectorParams, VectorParams,
+    )
+
+    params = CollectionParams(
+        vectors={"v": VectorParams(size=16, distance=Distance.DOT)},
+        sparse_vectors={"s": SparseVectorParams()},
+    )
+    seg = Segment(params)
+    rng = np.random.default_rng(0)
+    for i in range(64):
+        seg.upsert_point(
+            i, i,
+            {"v": rng.standard_normal(16).astype(np.float32),
+             "s": SparseVector(indices=[1, 5, 9], values=[1.0, 2.0, 0.5])},
+            {"tag": f"t{i % 4}"},
+        )
+    seg.create_field_index("tag", PayloadIndexParams(PayloadSchemaType.KEYWORD))
+    mem = seg.memory_usage_bytes()
+    bd = mem["breakdown"]
+    assert mem["total_bytes"] > 0
+    assert bd["dense"]["host_bytes"] >= 64 * 16 * 4
+    assert "sparse_index" in bd and bd["sparse_index"]["host_bytes"] > 0
+    assert "payload_index" in bd
+    assert "payload_storage" in bd
+    # forcing the device mirror moves bytes into device accounting
+    seg.dense["v"].device_block()
+    mem2 = seg.memory_usage_bytes()
+    assert mem2["device_bytes"] > 0
 
 
 def test_telemetry_anonymize(server):
