@@ -70,6 +70,19 @@ def _with_search_budget(fn):
 
 DEFAULT_FULL_SCAN_THRESHOLD = 10_000
 
+# Measured scan-vs-graph crossover (v5e-class chip, BENCH_r02 + the 4M
+# crossover config): the batched MXU exact scan sustains ~22.5k QPS at
+# 1M x 128 f32 (recall 0.998) while the graph beam reaches ~3k QPS at
+# recall >= 0.95 — brute force IS the faster path until the scan wall
+# (linear in rows) grows past the graph's ~constant per-query cost, i.e.
+# around 22.5k/3k x 1M ~ 7.5M rows. Unlike the CPU reference — where the
+# graph wins from ~10k points (hnsw/read_view/dispatch.rs:111-170) — the
+# TPU dispatch therefore prefers the scan below this row count unless the
+# caller asks for the graph explicitly (params.hnsw_ef set).
+GRAPH_CROSSOVER_ROWS = int(
+    os.environ.get("QDRANT_TPU_GRAPH_CROSSOVER_ROWS", 7_500_000)
+)
+
 # On-disk segment format version (reference: lib/segment StorageVersion +
 # tests/e2e_tests/test_data_compatibility.py). Bump when segment.json or a
 # store layout changes shape; add an upgrade step to _migrate_segment_meta.
@@ -545,8 +558,17 @@ class Segment:
         ef = params.hnsw_ef or max(k, 64)
 
         # filterable HNSW: a match-value filter covered by a payload-block
-        # subgraph searches that block's graph directly
-        if hnsw is not None and not params.exact and flt is not None:
+        # subgraph searches that block's graph directly (same crossover gate
+        # as the main graph: below it the masked scan is exact and faster)
+        if (
+            hnsw is not None
+            and not params.exact
+            and flt is not None
+            and (
+                params.hnsw_ef is not None
+                or len(combined) >= GRAPH_CROSSOVER_ROWS
+            )
+        ):
             for field, vkey in _block_conditions(flt):
                 sub = self.hnsw_blocks.get(name, {}).get((field, vkey))
                 if sub is not None:
@@ -555,7 +577,10 @@ class Segment:
         use_graph = (
             hnsw is not None
             and not params.exact
-            and self._should_use_graph(vp, combined, fmask is not None)
+            and self._should_use_graph(
+                vp, combined, fmask is not None,
+                explicit_ef=params.hnsw_ef is not None,
+            )
         )
         quant = None if params.quantization_ignore else self.quantized.get(name)
 
@@ -580,19 +605,34 @@ class Segment:
         return PlainIndex(store).search(queries, k, filter_mask=combined)
 
     def _should_use_graph(
-        self, vp: VectorParams, combined_mask: np.ndarray, filtered: bool
+        self,
+        vp: VectorParams,
+        combined_mask: np.ndarray,
+        filtered: bool,
+        explicit_ef: bool = False,
     ) -> bool:
-        """Cardinality dispatch (reference: hnsw/read_view/dispatch.rs:111-170):
-        small filtered cardinality → exact scan of matching points."""
+        """Cost-model dispatch. Two gates, both scan-favoring:
+
+        * filtered: small filtered cardinality → exact scan of matching
+          points (reference semantics, hnsw/read_view/dispatch.rs:111-170).
+        * unfiltered: below the measured scan-vs-graph crossover row count
+          (GRAPH_CROSSOVER_ROWS) the batched MXU scan is both faster AND
+          exact, so the graph only takes over above it — unless the caller
+          asked for the graph explicitly by setting params.hnsw_ef.
+        """
         threshold = (
             vp.hnsw_config.full_scan_threshold
             if vp.hnsw_config
             else DEFAULT_FULL_SCAN_THRESHOLD
         )
-        if not filtered:
-            return True
         cardinality = int(combined_mask.sum())
-        return cardinality >= threshold
+        if filtered and cardinality < threshold:
+            return False
+        if explicit_ef:
+            return True
+        # the masked scan scores every row whatever the filter matches, so
+        # the crossover gate is on total rows for both cases
+        return len(combined_mask) >= GRAPH_CROSSOVER_ROWS
 
     def _host_rescore(
         self, store, q: np.ndarray, cand: np.ndarray, k: int

@@ -276,3 +276,46 @@ def test_segment_format_versioning(tmp_path):
     json.dump(meta, open(os.path.join(path, "segment.json"), "w"))
     with pytest.raises(SegmentFormatError, match="newer than this build"):
         Segment.load(path)
+
+
+def test_segment_graph_crossover_dispatch(monkeypatch):
+    """Below GRAPH_CROSSOVER_ROWS an unfiltered search takes the exact
+    scan even when a graph exists (measured: the MXU scan is faster AND
+    exact under the crossover); params.hnsw_ef forces the graph."""
+    from qdrant_tpu.storage import segment as seg_mod
+
+    rng = np.random.default_rng(11)
+    params = make_params(dim=16, distance=Distance.EUCLID)
+    params.vectors[""].hnsw_config = HnswConfig(
+        m=8, ef_construct=48, full_scan_threshold=10
+    )
+    seg = Segment(params)
+    data = rng.normal(size=(300, 16)).astype(np.float32)
+    for i in range(300):
+        seg.upsert_point(i + 1, i, {"": data[i]})
+    seg.build_indexes()
+    assert "" in seg.hnsw
+
+    calls = []
+    real_search = seg.hnsw[""].search
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_search(*a, **kw)
+
+    monkeypatch.setattr(seg.hnsw[""], "search", spy)
+
+    # default: 300 rows << crossover -> scan path, graph untouched
+    _, ids = seg.search_dense("", data[:4], k=1)
+    assert not calls
+    assert (ids[:, 0] == np.arange(4)).all()
+
+    # explicit hnsw_ef -> graph path
+    seg.search_dense("", data[:4], k=1, params=SearchParams(hnsw_ef=48))
+    assert calls
+
+    # crossover lowered to 1 -> graph used by default too
+    calls.clear()
+    monkeypatch.setattr(seg_mod, "GRAPH_CROSSOVER_ROWS", 1)
+    seg.search_dense("", data[:4], k=1)
+    assert calls
