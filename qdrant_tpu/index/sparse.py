@@ -239,6 +239,7 @@ class SparseIndex:
         self.modifier = modifier  # None | "idf"
         self._dev: Optional[Tuple] = None
         self._dirty = True
+        self._packed = None  # bitpacked host CSR (large sealed stores)
 
     def invalidate(self) -> None:
         self._dirty = True
@@ -257,6 +258,7 @@ class SparseIndex:
                 self,
                 "_dev",
                 "_csr_host",
+                "_packed",
                 "_tids_store",
                 "_dim_maxes",
                 "_chunk_maxes",
@@ -321,18 +323,17 @@ class SparseIndex:
             counts.astype(np.int32),
         )
 
-    def _build_csr(self):
-        """Back-compat view: (flat_ids, flat_w, dim → (start, len) dict)."""
-        flat_ids, flat_w, sorted_dims, d_starts, d_lens = (
-            self._csr_host
-            if not self._dirty and getattr(self, "_csr_host", None)
-            else self._build_csr_arrays()
-        )
-        table = {
-            int(d): (int(s), int(c))
-            for d, s, c in zip(sorted_dims, d_starts, d_lens)
-        }
-        return flat_ids, flat_w, table
+    def _csr_flats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Flat (ids, weights) of the sealed CSR. Large stores retain only
+        the bitpacked form (index/postings.py — the reference keeps
+        compressed inverted indexes resident, lib/posting_list/src/lib.rs:16);
+        the raw arrays are decoded on access, which only the rare rebuild
+        paths (top-W window extraction) pay."""
+        fi, fw = self._csr_host[0], self._csr_host[1]
+        if fi is not None:
+            return fi, fw
+        ids, w = self._packed.unpack()
+        return ids, w
 
     def _device(self):
         if self._dirty or self._dev is None:
@@ -387,6 +388,19 @@ class SparseIndex:
             self._hot = None  # hot matrix rebuilds lazily
             self._hot_built = False
             self._mask_cache = None
+            # large sealed stores keep the host CSR ids bitpacked only
+            # (~15x smaller; the device holds its own padded copy) —
+            # small/dynamic stores skip the pack cost on every rebuild
+            pack_min = int(
+                os.environ.get("QDRANT_TPU_SPARSE_PACK_MIN", 2_000_000)
+            )
+            if len(flat_ids) >= pack_min:
+                from .postings import PackedPostings
+
+                self._packed = PackedPostings.pack(flat_ids, flat_w)
+                self._csr_host = (None, None, sorted_dims, d_starts, d_lens)
+            else:
+                self._packed = None
         return self._dev
 
     # -- hybrid hot/cold split -------------------------------------------
@@ -518,7 +532,8 @@ class SparseIndex:
         if getattr(self, "_win", None) is not None:
             return self._win
         self._device()
-        flat_ids, flat_w, sorted_dims, d_starts, d_lens = self._csr_host
+        _fi, _fw, sorted_dims, d_starts, d_lens = self._csr_host
+        flat_ids, flat_w = self._csr_flats()
         u = len(sorted_dims)
         if u == 0:
             return None

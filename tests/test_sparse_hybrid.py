@@ -114,3 +114,37 @@ def test_hybrid_idf_modifier(corpus, monkeypatch):
     assert idx2._hot_device() is not None
     _, ids = idx2.search(queries, k=10)
     assert _recall(ids, truth) >= 0.97
+
+
+def test_packed_csr_retention_matches_raw(corpus, monkeypatch):
+    """Above QDRANT_TPU_SPARSE_PACK_MIN the host CSR ids are retained
+    bitpacked only (index/postings.py); searches must be identical and
+    the decoded flats exact."""
+    store, queries = corpus
+
+    raw = SparseIndex(store)
+    monkeypatch.setenv("QDRANT_TPU_SPARSE_PACK_MIN", "1000000000")
+    raw._device()
+    assert raw._packed is None
+    s_raw, i_raw = raw.search(queries, k=10)
+
+    packed = SparseIndex(store)
+    monkeypatch.setenv("QDRANT_TPU_SPARSE_PACK_MIN", "1")
+    packed._device()
+    assert packed._packed is not None
+    assert packed._csr_host[0] is None  # raw ids dropped
+    s_p, i_p = packed.search(queries, k=10)
+
+    np.testing.assert_array_equal(i_raw, i_p)
+    np.testing.assert_allclose(s_raw, s_p, rtol=1e-5)
+
+    # decoded flats match the raw build exactly
+    fi_raw, fw_raw = raw._csr_flats()
+    fi_p, fw_p = packed._csr_flats()
+    np.testing.assert_array_equal(fi_raw, fi_p)
+    np.testing.assert_array_equal(fw_raw, fw_p)
+
+    # memory accounting sees the packed payload, and it beats raw ids
+    mem = packed.memory_usage_bytes()
+    assert mem["host_bytes"] > 0
+    assert packed._packed.packed_nbytes < fi_raw.nbytes
