@@ -352,17 +352,24 @@ def main():
                 )
                 path = "masked-scan"
             else:
+                # mirror the product dispatch (storage/segment.py): ACORN
+                # 2-hop traversal for selectivity <= 0.4 (measured: at 10%
+                # sel the plain biased beam loses ~0.3 recall that ACORN
+                # recovers)
+                acorn = sel <= 0.4
                 _, f_ids = hidx.search(
-                    queries[:N_BATCH], k=K, ef=128, filter_mask=mask
+                    queries[:N_BATCH], k=K, ef=128, filter_mask=mask,
+                    acorn=acorn,
                 )
                 f_qps = measure_qps(
                     lambda: hidx.search(
-                        queries[:N_BATCH], k=K, ef=128, filter_mask=mask
+                        queries[:N_BATCH], k=K, ef=128, filter_mask=mask,
+                        acorn=acorn,
                     ),
                     N_BATCH,
                     reps=3,
                 )
-                path = "graph+bias"
+                path = "graph+acorn" if acorn else "graph+bias"
             f_recall = recall(f_ids[:N_TRUTH], f_truth)
             log(
                 f"filtered sel={sel:.0%} [{path}]: recall@10={f_recall:.4f} "
