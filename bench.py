@@ -289,6 +289,16 @@ def main():
             set_headline(qps, cpu_qps)
         emit()
 
+    # cheap, high-value configs land BEFORE the slow graph build so a
+    # driver timeout can only cost the graph numbers (round-2 lesson: the
+    # harness rc=124'd with the sparse config never reached)
+    if "scan" not in SKIP:
+        glove_cfg(rng)
+    if "sq" not in SKIP:
+        sq_cfg(rng)
+    if "sparse" not in SKIP:
+        sparse_cfg(rng, cpu_qps)
+
     hidx = None
     if "hnsw" not in SKIP:
         from qdrant_tpu.index.hnsw import HnswIndex
@@ -389,10 +399,41 @@ def main():
     hidx = None
     gc.collect()
 
+    emit(final=True)
+    log("core configs complete — running scale extras")
+
     # ------------------------------------------------------------------
-    # config 1: exact full-scan, 100k GloVe-like 100-d cosine
+    # extras: each re-emits the cumulative JSON when it lands, so a
+    # harness timeout mid-extra never loses completed results
     # ------------------------------------------------------------------
-    if "scan" not in SKIP:
+    # ordered by value-per-second: each extra re-emits, so a harness
+    # timeout mid-extra keeps everything completed before it
+    for name, fn in (
+        ("tq", tiered_tq_cfg),
+        ("crossover", crossover_cfg),
+        ("hnsw1536", hnsw1536_cfg),
+        ("tiered", tiered_cfg),
+    ):
+        if name in SKIP:
+            continue
+        try:
+            fn(rng)
+        except Exception as exc:  # extras must never invalidate the core line
+            log(f"extra config '{name}' failed: {type(exc).__name__}: {exc}")
+            STATE["detail"][f"extra_error_{name}"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
+            gc.collect()
+    emit(final=True)
+
+
+def glove_cfg(rng):
+    """Config 1: exact full-scan, 100k GloVe-like 100-d cosine."""
+    from qdrant_tpu.index.plain import PlainIndex
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance
+
+    if True:
         n1, d1 = 100_000, 100
         g_data = rng.standard_normal((n1, d1), dtype=np.float32)
         g_q = g_data[rng.integers(0, n1, N_BATCH)] + 0.05 * rng.standard_normal(
@@ -416,10 +457,9 @@ def main():
         del g_store, g_data
         gc.collect()
 
-    # ------------------------------------------------------------------
-    # config 3: SQ-int8 + oversampled f32 rescore, 1M x 1536 dot
-    # ------------------------------------------------------------------
-    if "sq" not in SKIP:
+def sq_cfg(rng):
+    """Config 3: SQ-int8 + oversampled f32 rescore, 1M x 1536 dot."""
+    if True:
         import jax
         import jax.numpy as jnp
 
@@ -486,39 +526,6 @@ def main():
         emit()
         del sm, vecs_f32, codes_dev, norms_dev, args3
         gc.collect()
-
-    # ------------------------------------------------------------------
-    # config 5: sparse SPLADE-like 1M + dense+sparse RRF hybrid
-    # ------------------------------------------------------------------
-    if "sparse" not in SKIP:
-        sparse_cfg(rng, cpu_qps)
-
-    emit(final=True)
-    log("core configs complete — running scale extras")
-
-    # ------------------------------------------------------------------
-    # extras: each re-emits the cumulative JSON when it lands, so a
-    # harness timeout mid-extra never loses completed results
-    # ------------------------------------------------------------------
-    # ordered by value-per-second: each extra re-emits, so a harness
-    # timeout mid-extra keeps everything completed before it
-    for name, fn in (
-        ("tq", tiered_tq_cfg),
-        ("crossover", crossover_cfg),
-        ("hnsw1536", hnsw1536_cfg),
-        ("tiered", tiered_cfg),
-    ):
-        if name in SKIP:
-            continue
-        try:
-            fn(rng)
-        except Exception as exc:  # extras must never invalidate the core line
-            log(f"extra config '{name}' failed: {type(exc).__name__}: {exc}")
-            STATE["detail"][f"extra_error_{name}"] = (
-                f"{type(exc).__name__}: {exc}"
-            )
-            gc.collect()
-    emit(final=True)
 
 
 def sparse_cfg(rng, cpu_qps):
