@@ -146,6 +146,12 @@ def main(argv=None) -> int:
         port=port,
         api_key=settings.get_path("service.api_key"),
         read_only_api_key=settings.get_path("service.read_only_api_key"),
+        static_content_dir=settings.get_path(
+            "service.static_content_dir", "./static"
+        ),
+        enable_static_content=bool(
+            settings.get_path("service.enable_static_content", True)
+        ),
     )
 
     # anonymized usage reporter (reference: telemetry_reporting.rs — hourly

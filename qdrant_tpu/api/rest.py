@@ -716,6 +716,32 @@ class _FileResponse:
         self.path = path
 
 
+class _ContentResponse:
+    """Raw bytes with an explicit content type (dashboard/static files)."""
+
+    def __init__(self, content: bytes, content_type: str, status: int = 200):
+        self.content = content
+        self.content_type = content_type
+        self.status = status
+
+
+def h_dashboard(toc, m, body, q):
+    """Web UI (reference: src/actix/web_ui.rs `/dashboard` static scope).
+    Serves `service.static_content_dir` when present; built-in single-file
+    dashboard otherwise (deliberate divergence — the reference's UI ships
+    as a separate artifact)."""
+    from .webui import dashboard_content
+
+    if not getattr(toc, "static_content_enabled", True):
+        raise NotFoundError("static content disabled")
+    content, mime = dashboard_content(
+        getattr(toc, "static_content_dir", None), m.get("rest") or ""
+    )
+    if not mime:
+        raise NotFoundError("no such file")
+    return _ContentResponse(content, mime)
+
+
 def h_list_snapshots(toc, m, body, q):
     return toc.list_snapshots(m["name"])
 
@@ -1285,6 +1311,8 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/livez$"), h_healthz),
     ("GET", re.compile(r"^/readyz$"), h_readyz),
     ("GET", re.compile(r"^/telemetry$"), h_telemetry),
+    ("GET", re.compile(r"^/dashboard$"), h_dashboard),
+    ("GET", re.compile(r"^/dashboard/(?P<rest>.*)$"), h_dashboard),
     ("GET", re.compile(r"^/openapi.json$"), h_openapi),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
@@ -1630,6 +1658,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._observe(handler, groups, path, body, elapsed, method)
                 if isinstance(result, _FileResponse):
                     self._reply_file(200, result.path)
+                elif isinstance(result, _ContentResponse):
+                    self._reply_content(result)
                 elif path == "/metrics":
                     self._reply_text(200, result)
                 else:
@@ -1730,6 +1760,15 @@ class _Handler(BaseHTTPRequestHandler):
                     break
                 self.wfile.write(chunk)
 
+    def _reply_content(self, result: "_ContentResponse") -> None:
+        self.send_response(result.status)
+        self.send_header("Content-Type", result.content_type)
+        self.send_header("Content-Length", str(len(result.content)))
+        # reference parity: the dashboard scope pins X-Frame-Options DENY
+        self.send_header("X-Frame-Options", "DENY")
+        self.end_headers()
+        self.wfile.write(result.content)
+
     def _reply_text(self, code: int, text: str) -> None:
         data = text.encode()
         self.send_response(code)
@@ -1772,7 +1811,12 @@ class RestServer:
         port: int = 6333,
         api_key: Optional[str] = None,
         read_only_api_key: Optional[str] = None,
+        static_content_dir: Optional[str] = "./static",
+        enable_static_content: bool = True,
     ):
+        # dashboard config rides on the toc (handlers only receive it)
+        toc.static_content_dir = static_content_dir
+        toc.static_content_enabled = enable_static_content
         handler = type(
             "BoundHandler",
             (_Handler,),

@@ -352,3 +352,46 @@ def test_shard_snapshot_lifecycle(server):
         call(server, "POST", "/collections/ssnap/points/count", {})["result"]["count"]
         == 8
     )
+
+
+def test_dashboard_builtin_and_static(server, tmp_path):
+    """GET /dashboard serves the built-in page when no static folder
+    exists, a static folder when configured (reference: src/actix/
+    web_ui.rs), and refuses path escapes."""
+    import urllib.request as _rq
+
+    base = f"http://127.0.0.1:{server.port}"
+
+    def fetch(path):
+        try:
+            with _rq.urlopen(base + path) as r:
+                return r.status, r.read(), dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    # built-in page (no ./static in the test CWD-independent config)
+    server.toc.static_content_dir = str(tmp_path / "missing")
+    code, body, headers = fetch("/dashboard")
+    assert code == 200 and b"qdrant-tpu" in body
+    assert headers.get("X-Frame-Options") == "DENY"
+    assert "text/html" in headers.get("Content-Type", "")
+
+    # static folder takes over, with index + mime + nested files
+    static = tmp_path / "static"
+    static.mkdir()
+    (static / "index.html").write_text("<html>custom ui</html>")
+    (static / "app.js").write_text("console.log(1)")
+    server.toc.static_content_dir = str(static)
+    assert b"custom ui" in fetch("/dashboard")[1]
+    code, body, headers = fetch("/dashboard/app.js")
+    assert code == 200 and b"console.log" in body
+    assert "javascript" in headers.get("Content-Type", "")
+
+    # traversal refused, missing file 404s
+    assert fetch("/dashboard/../secret")[0] == 404
+    assert fetch("/dashboard/nope.css")[0] == 404
+
+    # disabled -> 404
+    server.toc.static_content_enabled = False
+    assert fetch("/dashboard")[0] == 404
+    server.toc.static_content_enabled = True
