@@ -149,6 +149,40 @@ class Wal:
                 keep.append((first, fname))
         self._segments = keep
 
+    def pop_last(self):
+        """Drop the LAST record — the repair for a poisoned tail operation
+        (reference: src/wal_pop.rs truncates the consensus WAL's last
+        index). → the popped op_num, or None when the WAL is empty."""
+        self.close()
+        while self._segments:
+            first, fname = self._segments[-1]
+            full = os.path.join(self.path, fname)
+            count, _valid = self._scan(full)
+            if count == 0:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+                self._segments.pop()
+                continue
+            pos = 0
+            with open(full, "rb") as f:
+                for _ in range(count - 1):
+                    ln, _crc = _HEADER.unpack(f.read(_HEADER.size))
+                    f.seek(ln, 1)
+                    pos += _HEADER.size + ln
+            if pos == 0:
+                os.remove(full)
+                self._segments.pop()
+            else:
+                with open(full, "r+b") as f:
+                    f.truncate(pos)
+            popped = first + count - 1
+            self._next_op = popped
+            return popped
+        self._next_op = 1
+        return None
+
     def close(self) -> None:
         if self._open_file is not None:
             self._open_file.close()

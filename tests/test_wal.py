@@ -97,3 +97,53 @@ def test_open_wal_picks_native(tmp_path):
     wal = open_wal(str(tmp_path / "w"))
     assert isinstance(wal, NativeWal)
     wal.close()
+
+
+def test_wal_pop_last(tmp_path):
+    """pop_last drops exactly the tail record, across segment boundaries,
+    down to empty (reference: src/wal_pop.rs poisoned-entry repair)."""
+    from qdrant_tpu.storage.wal import Wal
+
+    # tiny capacity forces one segment per few records
+    wal = Wal(str(tmp_path / "w"), segment_capacity=64)
+    for i in range(7):
+        wal.append({"op": i})
+    assert wal.pop_last() == 7
+    assert wal.next_op_num == 7
+    # remaining records intact and re-readable after reopen
+    wal.close()
+    wal2 = Wal(str(tmp_path / "w"), segment_capacity=64)
+    ops = [op["op"] for _, op in wal2.read_from(1)]
+    assert ops == [0, 1, 2, 3, 4, 5]
+    # appending after a pop reuses the freed op number
+    assert wal2.append({"op": "new"}) == 7
+    # pop everything
+    for _ in range(7):
+        assert wal2.pop_last() is not None
+    assert wal2.pop_last() is None
+    assert wal2.next_op_num == 1
+
+
+def test_wal_pop_tool(tmp_path, capsys):
+    from qdrant_tpu.storage.wal import Wal
+    from qdrant_tpu.tools import wal_pop
+
+    wal = Wal(str(tmp_path / "w"))
+    wal.append({"a": 1})
+    wal.append({"a": 2})
+    wal.close()
+    assert wal_pop.main([str(tmp_path / "w")]) == 0
+    wal2 = Wal(str(tmp_path / "w"))
+    assert [op for _, op in wal2.read_from(1)] == [{"a": 1}]
+
+    # raft mode
+    import msgpack
+
+    entries = [{"term": 1, "index": 1, "operation": {}},
+               {"term": 1, "index": 2, "operation": {}}]
+    (tmp_path / "raft_log.msgpack").write_bytes(
+        msgpack.packb(entries, use_bin_type=True)
+    )
+    assert wal_pop.main([str(tmp_path), "raft"]) == 0
+    left = msgpack.unpackb((tmp_path / "raft_log.msgpack").read_bytes(), raw=False)
+    assert len(left) == 1 and left[0]["index"] == 1
