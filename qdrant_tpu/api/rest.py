@@ -1013,6 +1013,26 @@ def _local_replica(toc, name: str, shard_id: int):
     return cached
 
 
+def h_internal_storage_read(toc, m, body, q):
+    """Ranged read of a storage file for peers (reference: StorageRead
+    gRPC service, storage_read_service.proto:17-21 — disaggregated-storage
+    reads; here on the HTTP internal plane like the rest of cluster/)."""
+    from ..storage.io_tier import IoTierError, read_local
+
+    body = body or {}
+    rel = body.get("path") or ""
+    try:
+        content = read_local(
+            toc.storage_path,
+            rel,
+            int(body.get("offset") or 0),
+            int(body.get("length", -1)),
+        )
+    except IoTierError as e:
+        raise ApiError(str(e), 404)
+    return _ContentResponse(content, "application/octet-stream")
+
+
 def h_internal_update(toc, m, body, q):
     """Internal shard-plane update (reference: PointsInternal gRPC)."""
     body = body or {}
@@ -1345,6 +1365,11 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ),
     (
         "POST",
+        re.compile(r"^/internal/storage/read$"),
+        h_internal_storage_read,
+    ),
+    (
+        "POST",
         re.compile(r"^/internal/collections/(?P<name>[^/]+)/shards/(?P<sid>\d+)/update$"),
         h_internal_update,
     ),
@@ -1592,6 +1617,7 @@ ACCESS_LEVELS = {
     h_internal_count: "internal-read",
     h_internal_scroll: "internal-read",
     h_internal_records: "internal-read",
+    h_internal_storage_read: "internal-read",
 }
 
 

@@ -114,11 +114,14 @@ class S3Client:
         key: str = "",
         query: Optional[Dict[str, str]] = None,
         body: bytes = b"",
+        extra_headers: Optional[Dict[str, str]] = None,
     ) -> bytes:
         query = query or {}
         path = f"/{self.bucket}" + (f"/{key}" if key else "")
         payload_hash = _sha256(body)
         headers = self._sign(method, path, query, payload_hash)
+        if extra_headers:
+            headers = {**headers, **extra_headers}
         # must match the canonical-request encoding (quote, not quote_plus):
         # keys/prefixes with spaces or '+' otherwise break the signature
         qs = "&".join(
@@ -145,6 +148,16 @@ class S3Client:
 
     def get_object(self, key: str) -> bytes:
         return self._request("GET", key)
+
+    def get_object_range(self, key: str, offset: int = 0, length: int = -1) -> bytes:
+        """Ranged GET (Range is not part of the SigV4 signed headers, so it
+        rides on top of the normal signature)."""
+        if offset == 0 and length < 0:
+            return self.get_object(key)
+        end = "" if length < 0 else str(offset + length - 1)
+        return self._request(
+            "GET", key, extra_headers={"Range": f"bytes={offset}-{end}"}
+        )
 
     def delete_object(self, key: str) -> None:
         self._request("DELETE", key)

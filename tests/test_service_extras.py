@@ -1,4 +1,5 @@
 import json
+import os
 import subprocess
 import sys
 import urllib.request
@@ -395,3 +396,39 @@ def test_dashboard_builtin_and_static(server, tmp_path):
     server.toc.static_content_enabled = False
     assert fetch("/dashboard")[0] == 404
     server.toc.static_content_enabled = True
+
+
+def test_universal_io_tier(server, tmp_path):
+    """Ranged reads over local files and the peer storage-read plane
+    (reference: universal_io + StorageRead gRPC; here HTTP internal)."""
+    from qdrant_tpu.storage.io_tier import (
+        IoTierError, UniversalReader, read_local, read_peer,
+    )
+
+    root = server.toc.storage_path
+    sub = os.path.join(root, "iotest")
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, "blob.bin"), "wb") as f:
+        f.write(bytes(range(256)))
+
+    # local: full + ranged
+    assert read_local(root, "iotest/blob.bin") == bytes(range(256))
+    assert read_local(root, "iotest/blob.bin", 10, 5) == bytes(range(10, 15))
+    with pytest.raises(IoTierError):
+        read_local(root, "../outside")
+    with pytest.raises(IoTierError):
+        read_local(root, "iotest/missing.bin")
+
+    # peer plane over the live server
+    base = f"http://127.0.0.1:{server.port}"
+    assert read_peer(base, "iotest/blob.bin", 250, 6) == bytes(range(250, 256))
+    with pytest.raises(IoTierError):
+        read_peer(base, "../../etc/passwd")
+
+    # UniversalReader dispatch
+    ur = UniversalReader(root)
+    assert ur.read("file://iotest/blob.bin", 0, 4) == b"\x00\x01\x02\x03"
+    assert (
+        ur.read(f"peer://127.0.0.1:{server.port}/iotest/blob.bin", 1, 2)
+        == b"\x01\x02"
+    )
