@@ -756,7 +756,9 @@ def h_recover_snapshot(toc, m, body, q):
         raise ApiError("location required")
     if location.startswith("file://"):
         location = location[len("file://") :]
-    return toc.recover_snapshot(m["name"], location)
+    return toc.recover_snapshot(
+        m["name"], location, checksum=(body or {}).get("checksum")
+    )
 
 
 def h_cluster_bootstrap(toc, m, body, q):

@@ -26,6 +26,43 @@ from ..types import (
 )
 
 
+def _list_snapshot_dir(target: str) -> List[Dict[str, Any]]:
+    """Snapshot rows in `target`, with the `.checksum` sidecar when present."""
+    out: List[Dict[str, Any]] = []
+    if os.path.isdir(target):
+        for f in sorted(os.listdir(target)):
+            if f.endswith(".snapshot"):
+                row: Dict[str, Any] = {
+                    "name": f,
+                    "size": os.path.getsize(os.path.join(target, f)),
+                    "creation_time": None,
+                }
+                sidecar = os.path.join(target, f + ".checksum")
+                if os.path.isfile(sidecar):
+                    with open(sidecar) as cf:
+                        row["checksum"] = cf.read().strip()
+                out.append(row)
+    return out
+
+
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _write_checksum(path: str) -> str:
+    """Write the reference-style `<file>.checksum` sidecar → the digest."""
+    digest = _sha256_file(path)
+    with open(path + ".checksum", "w") as f:
+        f.write(digest)
+    return digest
+
+
 class TableOfContent:
     def __init__(
         self,
@@ -260,12 +297,14 @@ class TableOfContent:
         target = os.path.join(self.snapshots_path, coll.name)
         fname = coll.create_snapshot(target)
         full = os.path.join(target, fname)
+        checksum = _write_checksum(full)
         if self.snapshot_store is not None:
             self.snapshot_store.store(coll.name, fname, full)
         return {
             "name": fname,
             "size": os.path.getsize(full),
             "creation_time": None,
+            "checksum": checksum,
         }
 
     def list_snapshots(self, name: str) -> List[Dict[str, Any]]:
@@ -273,18 +312,7 @@ class TableOfContent:
         if self.snapshot_store is not None:
             return self.snapshot_store.list(coll.name)
         target = os.path.join(self.snapshots_path, coll.name)
-        out = []
-        if os.path.isdir(target):
-            for f in sorted(os.listdir(target)):
-                if f.endswith(".snapshot"):
-                    out.append(
-                        {
-                            "name": f,
-                            "size": os.path.getsize(os.path.join(target, f)),
-                            "creation_time": None,
-                        }
-                    )
-        return out
+        return _list_snapshot_dir(target)
 
     def delete_snapshot(self, name: str, snapshot: str) -> bool:
         coll = self.get_collection(name)
@@ -299,7 +327,24 @@ class TableOfContent:
         os.remove(full)
         return True
 
-    def recover_snapshot(self, name: str, snapshot_path: str) -> bool:
+    def recover_snapshot(
+        self, name: str, snapshot_path: str, checksum: Optional[str] = None
+    ) -> bool:
+        # verify against the explicit checksum, or the sidecar written at
+        # create time (reference: snapshots write <file>.checksum and
+        # recovery validates it)
+        expected = checksum
+        sidecar = snapshot_path + ".checksum"
+        if expected is None and os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                expected = f.read().strip()
+        if expected:
+            digest = _sha256_file(snapshot_path)
+            if digest != expected.lower():
+                raise ValueError(
+                    f"snapshot checksum mismatch: expected {expected}, "
+                    f"got {digest}"
+                )
         with self._lock:
             if name in self.collections:
                 self.collections.pop(name).drop()
@@ -337,27 +382,18 @@ class TableOfContent:
         full = os.path.join(target, fname)
         with open(full, "wb") as f:
             f.write(shard.create_snapshot_bytes())
+        checksum = _write_checksum(full)
         return {
             "name": fname,
             "size": os.path.getsize(full),
             "creation_time": None,
+            "checksum": checksum,
         }
 
     def list_shard_snapshots(self, name: str, shard_id: int) -> List[Dict[str, Any]]:
         self._shard(name, shard_id)  # 404 on unknown collection/shard
         target = self._shard_snapshots_dir(name, shard_id)
-        out = []
-        if os.path.isdir(target):
-            for f in sorted(os.listdir(target)):
-                if f.endswith(".snapshot"):
-                    out.append(
-                        {
-                            "name": f,
-                            "size": os.path.getsize(os.path.join(target, f)),
-                            "creation_time": None,
-                        }
-                    )
-        return out
+        return _list_snapshot_dir(target)
 
     def delete_shard_snapshot(self, name: str, shard_id: int, snapshot: str) -> bool:
         self._shard(name, shard_id)
@@ -436,22 +472,16 @@ class TableOfContent:
             tar.add(self.collections_path, arcname="collections")
             if os.path.exists(self._aliases_file()):
                 tar.add(self._aliases_file(), arcname="aliases.json")
-        return {"name": fname, "size": os.path.getsize(full), "creation_time": None}
+        return {
+            "name": fname,
+            "size": os.path.getsize(full),
+            "creation_time": None,
+            "checksum": _write_checksum(full),
+        }
 
     def list_full_snapshots(self) -> List[Dict[str, Any]]:
         target = os.path.join(self.snapshots_path, "_full")
-        out = []
-        if os.path.isdir(target):
-            for f in sorted(os.listdir(target)):
-                if f.endswith(".snapshot"):
-                    out.append(
-                        {
-                            "name": f,
-                            "size": os.path.getsize(os.path.join(target, f)),
-                            "creation_time": None,
-                        }
-                    )
-        return out
+        return _list_snapshot_dir(target)
 
     def snapshot_file(self, collection: Optional[str], snapshot: str) -> str:
         sub = "_full" if collection is None else self.get_collection(collection).name

@@ -432,3 +432,38 @@ def test_universal_io_tier(server, tmp_path):
         ur.read(f"peer://127.0.0.1:{server.port}/iotest/blob.bin", 1, 2)
         == b"\x01\x02"
     )
+
+
+def test_snapshot_checksum_roundtrip(server, tmp_path):
+    """Snapshots write a `.checksum` sidecar, listings expose it, recovery
+    verifies it, and a corrupted snapshot is refused (reference:
+    snapshot checksum files + verified recovery)."""
+    call(server, "PUT", "/collections/ck",
+         {"vectors": {"size": 4, "distance": "Dot"}})
+    call(server, "PUT", "/collections/ck/points",
+         {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]})
+    snap = call(server, "POST", "/collections/ck/snapshots")["result"]
+    assert snap["checksum"] and len(snap["checksum"]) == 64
+    listed = call(server, "GET", "/collections/ck/snapshots")["result"]
+    assert listed[0]["checksum"] == snap["checksum"]
+
+    path = os.path.join(
+        server.toc.snapshots_path, "ck", snap["name"]
+    )
+    # explicit good checksum recovers
+    assert call(
+        server, "PUT", "/collections/ck2/snapshots/recover",
+        {"location": path, "checksum": snap["checksum"]},
+    )["result"] is True
+    assert call(server, "POST", "/collections/ck2/points/count", {})[
+        "result"]["count"] == 1
+
+    # corrupted file + sidecar mismatch -> refused
+    with open(path, "r+b") as f:
+        f.seek(0)
+        f.write(b"\x00\x00\x00\x00")
+    r = call(
+        server, "PUT", "/collections/ck3/snapshots/recover",
+        {"location": path}, expect=400,
+    )
+    assert "checksum mismatch" in json.dumps(r)
