@@ -177,6 +177,19 @@ def h_delete_collection(toc, m, body, q):
 
 def h_update_aliases(toc, m, body, q):
     actions = (body or {}).get("actions", [])
+    # validate BEFORE consensus submission: apply-time failures inside the
+    # state machine are logged, not surfaced to this client
+    for action in actions:
+        if "create_alias" in action:
+            cname = action["create_alias"].get("collection_name")
+            if not toc.has_collection(cname or ""):
+                raise NotFoundError(f"Collection `{cname}` doesn't exist!")
+        elif "rename_alias" in action:
+            old = action["rename_alias"].get("old_alias_name")
+            if old not in toc.aliases:
+                raise NotFoundError(f"Alias `{old}` doesn't exist!")
+        elif "delete_alias" not in action:
+            raise ApiError(f"unknown alias action: {action}")
     # aliases are cluster metadata: committed through consensus so every
     # peer resolves them identically (reference: CollectionMetaOperations::
     # ChangeAliases, collection_meta_ops.rs:488-511)

@@ -26,6 +26,16 @@ from ..types import (
 )
 
 
+def _remove_snapshot_file(full: str) -> None:
+    """Remove a snapshot and its `.checksum` sidecar together — an orphaned
+    sidecar would later fail a valid same-named snapshot's recovery."""
+    if os.path.isfile(full):
+        os.remove(full)
+    sidecar = full + ".checksum"
+    if os.path.isfile(sidecar):
+        os.remove(sidecar)
+
+
 def _list_snapshot_dir(target: str) -> List[Dict[str, Any]]:
     """Snapshot rows in `target`, with the `.checksum` sidecar when present."""
     out: List[Dict[str, Any]] = []
@@ -320,11 +330,11 @@ class TableOfContent:
         if self.snapshot_store is not None:
             self.snapshot_store.delete(coll.name, snapshot)
             if os.path.isfile(full):
-                os.remove(full)
+                _remove_snapshot_file(full)
             return True
         if not os.path.isfile(full):
             raise NotFoundError(f"snapshot {snapshot} not found")
-        os.remove(full)
+        _remove_snapshot_file(full)
         return True
 
     def recover_snapshot(
@@ -400,7 +410,7 @@ class TableOfContent:
         full = os.path.join(self._shard_snapshots_dir(name, shard_id), snapshot)
         if not os.path.isfile(full):
             raise NotFoundError(f"snapshot {snapshot} not found")
-        os.remove(full)
+        _remove_snapshot_file(full)
         return True
 
     def shard_snapshot_file(self, name: str, shard_id: int, snapshot: str) -> str:

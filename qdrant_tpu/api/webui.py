@@ -74,12 +74,14 @@ def resolve_static(
 ) -> Optional[Tuple[bytes, str]]:
     """→ (content, mime) for `rest` inside `static_dir`, or None when the
     folder/file is absent. Rejects path escapes."""
+    from ..storage.io_tier import IoTierError, resolve_in_root
+
     if not static_dir or not os.path.isdir(static_dir):
         return None
     rel = rest.lstrip("/") or "index.html"
-    base = os.path.realpath(static_dir)
-    full = os.path.realpath(os.path.join(base, rel))
-    if not (full == base or full.startswith(base + os.sep)):
+    try:
+        full = resolve_in_root(static_dir, rel)
+    except IoTierError:
         return None
     if os.path.isdir(full):
         full = os.path.join(full, "index.html")

@@ -471,12 +471,18 @@ class ClusterNode:
         rec = self.active_transfers.get((collection, sid, to))
         if rec is None:
             return False
-        rec["aborted"] = True
         try:
             coll = self.toc.get_collection(collection)
             others = [p for p in coll.placement.get(sid, []) if p != to]
         except Exception:
             others = []
+        if not others:
+            # rf=1 move: the target is the ONLY placement holder — aborting
+            # would strand the shard on a never-activated partial replica
+            # (no holder left to stream from). Refuse; the transfer either
+            # completes or is repaired by the dead-replica path.
+            return False
+        rec["aborted"] = True
         if others:
             # inline (not a thread): by the time the abort call returns, the
             # drop is committed (or at least handed to the leader), so a

@@ -74,7 +74,9 @@ class SparseVectorStore:
         rows = sum(
             i.nbytes + v.nbytes
             for i, v in zip(self._indices, self._values)
-            if i is not None and v is not None
+            # views (add_flat rows share the _flat base arrays, counted
+            # below) would double the payload bytes
+            if i is not None and v is not None and i.base is None
         )
         acc = merge(sizeof_attrs(self, "_flat"))
         acc["host_bytes"] += rows
@@ -297,9 +299,13 @@ class SparseIndex:
         self._postings_weight_sorted = len(all_dims) <= 5_000_000
         if self._postings_weight_sorted:
             order = _sort_by_key_desc_weight(all_dims, all_w)
-        else:
+        elif all_dims.max(initial=0) < 2**31:
             # int32 radix argsort is ~1.6x the int64 one at 64M postings
             order = np.argsort(all_dims.astype(np.int32), kind="stable")
+        else:
+            # hashed-vocabulary dims (murmur3/BM25 token ids) exceed int31 —
+            # a cast would wrap negative and break every searchsorted lookup
+            order = np.argsort(all_dims, kind="stable")
         flat_ids = np.ascontiguousarray(all_offs[order])
         flat_w = np.ascontiguousarray(all_w[order])
         dims_sorted = all_dims[order]

@@ -900,11 +900,16 @@ class Segment:
                     pack=quant.pack_factor,
                     bits_w=bits_w,
                 )
+                top_s_np = np.asarray(top_s)
                 cand_np = np.where(
-                    np.isfinite(np.asarray(top_s)),
+                    np.isfinite(top_s_np),
                     np.asarray(cand, dtype=np.int32),
                     -1,
                 )
+                if not params.quantization_rescore:
+                    # codes-only scores (the latency knob) — same gate as
+                    # the SQ path
+                    return top_s_np[:, :k], cand_np[:, :k]
                 return self._host_rescore(store, q, cand_np, k)
             recon, scales, norms = quant.device()
             cap = recon.shape[0]

@@ -149,7 +149,8 @@ def check_segment_consistency(segment) -> list:
         for store in segment.sparse.values():
             if not store.is_deleted(internal):
                 has_vec = True
-        if not has_vec and int(external) not in getattr(segment, "deferred", ()):
+        # deferred holds INTERNAL offsets (and external may be a UUID str)
+        if not has_vec and internal not in getattr(segment, "deferred", ()):
             problems.append(f"{external}: tracked but no vector in any store")
     return problems
 

@@ -319,3 +319,38 @@ def test_segment_graph_crossover_dispatch(monkeypatch):
     monkeypatch.setattr(seg_mod, "GRAPH_CROSSOVER_ROWS", 1)
     seg.search_dense("", data[:4], k=1)
     assert calls
+
+
+def test_tq_flat_codes_only_respects_rescore_flag(tmp_path, monkeypatch):
+    """quantization_rescore=False on the TQ-as-primary flat path returns
+    codes-only scores without touching the host rescore (the latency
+    knob), same gate as SQ."""
+    from qdrant_tpu.storage import segment as seg_mod
+    from qdrant_tpu.types import TurboQuantizationConfig, VectorParams
+
+    monkeypatch.setattr(seg_mod, "FLAT_SCAN_MIN_N", 1)
+    rng = np.random.default_rng(8)
+    params = make_params(
+        dim=32, distance=Distance.DOT,
+        quant=TurboQuantizationConfig(bits="bits4"),
+    )
+    params.vectors[""].on_disk = True
+    seg = Segment(params)
+    seg.storage_dir = str(tmp_path / "s")
+    data = rng.normal(size=(300, 32)).astype(np.float32)
+    for i in range(300):
+        seg.upsert_point(i + 1, i, {"": data[i]})
+    seg.build_indexes()
+    assert "" in seg.quantized
+    seg.hnsw = {}
+
+    def boom(*a, **kw):
+        raise AssertionError("host rescore must not run with rescore=False")
+
+    monkeypatch.setattr(seg, "_host_rescore", boom)
+    _, ids = seg.search_dense(
+        "", data[:5], k=3, params=SearchParams(quantization_rescore=False)
+    )
+    assert ids.shape == (5, 3)
+    # codes-only still finds the right neighborhood most of the time
+    assert (ids[:, 0] == np.arange(5)).mean() >= 0.6
