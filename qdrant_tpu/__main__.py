@@ -83,6 +83,7 @@ def main(argv=None) -> int:
             "snapshots_storage": settings.get_path("storage.snapshots_storage", "local"),
             "s3_config": settings.get_path("storage.s3_config", None),
         },
+        quota_config=settings.get_path("storage.quota", None),
     )
     inf_cfg = settings.get("inference") or {}
     if inf_cfg.get("address"):

@@ -17,6 +17,7 @@ import threading
 import time
 import traceback
 import urllib.parse
+import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -27,6 +28,7 @@ from .auth import AuthError, Authenticator
 from ..collection.query import QueryError, QueryExecutor, QueryRequest
 from ..storage.segment import SearchParams
 from ..types import PayloadIndexParams, StrictModeError, normalize_point_id, parse_filter
+from ..utils.quota import QuotaExceededError
 from .issues import ISSUES
 from .metrics import METRICS
 from .toc import TableOfContent
@@ -774,6 +776,51 @@ def h_recover_snapshot(toc, m, body, q):
     )
 
 
+def h_get_quotas(toc, m, body, q):
+    """GET /quotas — config + this node's utilization, plus every
+    reachable peer's in cluster mode (reference: quota_api.rs — a peer
+    that does not answer is left out rather than failing the request;
+    the struggling nodes are exactly the ones likely to time out)."""
+    status = toc.quota.status()
+    node = getattr(toc, "cluster_node", None)
+    if node is not None:
+        peers = {}
+        for pid, url in dict(node.transport.peer_urls).items():
+            if pid == node.peer_id:
+                peers[str(pid)] = toc.quota.peer_usage()
+                continue
+            try:
+                req = urllib.request.Request(
+                    url.rstrip("/") + "/quotas?local=true", method="GET"
+                )
+                if node.transport.api_key:
+                    req.add_header("api-key", node.transport.api_key)
+                with urllib.request.urlopen(req, timeout=2) as resp:
+                    peers[str(pid)] = json.loads(resp.read())["result"][
+                        "peer_usage"
+                    ]
+            except Exception:
+                continue  # unreachable peers are simply absent
+        status["peers"] = peers
+    if q.get("local"):
+        status["peer_usage"] = toc.quota.peer_usage()
+    return status
+
+
+def h_put_quotas(toc, m, body, q):
+    """PUT /quotas — update the cluster-wide quota config (consensus-
+    replicated in cluster mode; persisted to quota.json)."""
+    cfg = body or {}
+    try:
+        # validate locally first: apply-time consensus failures are silent
+        toc.quota.update_config(cfg)
+    except ValueError as e:
+        raise ApiError(str(e))
+    if _meta_submit(toc, {"type": "set_quota", "config": cfg}):
+        return toc.quota.status()
+    return toc.quota.status()
+
+
 def h_cluster_bootstrap(toc, m, body, q):
     """A new peer announces itself: commit add_peer through consensus and
     return the current membership so the joiner can start its node
@@ -1351,6 +1398,8 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("GET", re.compile(r"^/openapi.json$"), h_openapi),
     ("GET", re.compile(r"^/metrics$"), h_metrics),
     ("GET", re.compile(r"^/cluster$"), h_cluster),
+    ("GET", re.compile(r"^/quotas$"), h_get_quotas),
+    ("PUT", re.compile(r"^/quotas$"), h_put_quotas),
     ("POST", re.compile(r"^/cluster/raft/message$"), h_raft_message),
     ("POST", re.compile(r"^/cluster/raft/propose$"), h_raft_propose),
     ("POST", re.compile(r"^/cluster/bootstrap$"), h_cluster_bootstrap),
@@ -1582,8 +1631,13 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
 
 # access level per handler: "read" (default), "write" (collection-scoped
 # mutation), "manage" (global/meta operations). Reference: rbac/ops_checks.rs.
+# point-adding / index-building handlers gated by the node resource quota
+# (deletes are exempt — they free the resource the quota protects)
+QUOTA_ENFORCED = None  # filled below, after all handlers exist
+
 ACCESS_LEVELS = {
     h_cluster_bootstrap: "manage",
+    h_put_quotas: "manage",
     h_create_collection: "manage",
     h_collection_cluster_update: "manage",
     h_update_collection: "manage",
@@ -1633,6 +1687,17 @@ ACCESS_LEVELS = {
     h_internal_scroll: "internal-read",
     h_internal_records: "internal-read",
     h_internal_storage_read: "internal-read",
+}
+
+QUOTA_ENFORCED = {
+    h_upsert_points,
+    h_update_vectors,
+    h_set_payload,
+    h_overwrite_payload,
+    h_batch_update,
+    h_create_index,
+    h_internal_update,
+    h_internal_update_forward,
 }
 
 
@@ -1692,6 +1757,11 @@ class _Handler(BaseHTTPRequestHandler):
                             locks.get("error_message") or "Write operations are forbidden",
                             403,
                         )
+                if handler in QUOTA_ENFORCED:
+                    # node resource quota: refuse resource-consuming updates
+                    # while memory/disk sits over an enforced limit
+                    # (reference: quota checks in the update path)
+                    self.toc.quota.check_write()
                 with measure() as acc:
                     result = handler(self.toc, groups, body, qparams)
                 elapsed = time.monotonic() - started
@@ -1723,7 +1793,7 @@ class _Handler(BaseHTTPRequestHandler):
                         error=str(e),
                     )
                 self._reply(401, {"status": {"error": str(e)}, "time": elapsed})
-            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, InferenceError, ValueError) as e:
+            except (ApiError, CollectionError, NotFoundError, QueryError, StrictModeError, InferenceError, QuotaExceededError, ValueError) as e:
                 status = getattr(e, "status_code", 400)
                 elapsed = time.monotonic() - started
                 METRICS.observe(method, pattern.pattern, status, elapsed)

@@ -79,8 +79,15 @@ class TableOfContent:
         storage_path: str,
         flush_interval_sec: Optional[float] = None,
         snapshots_config: Optional[Dict[str, Any]] = None,
+        quota_config: Optional[Dict[str, Any]] = None,
     ):
         self.storage_path = storage_path
+        os.makedirs(storage_path, exist_ok=True)
+        # node resource quotas (reference: lib/shard/src/quota/ — the
+        # single measurement + enforcement point for memory/disk limits)
+        from ..utils.quota import QuotaManager
+
+        self.quota = QuotaManager(storage_path, quota_config)
         self.collections_path = os.path.join(storage_path, "collections")
         self.snapshots_path = os.path.join(storage_path, "snapshots")
         # remote snapshot mirror (reference: snapshots_manager.rs

@@ -65,6 +65,10 @@ class ConsensusManager:
                 self.toc.delete_collection(op["name"])
             elif t == "update_aliases":
                 self.toc.update_aliases(op.get("actions") or [])
+            elif t == "set_quota":
+                # cluster-wide resource-limit config (reference: quota
+                # config replicated through consensus, lib/storage/quota.rs)
+                self.toc.quota.update_config(op.get("config") or {})
             elif t == "create_payload_index":
                 from ..types import PayloadIndexParams
 

@@ -175,6 +175,12 @@ def build_telemetry(toc, level: int = 2) -> Dict[str, Any]:
     if level >= 1:
         data["memory"] = _memory_telemetry()
         data["hardware"] = _hardware_telemetry()
+        quota = getattr(toc, "quota", None)
+        if quota is not None:
+            # QuotaTelemetry analogue: the verdict (exceeded per resource),
+            # not just the raw readings
+            st = quota.status()
+            data["quota"] = {"config": st["config"], "exceeded": st["exceeded"]}
         node = getattr(toc, "cluster_node", None)
         if node is not None:
             data["cluster"] = {

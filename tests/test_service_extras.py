@@ -467,3 +467,47 @@ def test_snapshot_checksum_roundtrip(server, tmp_path):
         {"location": path}, expect=400,
     )
     assert "checksum mismatch" in json.dumps(r)
+
+
+def test_quota_api_and_enforcement(server, monkeypatch):
+    """GET/PUT /quotas + write refusal past an enforced limit with
+    hysteresis release (reference: lib/shard/src/quota, quota_api.rs)."""
+    st = call(server, "GET", "/quotas")["result"]
+    assert st["config"]["enabled"] is False
+    assert "usage" in st and "exceeded" in st
+
+    call(server, "PUT", "/collections/qt",
+         {"vectors": {"size": 4, "distance": "Dot"}})
+
+    # enable a disk limit and fake the measurement above it
+    call(server, "PUT", "/quotas",
+         {"enabled": True, "max_disk_usage_percent": 80,
+          "release_margin_percent": 5})
+    monkeypatch.setattr(
+        type(server.toc.quota), "disk_usage_percent", lambda self: 93.0
+    )
+    r = call(server, "PUT", "/collections/qt/points",
+             {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]}, expect=507)
+    assert "quota exceeded" in json.dumps(r)
+    # reads and deletes still pass
+    call(server, "POST", "/collections/qt/points/count", {})
+    call(server, "POST", "/collections/qt/points/delete", {"points": [999]})
+
+    # hysteresis: 78% is under the 80 limit but NOT margin-below -> still
+    # refused; 74% releases
+    monkeypatch.setattr(
+        type(server.toc.quota), "disk_usage_percent", lambda self: 78.0
+    )
+    call(server, "PUT", "/collections/qt/points",
+         {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]}, expect=507)
+    monkeypatch.setattr(
+        type(server.toc.quota), "disk_usage_percent", lambda self: 74.0
+    )
+    call(server, "PUT", "/collections/qt/points",
+         {"points": [{"id": 1, "vector": [1, 2, 3, 4]}]})
+    st = call(server, "GET", "/quotas")["result"]
+    assert st["exceeded"]["disk_usage"] is False
+
+    # invalid config rejected; disable restores default state
+    call(server, "PUT", "/quotas", {"max_disk_usage_percent": 400}, expect=400)
+    call(server, "PUT", "/quotas", {"enabled": False})
