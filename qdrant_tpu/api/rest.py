@@ -208,6 +208,19 @@ def h_all_aliases(toc, m, body, q):
     return {"aliases": toc.all_aliases()}
 
 
+def h_create_vector_name(toc, m, body, q):
+    """PUT /collections/{name}/vectors/{vname} — add a named vector to a
+    live collection (reference: vector_name_api.rs)."""
+    from ..types import VectorParams
+
+    vp = VectorParams.from_dict(body or {})
+    return toc.get_collection(m["name"]).create_vector_name(m["vname"], vp)
+
+
+def h_delete_vector_name(toc, m, body, q):
+    return toc.get_collection(m["name"]).delete_vector_name(m["vname"])
+
+
 def h_create_index(toc, m, body, q):
     body = body or {}
     field = body.get("field_name")
@@ -1490,6 +1503,16 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/shards/delete$"), h_delete_shard_key),
     ("PUT", re.compile(r"^/collections/(?P<name>[^/]+)/index$"), h_create_index),
     (
+        "PUT",
+        re.compile(r"^/collections/(?P<name>[^/]+)/vectors/(?P<vname>[^/]+)$"),
+        h_create_vector_name,
+    ),
+    (
+        "DELETE",
+        re.compile(r"^/collections/(?P<name>[^/]+)/vectors/(?P<vname>[^/]+)$"),
+        h_delete_vector_name,
+    ),
+    (
         "DELETE",
         re.compile(r"^/collections/(?P<name>[^/]+)/index/(?P<field>[^/]+)$"),
         h_delete_index,
@@ -1648,6 +1671,8 @@ ACCESS_LEVELS = {
     h_recover_snapshot: "manage",
     h_create_index: "write",
     h_delete_index: "write",
+    h_create_vector_name: "write",
+    h_delete_vector_name: "write",
     h_upsert_points: "write",
     h_delete_points: "write",
     h_update_vectors: "write",

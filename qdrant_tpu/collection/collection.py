@@ -489,6 +489,32 @@ class Collection:
             {"type": "delete_field_index", "field": field}, wait=wait
         )
 
+    def create_vector_name(
+        self, name: str, vp: "VectorParams", wait: bool = True
+    ) -> Dict[str, Any]:
+        """Add a named vector to a live collection (reference:
+        vector_name_api.rs PUT /collections/{c}/vectors/{name})."""
+        if name in self.params.vectors:
+            raise CollectionError(f"vector {name!r} already exists")
+        out = self.update_op(
+            {"type": "create_vector_name", "name": name,
+             "params": vp.to_dict()},
+            wait=wait,
+        )
+        self.params.vectors[name] = vp
+        self.save_config()
+        return out
+
+    def delete_vector_name(self, name: str, wait: bool = True) -> Dict[str, Any]:
+        if name not in self.params.vectors:
+            raise NotFoundError(f"vector {name!r} does not exist")
+        out = self.update_op(
+            {"type": "delete_vector_name", "name": name}, wait=wait
+        )
+        self.params.vectors.pop(name, None)
+        self.save_config()
+        return out
+
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------

@@ -310,6 +310,17 @@ class LocalShard:
         elif t == "delete_field_index":
             for seg in self.segments:
                 seg.delete_field_index(op["field"])
+        elif t == "create_vector_name":
+            # live named-vector addition (reference: vector_name_api.rs,
+            # routed through the update plane like field indexes)
+            from ..types import VectorParams
+
+            vp = VectorParams.from_dict(op["params"])
+            for seg in self.segments:
+                seg.add_vector_name(op["name"], vp)
+        elif t == "delete_vector_name":
+            for seg in self.segments:
+                seg.drop_vector_name(op["name"])
         else:
             raise ShardUpdateError(f"unknown operation type {t!r}")
 

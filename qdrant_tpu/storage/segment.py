@@ -186,6 +186,46 @@ class Segment:
         )
 
     # ------------------------------------------------------------------
+    # live vector-name management (reference: vector_name_api.rs —
+    # PUT/DELETE /collections/{c}/vectors/{name})
+    # ------------------------------------------------------------------
+
+    def add_vector_name(self, name: str, vp: VectorParams) -> None:
+        """Add a named dense/multi vector to a live segment: existing
+        points get deleted placeholder rows (the same lockstep-offset
+        scheme upserts use for absent named vectors)."""
+        if name in self.dense or name in self.multi or name in self.sparse:
+            return  # idempotent: WAL replay re-applies the op after load
+        self.params.vectors[name] = vp
+        n = self.total_offsets
+        if vp.multivector_config is not None:
+            store = MultiVectorStore(vp.size, vp.distance, vp.datatype)
+            for _ in range(n):
+                store.add([np.zeros((1, vp.size), dtype=np.float32)])
+                store.delete(len(store) - 1)
+            self.multi[name] = store
+        else:
+            store = DenseVectorStore(
+                vp.size, vp.distance, vp.datatype, on_disk=vp.on_disk
+            )
+            if n:
+                offs = store.add(np.zeros((n, vp.size), dtype=np.float32))
+                for off in offs:
+                    store.delete(int(off))
+            self.dense[name] = store
+
+    def drop_vector_name(self, name: str) -> None:
+        if name not in self.dense and name not in self.multi:
+            return  # idempotent under WAL replay
+        self.params.vectors.pop(name, None)
+        self.dense.pop(name, None)
+        self.multi.pop(name, None)
+        self.hnsw.pop(name, None)
+        self.hnsw_multi.pop(name, None)
+        self.hnsw_blocks.pop(name, None)
+        self.quantized.pop(name, None)
+
+    # ------------------------------------------------------------------
     # introspection
     # ------------------------------------------------------------------
 

@@ -511,3 +511,39 @@ def test_quota_api_and_enforcement(server, monkeypatch):
     # invalid config rejected; disable restores default state
     call(server, "PUT", "/quotas", {"max_disk_usage_percent": 400}, expect=400)
     call(server, "PUT", "/quotas", {"enabled": False})
+
+
+def test_vector_name_api(server):
+    """PUT/DELETE /collections/{c}/vectors/{name}: add a named vector to
+    a live collection, write+search it, drop it (reference:
+    vector_name_api.rs)."""
+    call(server, "PUT", "/collections/vn",
+         {"vectors": {"size": 4, "distance": "Dot"}})
+    call(server, "PUT", "/collections/vn/points",
+         {"points": [{"id": 1, "vector": [1, 0, 0, 0]}]})
+
+    # add a second named vector on the live collection
+    call(server, "PUT", "/collections/vn/vectors/extra",
+         {"size": 2, "distance": "Cosine"})
+    # old point has no 'extra' vector; new point carries both
+    call(server, "PUT", "/collections/vn/points",
+         {"points": [{"id": 2, "vector": {"": [0, 1, 0, 0],
+                                          "extra": [1.0, 0.0]}}]})
+    r = call(server, "POST", "/collections/vn/points/search",
+             {"vector": {"name": "extra", "vector": [1.0, 0.0]},
+              "limit": 3})["result"]
+    assert [p["id"] for p in r] == [2]
+
+    # duplicate add rejected; default search unaffected
+    call(server, "PUT", "/collections/vn/vectors/extra",
+         {"size": 2, "distance": "Cosine"}, expect=400)
+    r = call(server, "POST", "/collections/vn/points/search",
+             {"vector": [1, 0, 0, 0], "limit": 3})["result"]
+    assert r[0]["id"] == 1
+
+    # drop: searching the dropped name errors, collection still serves
+    call(server, "DELETE", "/collections/vn/vectors/extra")
+    call(server, "POST", "/collections/vn/points/search",
+         {"vector": {"name": "extra", "vector": [1.0, 0.0]}, "limit": 3},
+         expect=400)
+    call(server, "DELETE", "/collections/vn/vectors/missing", expect=404)
