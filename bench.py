@@ -408,6 +408,20 @@ def main():
     # ------------------------------------------------------------------
     # ordered by value-per-second: each extra re-emits, so a harness
     # timeout mid-extra keeps everything completed before it
+    def _free_device():
+        # each extra is self-contained; anything still resident is a leak
+        # from an earlier config (or a failed one) that would OOM the next
+        # near-HBM-capacity extra (measured: the 10M tq config needs ~7.9
+        # of ~15.5 GB and dies if core-config remnants hold a few GB)
+        import jax
+
+        gc.collect()
+        for arr in jax.live_arrays():
+            try:
+                arr.delete()
+            except Exception:
+                pass
+
     for name, fn in (
         ("tq", tiered_tq_cfg),
         ("crossover", crossover_cfg),
@@ -416,6 +430,7 @@ def main():
     ):
         if name in SKIP:
             continue
+        _free_device()
         try:
             fn(rng)
         except Exception as exc:  # extras must never invalidate the core line
@@ -423,7 +438,7 @@ def main():
             STATE["detail"][f"extra_error_{name}"] = (
                 f"{type(exc).__name__}: {exc}"
             )
-            gc.collect()
+            _free_device()
     emit(final=True)
 
 

@@ -145,6 +145,7 @@ def _build_pool():
             ("ClockRejected", 3),
         ],
     )
+    b.enum("ShardingMethod", [("Auto", 0), ("Custom", 1)])
     b.enum(
         "CollectionStatus",
         [
@@ -417,6 +418,20 @@ def _build_pool():
         ],
     )
 
+    # shard routing (reference: points.proto:155-159, collections.proto:1013-1020)
+    b.message(
+        "ShardKey",
+        [("keyword", 1, "string", "optional"), ("number", 2, "uint64", "optional")],
+        oneofs={"key": ["keyword", "number"]},
+    )
+    b.message(
+        "ShardKeySelector",
+        [
+            ("shard_keys", 1, "msg:ShardKey", "repeated"),
+            ("fallback", 2, "msg:ShardKey", "optional"),
+        ],
+    )
+
     # ---- requests / responses ----
     b.message(
         "UpsertPoints",
@@ -424,6 +439,7 @@ def _build_pool():
             ("collection_name", 1, "string", "optional"),
             ("wait", 2, "bool", "proto3opt"),
             ("points", 3, "msg:PointStruct", "repeated"),
+            ("shard_key_selector", 5, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -432,6 +448,7 @@ def _build_pool():
             ("collection_name", 1, "string", "optional"),
             ("wait", 2, "bool", "proto3opt"),
             ("points", 3, "msg:PointsSelector", "optional"),
+            ("shard_key_selector", 5, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -444,6 +461,7 @@ def _build_pool():
             ("collection_name", 1, "string", "optional"),
             ("wait", 2, "bool", "proto3opt"),
             ("points", 3, "msg:PointVectors", "repeated"),
+            ("shard_key_selector", 5, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -453,6 +471,7 @@ def _build_pool():
             ("wait", 2, "bool", "proto3opt"),
             ("points_selector", 3, "msg:PointsSelector", "optional"),
             ("vectors", 4, "msg:VectorsSelector", "optional"),
+            ("shard_key_selector", 6, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -462,6 +481,7 @@ def _build_pool():
             ("ids", 2, "msg:PointId", "repeated"),
             ("with_payload", 4, "msg:WithPayloadSelector", "optional"),
             ("with_vectors", 5, "msg:WithVectorsSelector", "proto3opt"),
+            ("shard_key_selector", 7, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -477,6 +497,7 @@ def _build_pool():
             ("offset", 9, "uint64", "proto3opt"),
             ("vector_name", 10, "string", "proto3opt"),
             ("with_vectors", 11, "msg:WithVectorsSelector", "proto3opt"),
+            ("shard_key_selector", 14, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -488,6 +509,7 @@ def _build_pool():
             ("limit", 4, "uint32", "proto3opt"),
             ("with_payload", 6, "msg:WithPayloadSelector", "optional"),
             ("with_vectors", 7, "msg:WithVectorsSelector", "proto3opt"),
+            ("shard_key_selector", 9, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -505,7 +527,8 @@ def _build_pool():
             ("wait", 2, "bool", "proto3opt"),
             ("payload", 3, "map:string,Value", "repeated"),
             ("points_selector", 5, "msg:PointsSelector", "proto3opt"),
-            ("key", 7, "string", "proto3opt"),
+            ("key", 8, "string", "proto3opt"),
+            ("shard_key_selector", 7, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -515,6 +538,7 @@ def _build_pool():
             ("wait", 2, "bool", "proto3opt"),
             ("keys", 3, "string", "repeated"),
             ("points_selector", 5, "msg:PointsSelector", "proto3opt"),
+            ("shard_key_selector", 7, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -523,6 +547,7 @@ def _build_pool():
             ("collection_name", 1, "string", "optional"),
             ("wait", 2, "bool", "proto3opt"),
             ("points", 3, "msg:PointsSelector", "optional"),
+            ("shard_key_selector", 5, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -531,6 +556,7 @@ def _build_pool():
             ("collection_name", 1, "string", "optional"),
             ("filter", 2, "msg:Filter", "optional"),
             ("exact", 3, "bool", "proto3opt"),
+            ("shard_key_selector", 5, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -673,6 +699,7 @@ def _build_pool():
             ("offset", 9, "uint64", "proto3opt"),
             ("with_vectors", 10, "msg:WithVectorsSelector", "proto3opt"),
             ("with_payload", 11, "msg:WithPayloadSelector", "proto3opt"),
+            ("shard_key_selector", 13, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -697,6 +724,7 @@ def _build_pool():
             ("strategy", 16, "enum:RecommendStrategy", "proto3opt"),
             ("positive_vectors", 17, "msg:Vector", "repeated"),
             ("negative_vectors", 18, "msg:Vector", "repeated"),
+            ("shard_key_selector", 20, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -749,6 +777,7 @@ def _build_pool():
         [
             ("collection_name", 1, "string", "optional"),
             ("vector_name", 2, "string", "proto3opt"),
+            ("shard_key_selector", 3, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -765,6 +794,7 @@ def _build_pool():
             ("using", 9, "string", "proto3opt"),
             ("with_vectors", 10, "msg:WithVectorsSelector", "proto3opt"),
             ("lookup_from", 11, "msg:LookupLocation", "proto3opt"),
+            ("shard_key_selector", 14, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -818,6 +848,7 @@ def _build_pool():
             ("group_by", 10, "string", "optional"),
             ("group_size", 11, "uint32", "optional"),
             ("with_lookup", 13, "msg:WithLookup", "proto3opt"),
+            ("shard_key_selector", 15, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -840,6 +871,7 @@ def _build_pool():
             ("strategy", 17, "enum:RecommendStrategy", "proto3opt"),
             ("positive_vectors", 18, "msg:Vector", "repeated"),
             ("negative_vectors", 19, "msg:Vector", "repeated"),
+            ("shard_key_selector", 21, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -859,6 +891,7 @@ def _build_pool():
             ("group_size", 12, "uint64", "proto3opt"),
             ("group_by", 13, "string", "optional"),
             ("with_lookup", 15, "msg:WithLookup", "proto3opt"),
+            ("shard_key_selector", 17, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -897,6 +930,7 @@ def _build_pool():
             ("filter", 3, "msg:Filter", "proto3opt"),
             ("limit", 4, "uint64", "proto3opt"),
             ("exact", 5, "bool", "proto3opt"),
+            ("shard_key_selector", 8, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -926,6 +960,7 @@ def _build_pool():
             ("sample", 3, "uint64", "proto3opt"),
             ("limit", 4, "uint64", "proto3opt"),
             ("using", 5, "string", "proto3opt"),
+            ("shard_key_selector", 8, "msg:ShardKeySelector", "optional"),
         ],
     )
     b.message(
@@ -1109,7 +1144,45 @@ def _build_pool():
             ("shard_number", 7, "uint32", "proto3opt"),
             ("vectors_config", 10, "msg:VectorsConfig", "proto3opt"),
             ("replication_factor", 11, "uint32", "proto3opt"),
+            ("sharding_method", 15, "enum:ShardingMethod", "proto3opt"),
         ],
+    )
+    # custom shard keys (reference: collections.proto:1147-1224)
+    b.message(
+        "CreateShardKey",
+        [
+            ("shard_key", 1, "msg:ShardKey", "optional"),
+            ("shards_number", 2, "uint32", "proto3opt"),
+            ("replication_factor", 3, "uint32", "proto3opt"),
+        ],
+    )
+    b.message(
+        "CreateShardKeyRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("request", 2, "msg:CreateShardKey", "optional"),
+            ("timeout", 3, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "DeleteShardKey",
+        [("shard_key", 1, "msg:ShardKey", "optional")],
+    )
+    b.message(
+        "DeleteShardKeyRequest",
+        [
+            ("collection_name", 1, "string", "optional"),
+            ("request", 2, "msg:DeleteShardKey", "optional"),
+            ("timeout", 3, "uint64", "proto3opt"),
+        ],
+    )
+    b.message(
+        "CreateShardKeyResponse",
+        [("result", 1, "bool", "optional"), ("time", 2, "double", "optional")],
+    )
+    b.message(
+        "DeleteShardKeyResponse",
+        [("result", 1, "bool", "optional"), ("time", 2, "double", "optional")],
     )
     b.message("DeleteCollection", [("collection_name", 1, "string", "optional")])
     b.message(
@@ -1299,7 +1372,8 @@ _MESSAGE_NAMES = [
     "NamedVectorsOutput", "Vectors", "VectorsOutput", "PointStruct", "PointsIdsList",
     "PointsSelector", "PayloadIncludeSelector", "PayloadExcludeSelector",
     "WithPayloadSelector", "VectorsSelector", "WithVectorsSelector",
-    "QuantizationSearchParams", "SearchParams", "UpsertPoints", "DeletePoints",
+    "QuantizationSearchParams", "SearchParams", "ShardKey", "ShardKeySelector",
+    "UpsertPoints", "DeletePoints",
     "GetPoints", "SearchPoints", "CountPoints", "ScrollPoints", "ScrollResponse",
     "SetPayloadPoints", "DeletePayloadPoints", "ClearPayloadPoints", "UpdateResult",
     "PointsOperationResponse", "ScoredPoint", "SearchResponse", "RetrievedPoint",
@@ -1324,6 +1398,8 @@ _MESSAGE_NAMES = [
     "QueryBatchPoints", "QueryBatchResponse",
     "CollectionInfo", "GetCollectionInfoResponse", "VectorParams", "VectorParamsMap",
     "VectorsConfig", "CreateCollection", "DeleteCollection",
+    "CreateShardKey", "CreateShardKeyRequest", "CreateShardKeyResponse",
+    "DeleteShardKey", "DeleteShardKeyRequest", "DeleteShardKeyResponse",
     "CollectionOperationResponse", "HealthCheckRequest", "HealthCheckReply",
     "VectorExample", "TargetVector", "ContextExamplePair", "LookupLocation",
     "DiscoverPoints", "DiscoverResponse", "DiscoverBatchPoints",

@@ -51,6 +51,44 @@ def py_to_point_id(value):
     return M["PointId"](uuid=str(value))
 
 
+def shard_key_to_py(request) -> Any:
+    """ShardKeySelector → REST-style shard_key value (scalar or list).
+
+    Reference: points.proto:155-159 — repeated ShardKey (keyword | number).
+    Returns None when the request carries no selector, so callers can pass
+    the result straight through as the optional `shard_key` argument.
+    """
+    if not request.HasField("shard_key_selector"):
+        return None
+    keys = [
+        k.keyword if k.WhichOneof("key") == "keyword" else k.number
+        for k in request.shard_key_selector.shard_keys
+    ]
+    if not keys:
+        return None
+    return keys[0] if len(keys) == 1 else keys
+
+
+def with_lookup_to_py(request) -> Any:
+    """WithLookup → REST-style with_lookup dict (points.proto:576-583)."""
+    if not request.HasField("with_lookup"):
+        return None
+    wl = request.with_lookup
+    return {
+        "collection": wl.collection,
+        "with_payload": (
+            with_payload_to_py(wl.with_payload)
+            if wl.HasField("with_payload")
+            else True
+        ),
+        "with_vectors": (
+            with_vectors_to_py(wl.with_vectors)
+            if wl.HasField("with_vectors")
+            else False
+        ),
+    }
+
+
 def value_to_py(v) -> Any:
     kind = v.WhichOneof("kind")
     if kind == "null_value" or kind is None:
@@ -322,8 +360,30 @@ class _Services:
                 }
         if request.HasField("shard_number"):
             spec["shard_number"] = request.shard_number
+        if request.HasField("sharding_method") and request.sharding_method == 1:
+            spec["sharding_method"] = "custom"
         ok = self.toc.create_collection(request.collection_name, spec)
         return M["CollectionOperationResponse"](result=bool(ok), time=0.0)
+
+    @staticmethod
+    def _shard_key_value(sk):
+        return sk.keyword if sk.WhichOneof("key") == "keyword" else sk.number
+
+    def CollectionsCreateShardKey(self, request, context):
+        """Reference: collections_service.proto:36 CreateShardKey."""
+        coll = self.toc.get_collection(request.collection_name)
+        req = request.request
+        coll.create_shard_key(
+            self._shard_key_value(req.shard_key),
+            req.shards_number if req.HasField("shards_number") else 1,
+        )
+        return M["CreateShardKeyResponse"](result=True, time=0.0)
+
+    def CollectionsDeleteShardKey(self, request, context):
+        """Reference: collections_service.proto:38 DeleteShardKey."""
+        coll = self.toc.get_collection(request.collection_name)
+        coll.delete_shard_key(self._shard_key_value(request.request.shard_key))
+        return M["DeleteShardKeyResponse"](result=True, time=0.0)
 
     def CollectionsUpdate(self, request, context):
         spec: Dict[str, Any] = {}
@@ -441,7 +501,7 @@ class _Services:
             points.append(
                 {"id": point_id_to_py(p.id), "vectors": vectors, "payload": payload}
             )
-        res = coll.upsert(points)
+        res = coll.upsert(points, shard_key=shard_key_to_py(request))
         return M["PointsOperationResponse"](
             result=M["UpdateResult"](
                 operation_id=res.get("operation_id", 0), status=2
@@ -458,7 +518,7 @@ class _Services:
             op["ids"] = [point_id_to_py(p) for p in sel.points.ids]
         elif kind == "filter":
             op["filter"] = filter_to_dict(sel.filter)
-        res = coll.update_op(op)
+        res = coll.update_op(op, shard_key=shard_key_to_py(request))
         return M["PointsOperationResponse"](
             result=M["UpdateResult"](
                 operation_id=res.get("operation_id", 0), status=2
@@ -473,7 +533,10 @@ class _Services:
             pts.append(
                 {"id": point_id_to_py(pv.id), "vectors": vectors_to_py(pv.vectors)}
             )
-        res = coll.update_op({"type": "update_vectors", "points": pts})
+        res = coll.update_op(
+            {"type": "update_vectors", "points": pts},
+            shard_key=shard_key_to_py(request),
+        )
         return self._op_response(res)
 
     def PointsDeleteVectors(self, request, context):
@@ -483,7 +546,9 @@ class _Services:
             "names": list(request.vectors.names),
             **self._selector_to_op(request.points_selector),
         }
-        return self._op_response(coll.update_op(op))
+        return self._op_response(
+            coll.update_op(op, shard_key=shard_key_to_py(request))
+        )
 
     def PointsGet(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
@@ -535,6 +600,7 @@ class _Services:
                 if request.HasField("score_threshold")
                 else None
             ),
+            "shard_key": shard_key_to_py(request),
         }
         if request.HasField("params"):
             p = request.params
@@ -581,7 +647,9 @@ class _Services:
             else None
         )
         flt = parse_filter(filter_to_dict(request.filter))
-        ids = coll.scroll_ids(limit + 1, offset, flt)
+        ids = coll.scroll_ids(
+            limit + 1, offset, flt, shard_key=shard_key_to_py(request)
+        )
         next_offset = ids[limit] if len(ids) > limit else None
         ids = ids[:limit]
         with_payload = with_payload_to_py(request.with_payload)
@@ -635,7 +703,9 @@ class _Services:
             "key": request.key if request.HasField("key") else None,
             **self._selector_to_op(request.points_selector),
         }
-        return self._op_response(coll.update_op(op))
+        return self._op_response(
+            coll.update_op(op, shard_key=shard_key_to_py(request))
+        )
 
     def PointsOverwritePayload(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
@@ -644,7 +714,9 @@ class _Services:
             "payload": {k: value_to_py(v) for k, v in request.payload.items()},
             **self._selector_to_op(request.points_selector),
         }
-        return self._op_response(coll.update_op(op))
+        return self._op_response(
+            coll.update_op(op, shard_key=shard_key_to_py(request))
+        )
 
     def PointsDeletePayload(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
@@ -653,12 +725,16 @@ class _Services:
             "keys": list(request.keys),
             **self._selector_to_op(request.points_selector),
         }
-        return self._op_response(coll.update_op(op))
+        return self._op_response(
+            coll.update_op(op, shard_key=shard_key_to_py(request))
+        )
 
     def PointsClearPayload(self, request, context):
         coll = self.toc.get_collection(request.collection_name)
         op = {"type": "clear_payload", **self._selector_to_op(request.points)}
-        return self._op_response(coll.update_op(op))
+        return self._op_response(
+            coll.update_op(op, shard_key=shard_key_to_py(request))
+        )
 
     def _vector_input_to_py(self, vi):
         kind = vi.WhichOneof("variant")
@@ -761,6 +837,7 @@ class _Services:
             "score_threshold": request.score_threshold
             if request.HasField("score_threshold")
             else None,
+            "shard_key": shard_key_to_py(request),
         }
         if request.prefetch:
             d["prefetch"] = [self._prefetch_to_dict(p) for p in request.prefetch]
@@ -809,6 +886,7 @@ class _Services:
                 if request.HasField("score_threshold")
                 else None
             ),
+            "shard_key": shard_key_to_py(request),
         }
         hits = ex.query(QueryRequest(d))
         resp = M["RecommendResponse"](time=0.0)
@@ -873,6 +951,7 @@ class _Services:
             "using": request.using if request.HasField("using") else "",
             "filter": filter_to_dict(request.filter),
             "with_payload": with_payload_to_py(request.with_payload),
+            "shard_key": shard_key_to_py(request),
         }
         if request.HasField("target") and request.target.HasField("single"):
             body["target"] = self._example_to_py(request.target.single)
@@ -923,6 +1002,20 @@ class _Services:
             else:
                 pg.id.string_value = str(gid)
             self._fill_scored(pg.hits, g.get("hits") or [])
+            lk = g.get("lookup")
+            if lk is not None:
+                pg.lookup.id.CopyFrom(py_to_point_id(lk["id"]))
+                for k, v in (lk.get("payload") or {}).items():
+                    pg.lookup.payload[k].CopyFrom(py_to_value(v))
+                if lk.get("vector") is not None:
+                    vec = lk["vector"]
+                    pg.lookup.vectors.CopyFrom(
+                        py_to_vectors_output(
+                            vec
+                            if isinstance(vec, dict) and "indices" not in vec
+                            else {"": vec}
+                        )
+                    )
         return resp
 
     def PointsSearchGroups(self, request, context):
@@ -944,6 +1037,8 @@ class _Services:
                 if request.HasField("score_threshold")
                 else None
             ),
+            "with_lookup": with_lookup_to_py(request),
+            "shard_key": shard_key_to_py(request),
         }
         out = h_search_groups(self.toc, {"name": request.collection_name}, body, {})
         return self._fill_groups(M["SearchGroupsResponse"](time=0.0), out["groups"])
@@ -962,6 +1057,8 @@ class _Services:
             "group_by": request.group_by,
             "group_size": request.group_size or 3,
             "with_payload": with_payload_to_py(request.with_payload),
+            "with_lookup": with_lookup_to_py(request),
+            "shard_key": shard_key_to_py(request),
         }
         out = h_recommend_groups(self.toc, {"name": request.collection_name}, body, {})
         return self._fill_groups(M["RecommendGroupsResponse"](time=0.0), out["groups"])
@@ -981,7 +1078,15 @@ class _Services:
             "with_payload": with_payload_to_py(request.with_payload)
             if request.HasField("with_payload")
             else False,
+            "with_lookup": with_lookup_to_py(request),
+            "shard_key": shard_key_to_py(request),
         }
+        if request.HasField("lookup_from"):
+            lf = request.lookup_from
+            d["lookup_from"] = {
+                "collection": lf.collection_name,
+                "vector": lf.vector_name if lf.HasField("vector_name") else None,
+            }
         if request.prefetch:
             d["prefetch"] = [self._prefetch_to_dict(p) for p in request.prefetch]
         if request.HasField("query"):
@@ -1001,6 +1106,7 @@ class _Services:
             if request.HasField("filter")
             else None,
         }
+        body["shard_key"] = shard_key_to_py(request)
         out = h_facet(self.toc, {"name": request.collection_name}, body, {})
         resp = M["FacetResponse"](time=0.0)
         for hit in out["hits"]:
@@ -1022,6 +1128,7 @@ class _Services:
             "filter": filter_to_dict(request.filter)
             if request.HasField("filter")
             else None,
+            "shard_key": shard_key_to_py(request),
         }
 
     def PointsSearchMatrixPairs(self, request, context):
@@ -1114,7 +1221,10 @@ class _Services:
         coll = self.toc.get_collection(request.collection_name)
         from ..types import parse_filter
 
-        count = coll.count(parse_filter(filter_to_dict(request.filter)))
+        count = coll.count(
+            parse_filter(filter_to_dict(request.filter)),
+            shard_key=shard_key_to_py(request),
+        )
         return M["CountResponse"](result=M["CountResult"](count=count), time=0.0)
 
 
@@ -1205,6 +1315,8 @@ GRPC_ACCESS_LEVELS = {
     "Delete": "manage",  # Collections.Delete; Points.Delete overridden below
     "Update": "manage",
     "UpdateAliases": "manage",
+    "CreateShardKey": "manage",
+    "DeleteShardKey": "manage",
     "CreateFull": "manage",
     "ListFull": "manage",
 }
@@ -1361,6 +1473,14 @@ def make_server(
             "CollectionExists": (svc.CollectionsExists, M["CollectionExistsRequest"]),
             "Update": (svc.CollectionsUpdate, M["UpdateCollection"]),
             "UpdateAliases": (svc.CollectionsUpdateAliases, M["ChangeAliases"]),
+            "CreateShardKey": (
+                svc.CollectionsCreateShardKey,
+                M["CreateShardKeyRequest"],
+            ),
+            "DeleteShardKey": (
+                svc.CollectionsDeleteShardKey,
+                M["DeleteShardKeyRequest"],
+            ),
             "ListAliases": (svc.CollectionsListAliases, M["ListAliasesRequest"]),
             "ListCollectionAliases": (
                 svc.CollectionsListCollectionAliases,

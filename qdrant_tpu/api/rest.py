@@ -658,6 +658,7 @@ def h_search_groups(toc, m, body, q):
     d = _legacy_search_to_query(body)
     d["group_by"] = body.get("group_by")
     d["group_size"] = body.get("group_size", 3)
+    d["with_lookup"] = body.get("with_lookup")
     ex = QueryExecutor(coll, toc)
     return {"groups": ex.query_groups(QueryRequest(d))}
 
@@ -668,6 +669,7 @@ def h_recommend_groups(toc, m, body, q):
     d = _legacy_recommend_to_query(body)
     d["group_by"] = body.get("group_by")
     d["group_size"] = body.get("group_size", 3)
+    d["with_lookup"] = body.get("with_lookup")
     ex = QueryExecutor(coll, toc)
     return {"groups": ex.query_groups(QueryRequest(d))}
 

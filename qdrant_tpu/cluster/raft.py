@@ -13,6 +13,19 @@ for tests — the pattern the reference's consensus tests use with real
 processes; an HTTP transport slots in for multi-node deployments).
 Single-node clusters bypass elections and commit immediately (reference:
 src/main.rs:672-683 single-node mode).
+
+Two raft-rs behaviors the reference relies on are implemented here too:
+
+* **Pre-vote** (raft-rs `pre_vote: true`, enabled by the reference's
+  consensus config): before bumping its term, a timed-out node runs a
+  non-binding poll at term+1. Only a majority of "would vote for you"
+  answers starts a real election — a partitioned node rejoining cannot
+  disrupt a stable leader by inflating terms. Pre-vote messages never
+  mutate any node's persistent state.
+* **Learner state** (raft-rs learners; the reference adds new peers as
+  learners until they catch up): a learner receives append_entries and
+  snapshots but holds no vote, counts toward no quorum, and never starts
+  elections. `promote_learner` flips it to a full voter once caught up.
 """
 
 from __future__ import annotations
@@ -66,9 +79,16 @@ class RaftNode:
         snapshot_fn: Optional[Callable[[], Any]] = None,
         restore_fn: Optional[Callable[[Any], None]] = None,
         compact_threshold: int = 256,
+        learners: Optional[List[int]] = None,
+        is_learner: bool = False,
+        pre_vote: bool = True,
     ):
         self.node_id = node_id
         self.peers = [p for p in peers if p != node_id]
+        # non-voting replication targets (raft-rs learners)
+        self.learners = [p for p in (learners or []) if p != node_id]
+        self.is_learner = is_learner
+        self.pre_vote = pre_vote
         self.transport = transport
         self.apply_fn = apply_fn
         self.storage_path = storage_path
@@ -94,6 +114,8 @@ class RaftNode:
         self.next_index: Dict[int, int] = {}
         self.match_index: Dict[int, int] = {}
         self.votes: set = set()
+        self.prevotes: set = set()
+        self._prevote_term = 0  # term the in-flight pre-vote poll targets
         self._ticks_since_heard = 0
         self._ticks_since_heartbeat = 0
         self._election_timeout = self._rng.randint(*ELECTION_TIMEOUT_TICKS)
@@ -101,7 +123,7 @@ class RaftNode:
 
         if storage_path:
             self._load()
-        if not self.peers:
+        if not self.peers and not self.is_learner:
             self.role = LEADER
             self.leader_id = node_id
 
@@ -199,8 +221,10 @@ class RaftNode:
             entry = LogEntry(self.term, self._last_log_index() + 1, operation)
             self.log.append(entry)
             self._persist()
-            if not self.peers:  # single-node: commit immediately
+            if not self.peers:  # sole voter: commit immediately
                 self._advance_commit(entry.index)
+                if self.learners:
+                    self._broadcast_append()
             else:
                 self._broadcast_append()
             return entry.index
@@ -216,17 +240,27 @@ class RaftNode:
             else:
                 self._ticks_since_heard += 1
                 if self._ticks_since_heard >= self._election_timeout:
-                    self._start_election()
+                    if self.is_learner:
+                        # learners never campaign; just rearm the timer
+                        self._ticks_since_heard = 0
+                    elif self.pre_vote and self.peers:
+                        self._start_prevote()
+                    else:
+                        self._start_election()
 
     def receive(self, message: dict) -> None:
         with self._lock:
             t = message["type"]
-            if message["term"] > self.term:
+            # pre-vote traffic is non-binding: it carries term+1 but must
+            # never bump any node's real term (the whole point of pre-vote)
+            if t not in ("pre_vote", "pre_vote_response") and message["term"] > self.term:
                 self.term = message["term"]
                 self.voted_for = None
                 self.role = FOLLOWER
                 self._persist()
             handler = {
+                "pre_vote": self._on_pre_vote,
+                "pre_vote_response": self._on_prevote_response,
                 "request_vote": self._on_request_vote,
                 "request_vote_response": self._on_vote_response,
                 "append_entries": self._on_append_entries,
@@ -239,6 +273,68 @@ class RaftNode:
     # ------------------------------------------------------------------
     # election
     # ------------------------------------------------------------------
+
+    def _start_prevote(self) -> None:
+        """Non-binding poll at term+1; a real election starts only if a
+        majority would grant the vote. No persistent state changes."""
+        self._prevote_term = self.term + 1
+        self.prevotes = {self.node_id}
+        self._ticks_since_heard = 0
+        self._election_timeout = self._rng.randint(*ELECTION_TIMEOUT_TICKS)
+        for peer in self.peers:
+            self.transport(
+                peer,
+                {
+                    "type": "pre_vote",
+                    "term": self._prevote_term,
+                    "candidate": self.node_id,
+                    "last_log_index": self._last_log_index(),
+                    "last_log_term": self._last_log_term(),
+                },
+            )
+        if len(self.prevotes) >= self._majority():
+            self._start_election()
+
+    def _on_pre_vote(self, msg: dict) -> None:
+        # grant iff we have no live leader (our own timer has at least
+        # reached the minimum election timeout) and the candidate's log is
+        # at least as complete as ours; grant changes NO local state
+        quiet = (
+            self.leader_id is None
+            or self._ticks_since_heard >= ELECTION_TIMEOUT_TICKS[0]
+        )
+        up_to_date = (msg["last_log_term"], msg["last_log_index"]) >= (
+            self._last_log_term(),
+            self._last_log_index(),
+        )
+        grant = (
+            not self.is_learner
+            and msg["term"] > self.term
+            and quiet
+            and up_to_date
+        )
+        self.transport(
+            msg["candidate"],
+            {
+                "type": "pre_vote_response",
+                "term": msg["term"],
+                "voter": self.node_id,
+                "granted": grant,
+            },
+        )
+
+    def _on_prevote_response(self, msg: dict) -> None:
+        if (
+            self.role == LEADER
+            or msg["term"] != self._prevote_term
+            or self._prevote_term <= self.term
+        ):
+            return
+        if msg["granted"]:
+            self.prevotes.add(msg["voter"])
+            if len(self.prevotes) >= self._majority():
+                self._prevote_term = 0
+                self._start_election()
 
     def _start_election(self) -> None:
         self.role = CANDIDATE
@@ -267,7 +363,11 @@ class RaftNode:
 
     def _on_request_vote(self, msg: dict) -> None:
         grant = False
-        if msg["term"] >= self.term and self.voted_for in (None, msg["candidate"]):
+        if (
+            not self.is_learner
+            and msg["term"] >= self.term
+            and self.voted_for in (None, msg["candidate"])
+        ):
             up_to_date = (msg["last_log_term"], msg["last_log_index"]) >= (
                 self._last_log_term(),
                 self._last_log_index(),
@@ -298,8 +398,9 @@ class RaftNode:
     def _become_leader(self) -> None:
         self.role = LEADER
         self.leader_id = self.node_id
-        self.next_index = {p: self._last_log_index() + 1 for p in self.peers}
-        self.match_index = {p: 0 for p in self.peers}
+        targets = self.peers + self.learners
+        self.next_index = {p: self._last_log_index() + 1 for p in targets}
+        self.match_index = {p: 0 for p in targets}
         self._ticks_since_heartbeat = 0
         self._broadcast_append()
 
@@ -309,7 +410,7 @@ class RaftNode:
 
     def _broadcast_append(self) -> None:
         self._ticks_since_heartbeat = 0
-        for peer in self.peers:
+        for peer in self.peers + self.learners:
             self._send_append(peer)
 
     def _send_append(self, peer: int) -> None:
@@ -514,8 +615,45 @@ class RaftNode:
         with self._lock:
             if peer_id in self.peers:
                 self.peers.remove(peer_id)
-                self.next_index.pop(peer_id, None)
-                self.match_index.pop(peer_id, None)
+            if peer_id in self.learners:
+                self.learners.remove(peer_id)
+            self.next_index.pop(peer_id, None)
+            self.match_index.pop(peer_id, None)
+
+    def add_learner(self, peer_id: int) -> None:
+        """Register a non-voting replication target (raft-rs learner). The
+        reference adds joining peers this way until they replicate the log,
+        then promotes them to voters."""
+        with self._lock:
+            if (
+                peer_id == self.node_id
+                or peer_id in self.peers
+                or peer_id in self.learners
+            ):
+                return
+            self.learners.append(peer_id)
+            if self.role == LEADER:
+                self.next_index[peer_id] = self._last_log_index() + 1
+                self.match_index[peer_id] = 0
+                self._send_append(peer_id)
+
+    def promote_learner(self, peer_id: int) -> None:
+        """Promote a caught-up learner to a full voter. Promoting self
+        (peer_id == node_id) clears the local learner flag so the node can
+        campaign and grant votes."""
+        with self._lock:
+            if peer_id == self.node_id:
+                self.is_learner = False
+                return
+            if peer_id in self.learners:
+                self.learners.remove(peer_id)
+            if peer_id not in self.peers:
+                self.peers.append(peer_id)
+                if self.role == LEADER:
+                    self.next_index.setdefault(
+                        peer_id, self._last_log_index() + 1
+                    )
+                    self.match_index.setdefault(peer_id, 0)
 
 
 class NotLeader(Exception):

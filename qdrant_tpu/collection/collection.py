@@ -747,6 +747,18 @@ class Collection:
         counts: Dict[Any, int] = {}
         for shard in self._shards_for_read(shard_key):
             for seg in shard.segments:
+                # fast path: field has a map index — counts come straight
+                # off the postings without deserializing any payload
+                # (reference: facet_index over the keyword index)
+                indexed = (
+                    seg.facet_counts(key, flt)
+                    if hasattr(seg, "facet_counts")
+                    else None
+                )
+                if indexed is not None:
+                    for v, c in indexed.items():
+                        counts[v] = counts.get(v, 0) + c
+                    continue
                 mask = seg.filter_mask(flt)
                 alive = seg.alive_mask()
                 for off, payload in seg.payload_storage.iter_items():

@@ -86,6 +86,11 @@ class QueryRequest:
         self.group_by = d.get("group_by")
         self.group_size = int(d.get("group_size", 3))
         self.shard_key = d.get("shard_key")
+        # group-by lookup join (reference: WithLookup, points.proto:576-583 —
+        # fetch the record whose id equals the group id from another
+        # collection); a bare string is shorthand for {"collection": name}
+        wl = d.get("with_lookup")
+        self.with_lookup = {"collection": wl} if isinstance(wl, str) else wl
 
 
 def _as_list(x) -> List[Any]:
@@ -219,8 +224,38 @@ class QueryExecutor:
         out = []
         for gid in order[: req.limit]:
             hits = self._hydrate(groups[gid], req)
-            out.append({"id": gid, "hits": hits})
+            entry = {"id": gid, "hits": hits}
+            lookup = self._group_lookup(gid, req)
+            if lookup is not None:
+                entry["lookup"] = lookup
+            out.append(entry)
         return out
+
+    def _group_lookup(self, gid, req: QueryRequest) -> Optional[Dict[str, Any]]:
+        """WithLookup join: the group id doubles as a point id in another
+        collection; return its selected payload/vectors (reference:
+        lib/collection/src/grouping/group_by.rs lookup step)."""
+        if not req.with_lookup or self.toc is None:
+            return None
+        name = req.with_lookup.get("collection")
+        if not name:
+            return None
+        try:
+            coll = self.toc.get_collection(self.toc.resolve_name(name))
+            pid = normalize_point_id(gid)
+            payload, vectors = coll.get_payload_and_vectors(pid)
+        except Exception:
+            return None
+        if payload is None and vectors is None:
+            return None
+        entry: Dict[str, Any] = {"id": gid}
+        p = _select_payload(payload, req.with_lookup.get("with_payload", True))
+        if p is not None:
+            entry["payload"] = p
+        v = _select_vectors(vectors, req.with_lookup.get("with_vectors", False))
+        if v is not None:
+            entry["vector"] = v
+        return entry
 
     # -- recursive execution --------------------------------------------------
 

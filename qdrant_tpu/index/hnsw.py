@@ -865,27 +865,39 @@ class HnswIndex:
         if table_bytes > max_bytes:
             self._inline = False
             return None
-        from ..ops import quantization as qops
         from ..ops.hnsw_inline import pack_linkcodes_device
 
-        # codes are SQ-encoded on host (the f32 data lives there anyway) and
-        # UPLOADED; the table itself is assembled on device from the
-        # device-resident adjacency — uploads run ~1000x faster than
-        # downloads through the axon tunnel, and the multi-GB fused table
-        # never exists on the host at all.
+        # codes + norms are SQ-encoded ON DEVICE from the resident block and
+        # the table is assembled on device from the device-resident
+        # adjacency: a host encode of 1M x 128 costs ~700 s on this 1-vCPU
+        # image (measured — it was the dominant line of the whole bench),
+        # while the device encode is one fused elementwise program. Only the
+        # clip bound comes from a small host value sample (quantile of
+        # |v| over <=1M samples, same rule as ScalarQuantized.encode).
         data = self.store._data[: len(self.store)]
-        sq = qops.ScalarQuantized.encode(data)
-        cap = self.store.device_block()[0].shape[0]
-        codes_np = np.zeros((cap, d), dtype=np.int8)
-        codes_np[: len(data)] = sq.codes
-        norms_np = np.zeros(cap, dtype=np.float32)
-        norms_np[: len(data)] = sq.norms_sq
+        flat = np.asarray(data, dtype=np.float32).reshape(-1)
+        if flat.size > 1_000_000:
+            rng = np.random.default_rng(0)
+            flat = flat[rng.integers(0, flat.size, 1_000_000)]
+        bound = max(float(np.quantile(np.abs(flat), 0.99)), 1e-12) if flat.size else 1.0
+        scale = bound / 127.0
+        vecs_dev, _ = self.store.device_block()
+
+        @jax.jit
+        def _encode_sq(v, s):
+            vf = v.astype(jnp.float32)
+            codes = jnp.clip(jnp.round(vf / s), -127, 127).astype(jnp.int8)
+            return codes, (vf * vf).sum(axis=1)
+
+        codes_dev, norms_dev = _encode_sq(vecs_dev, jnp.float32(scale))
+        # pad rows beyond the live prefix carry whatever the block holds;
+        # the adjacency never points at them, so their codes are never read
         table = pack_linkcodes_device(
-            self._links0_device(), jnp.asarray(codes_np), jnp.asarray(norms_np)
+            self._links0_device(), codes_dev, norms_dev
         )
         self._inline = {
             "table": table,
-            "scale": sq.scale,
+            "scale": scale,
             "m0": m0,
             "d": d,
         }

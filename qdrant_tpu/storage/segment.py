@@ -526,6 +526,30 @@ class Segment:
     def filter_mask(self, flt: Optional[Filter]) -> Optional[np.ndarray]:
         return self.payload_index.filter_mask(flt, self.total_offsets)
 
+    def facet_counts(
+        self, key: str, flt: Optional[Filter] = None
+    ) -> Optional[Dict[Any, int]]:
+        """Index-backed facet counts (reference: facets read the keyword
+        index postings, segment/src/index/.../facet_index.rs). Returns None
+        when the field has no map index — callers fall back to the payload
+        scan. Postings are maintained on every update/delete, so their
+        lengths are exact without touching payload storage."""
+        fi = self.payload_index.field_indexes.get(key)
+        if fi is None or fi.map_index is None:
+            return None
+        mask = self.filter_mask(flt)
+        counts: Dict[Any, int] = {}
+        for value, offs in fi.map_index.postings.items():
+            if mask is None:
+                c = len(offs)
+            else:
+                arr = np.fromiter(offs, dtype=np.int64, count=len(offs))
+                arr = arr[arr < len(mask)]
+                c = int(mask[arr].sum())
+            if c:
+                counts[value] = c
+        return counts
+
     def alive_mask(self) -> np.ndarray:
         """Mask of offsets currently linked to an external id and visible
         (deferred heads excluded until confirmed)."""

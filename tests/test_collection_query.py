@@ -303,3 +303,27 @@ def test_resharding_moves_points(tmp_path):
     c.reshard(2)
     assert len(c.shards) == 2 and c.count() == 60
     c.close()
+
+
+def test_facet_indexed_matches_scan_path(coll):
+    """The postings-backed facet fast path must agree with the payload-scan
+    fallback, including under filters and after deletes."""
+    from qdrant_tpu.types import PayloadIndexParams, PayloadSchemaType
+
+    rank_lt20 = parse_filter({"must": [{"key": "rank", "range": {"lt": 20}}]})
+    scan = coll.facet("group", limit=10)
+    scan_f = coll.facet("group", limit=10, flt=rank_lt20)
+    coll.create_payload_index(
+        "group", PayloadIndexParams(type=PayloadSchemaType.KEYWORD)
+    )
+    idx = coll.facet("group", limit=10)
+    idx_f = coll.facet("group", limit=10, flt=rank_lt20)
+    assert sorted(idx) == sorted(scan)
+    assert sorted(idx_f) == sorted(scan_f)
+    assert sum(c for _, c in idx_f) == 20
+    # deletes reflect immediately in the indexed counts
+    before = dict(coll.facet("group", limit=10))
+    victim = coll.scroll_ids(1)[0]
+    coll.update_op({"type": "delete", "ids": [victim]})
+    after = dict(coll.facet("group", limit=10))
+    assert sum(after.values()) == sum(before.values()) - 1

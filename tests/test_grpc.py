@@ -612,3 +612,104 @@ def test_shard_snapshots_over_grpc(grpc_env):
         M["ListSnapshotsResponse"],
     )
     assert len(lst.snapshot_descriptions) == 0
+
+
+def test_custom_sharding_and_shard_key_selector_over_grpc(grpc_env):
+    """Custom sharding end-to-end over gRPC: Create(sharding_method=Custom),
+    CreateShardKey, shard-key-routed upsert + search + count, DeleteShardKey.
+    Reference: collections_service.proto:36-38, points.proto:155-159."""
+    create = M["CreateCollection"](collection_name="gsk", sharding_method=1)
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3  # Dot
+    unary(grpc_env, "/qdrant.Collections/Create", create,
+          M["CollectionOperationResponse"])
+    for key in ("eu", "us"):
+        csk = M["CreateShardKeyRequest"](collection_name="gsk")
+        csk.request.shard_key.keyword = key
+        r = unary(grpc_env, "/qdrant.Collections/CreateShardKey", csk,
+                  M["CreateShardKeyResponse"])
+        assert r.result
+
+    # upsert 3 points into "eu", 2 into "us"
+    for key, ids in (("eu", [1, 2, 3]), ("us", [10, 11])):
+        up = M["UpsertPoints"](collection_name="gsk")
+        up.shard_key_selector.shard_keys.add().keyword = key
+        for i in ids:
+            p = up.points.add()
+            p.id.num = i
+            p.vectors.vector.data.extend([1.0, 0.0, 0.0, float(i)])
+        unary(grpc_env, "/qdrant.Points/Upsert", up,
+              M["PointsOperationResponse"])
+
+    # count per shard key
+    for key, expect in (("eu", 3), ("us", 2)):
+        cp = M["CountPoints"](collection_name="gsk")
+        cp.shard_key_selector.shard_keys.add().keyword = key
+        r = unary(grpc_env, "/qdrant.Points/Count", cp, M["CountResponse"])
+        assert r.result.count == expect
+
+    # search restricted to one shard key only returns its points
+    sp = M["SearchPoints"](collection_name="gsk", vector=[1, 0, 0, 1], limit=10)
+    sp.shard_key_selector.shard_keys.add().keyword = "us"
+    r = unary(grpc_env, "/qdrant.Points/Search", sp, M["SearchResponse"])
+    got = {h.id.num for h in r.result}
+    assert got == {10, 11}
+
+    # multi-key selector spans both
+    sp2 = M["SearchPoints"](collection_name="gsk", vector=[1, 0, 0, 1], limit=10)
+    sp2.shard_key_selector.shard_keys.add().keyword = "us"
+    sp2.shard_key_selector.shard_keys.add().keyword = "eu"
+    r2 = unary(grpc_env, "/qdrant.Points/Search", sp2, M["SearchResponse"])
+    assert {h.id.num for h in r2.result} == {1, 2, 3, 10, 11}
+
+    dsk = M["DeleteShardKeyRequest"](collection_name="gsk")
+    dsk.request.shard_key.keyword = "us"
+    r3 = unary(grpc_env, "/qdrant.Collections/DeleteShardKey", dsk,
+               M["DeleteShardKeyResponse"])
+    assert r3.result
+    cp = M["CountPoints"](collection_name="gsk")
+    r4 = unary(grpc_env, "/qdrant.Points/Count", cp, M["CountResponse"])
+    assert r4.result.count == 3  # us points gone with their shard
+
+
+def test_groups_with_lookup_over_grpc(grpc_env):
+    """WithLookup: group ids double as point ids in a lookup collection and
+    the matched record is attached to each group (points.proto:576-583,
+    PointGroup.lookup)."""
+    _mk_coll(grpc_env, "glk_src")
+    # lookup collection keyed by the group values used by _mk_coll ("g0","g1")
+    # — string group ids resolve as uuid-style ids, so use a numeric group
+    create = M["CreateCollection"](collection_name="glk_items")
+    create.vectors_config.params.size = 4
+    create.vectors_config.params.distance = 3
+    unary(grpc_env, "/qdrant.Collections/Create", create,
+          M["CollectionOperationResponse"])
+    # re-tag source points with integer group ids 0/1
+    up = M["UpsertPoints"](collection_name="glk_src")
+    for i in range(8):
+        p = up.points.add()
+        p.id.num = 100 + i
+        p.vectors.vector.data.extend([1.0, 0.0, 0.0, float(i)])
+        p.payload["gid"].integer_value = i % 2
+    unary(grpc_env, "/qdrant.Points/Upsert", up, M["PointsOperationResponse"])
+    # lookup items with ids 0 and 1
+    up2 = M["UpsertPoints"](collection_name="glk_items")
+    for i in (0, 1):
+        p = up2.points.add()
+        p.id.num = i
+        p.vectors.vector.data.extend([0.0, 1.0, 0.0, 0.0])
+        p.payload["title"].string_value = f"item-{i}"
+    unary(grpc_env, "/qdrant.Points/Upsert", up2, M["PointsOperationResponse"])
+
+    sg = M["SearchPointGroups"](
+        collection_name="glk_src", vector=[1, 0, 0, 0], limit=2,
+        group_by="gid", group_size=2,
+    )
+    sg.with_lookup.collection = "glk_items"
+    r = unary(grpc_env, "/qdrant.Points/SearchGroups", sg,
+              M["SearchGroupsResponse"])
+    assert len(r.result.groups) == 2
+    titles = {
+        g.lookup.payload["title"].string_value for g in r.result.groups
+    }
+    assert titles == {"item-0", "item-1"}

@@ -246,3 +246,154 @@ def test_compaction_persistence_restart(tmp_path):
     assert states2[1]["count"] >= 5  # snapshot restored
     # replayed suffix + snapshot covers all 12 ops
     assert states2[1]["count"] + len(applied2.get(1, [])) == 12
+
+
+# ----------------------------------------------------------------------
+# pre-vote + learners (raft-rs behaviors the reference's consensus config
+# enables: src/consensus.rs raft Config pre_vote, learner add-then-promote)
+# ----------------------------------------------------------------------
+
+
+def test_prevote_partitioned_node_does_not_disrupt_leader():
+    """A node partitioned off and ticking must NOT inflate its term (the
+    pre-vote poll fails without a majority), so on rejoin the stable
+    leader keeps leading with no term churn."""
+    net = Network()
+    applied = {}
+    make_cluster(net, [1, 2, 3], applied)
+    leader = run_until_leader(net)
+    stable_term = leader.term
+    # partition off one follower and let it time out many times over
+    victim = next(i for i in net.nodes if net.nodes[i] is not leader)
+    net.down.add(victim)
+    for _ in range(100):
+        net.nodes[victim].tick()  # ticks alone; messages are dropped
+    net.queue.clear()  # drop everything it tried to send while down
+    assert net.nodes[victim].term == stable_term  # pre-vote never bumped it
+    # rejoin: leader unchanged, same term
+    net.down.clear()
+    net.tick_all(10)
+    assert leader.role == LEADER
+    assert leader.term == stable_term
+
+
+def test_prevote_still_elects_after_leader_death():
+    net = Network()
+    applied = {}
+    make_cluster(net, [1, 2, 3], applied)
+    first = run_until_leader(net)
+    net.down.add(first.node_id)
+    survivor_leader = None
+    for _ in range(300):
+        net.tick_all()
+        leaders = [
+            n for n in net.nodes.values()
+            if n.role == LEADER and n.node_id not in net.down
+        ]
+        if leaders:
+            survivor_leader = leaders[0]
+            break
+    assert survivor_leader is not None
+    assert survivor_leader.term > first.term
+    idx = survivor_leader.propose({"op": "after-failover"})
+    net.tick_all(5)
+    assert idx >= 1
+
+
+def test_learner_replicates_but_does_not_vote_or_campaign():
+    net = Network()
+    applied = {}
+    # two voters + one learner
+    for i in (1, 2):
+        net.nodes[i] = RaftNode(
+            i, [1, 2], net.transport_for(i),
+            apply_fn=lambda op, i=i: applied.setdefault(i, []).append(op),
+            seed=i, learners=[3],
+        )
+    net.nodes[3] = RaftNode(
+        3, [1, 2], net.transport_for(3),
+        apply_fn=lambda op: applied.setdefault(3, []).append(op),
+        seed=3, is_learner=True,
+    )
+    leader = run_until_leader(net)
+    assert net.nodes[3].role != LEADER
+    leader.propose({"op": "x"})
+    net.tick_all(5)
+    # learner applied the committed op
+    assert applied.get(3) == [{"op": "x"}]
+    # learner never campaigns even when fully isolated
+    net.down.update({1, 2})
+    for _ in range(200):
+        net.nodes[3].tick()
+    assert net.nodes[3].role == FOLLOWER
+
+
+def test_learner_does_not_count_toward_quorum():
+    """Leader + dead voter + live learner: entries must NOT commit (the
+    learner's ack is not a vote)."""
+    net = Network()
+    applied = {}
+    for i in (1, 2):
+        net.nodes[i] = RaftNode(
+            i, [1, 2], net.transport_for(i),
+            apply_fn=lambda op, i=i: applied.setdefault(i, []).append(op),
+            seed=i, learners=[3],
+        )
+    net.nodes[3] = RaftNode(
+        3, [1, 2], net.transport_for(3),
+        apply_fn=lambda op: applied.setdefault(3, []).append(op),
+        seed=3, is_learner=True,
+    )
+    leader = run_until_leader(net)
+    other = next(i for i in (1, 2) if net.nodes[i] is not leader)
+    net.down.add(other)
+    leader.propose({"op": "minority"})
+    net.tick_all(10)
+    assert applied.get(leader.node_id, []) == []  # not committed
+    assert applied.get(3, []) == []  # learner got entries but no commit
+    # the voter comes back -> commit proceeds
+    net.down.clear()
+    net.tick_all(10)
+    assert applied.get(leader.node_id) == [{"op": "minority"}]
+    assert applied.get(3) == [{"op": "minority"}]
+
+
+def test_learner_promotion_enables_voting():
+    net = Network()
+    applied = {}
+    for i in (1, 2):
+        net.nodes[i] = RaftNode(
+            i, [1, 2], net.transport_for(i),
+            apply_fn=lambda op, i=i: applied.setdefault(i, []).append(op),
+            seed=i, learners=[3],
+        )
+    net.nodes[3] = RaftNode(
+        3, [1, 2], net.transport_for(3),
+        apply_fn=lambda op: applied.setdefault(3, []).append(op),
+        seed=3, is_learner=True,
+    )
+    leader = run_until_leader(net)
+    leader.propose({"op": "seed"})
+    net.tick_all(5)
+    # promote on every node (in the product this flows through consensus)
+    for n in net.nodes.values():
+        n.promote_learner(3)
+    assert not net.nodes[3].is_learner
+    # kill the current leader: with 3 voters the remaining two elect
+    net.down.add(leader.node_id)
+    survivor = None
+    for _ in range(300):
+        net.tick_all()
+        live = [
+            n for n in net.nodes.values()
+            if n.role == LEADER and n.node_id not in net.down
+        ]
+        if live:
+            survivor = live[0]
+            break
+    assert survivor is not None
+    survivor.propose({"op": "post-promotion"})
+    net.tick_all(5)
+    live_ids = [i for i in net.nodes if i not in net.down]
+    for i in live_ids:
+        assert {"op": "post-promotion"} in applied.get(i, [])
