@@ -60,10 +60,20 @@ def shard_key_to_py(request) -> Any:
     """
     if not request.HasField("shard_key_selector"):
         return None
+    sel = request.shard_key_selector
     keys = [
         k.keyword if k.WhichOneof("key") == "keyword" else k.number
-        for k in request.shard_key_selector.shard_keys
+        for k in sel.shard_keys
     ]
+    if not keys and sel.HasField("fallback"):
+        # fallback-only selectors route writes during resharding in the
+        # reference; this deployment has no separate fallback routing plane,
+        # so treat the fallback key as the selector rather than silently
+        # dropping it (points.proto ShardKeySelector.fallback)
+        fb = sel.fallback
+        kind = fb.WhichOneof("key")
+        if kind is not None:
+            keys = [fb.keyword if kind == "keyword" else fb.number]
     if not keys:
         return None
     return keys[0] if len(keys) == 1 else keys
@@ -367,12 +377,23 @@ class _Services:
 
     @staticmethod
     def _shard_key_value(sk):
-        return sk.keyword if sk.WhichOneof("key") == "keyword" else sk.number
+        kind = sk.WhichOneof("key")
+        if kind is None:
+            # an unset oneof would otherwise read number == 0 and silently
+            # create/delete shard key 0 (reference validates the variant)
+            raise ValueError("shard_key must set either keyword or number")
+        return sk.keyword if kind == "keyword" else sk.number
 
     def CollectionsCreateShardKey(self, request, context):
         """Reference: collections_service.proto:36 CreateShardKey."""
         coll = self.toc.get_collection(request.collection_name)
         req = request.request
+        if req.HasField("replication_factor") and req.replication_factor > 1:
+            raise ValueError(
+                "replication_factor on CreateShardKey is not supported by "
+                "this deployment; create the collection with the desired "
+                "replication_factor instead"
+            )
         coll.create_shard_key(
             self._shard_key_value(req.shard_key),
             req.shards_number if req.HasField("shards_number") else 1,

@@ -1544,6 +1544,8 @@ ROUTES: List[Tuple[str, re.Pattern, Callable]] = [
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/scroll$"), h_scroll),
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/count$"), h_count),
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/facet$"), h_facet),
+    # canonical reference path (src/actix/api/facet_api.rs:18)
+    ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/facet$"), h_facet),
     ("POST", re.compile(r"^/collections/(?P<name>[^/]+)/points/search$"), h_search),
     (
         "POST",

@@ -240,11 +240,18 @@ class QueryExecutor:
         name = req.with_lookup.get("collection")
         if not name:
             return None
+        # unknown lookup collection must surface to the client (reference
+        # errors on a bad with_lookup name); only a missing point — a group
+        # id with no record in the lookup collection — yields a group
+        # without lookup data
+        coll = self.toc.get_collection(self.toc.resolve_name(name))
         try:
-            coll = self.toc.get_collection(self.toc.resolve_name(name))
             pid = normalize_point_id(gid)
+        except (ValueError, TypeError):
+            return None
+        try:
             payload, vectors = coll.get_payload_and_vectors(pid)
-        except Exception:
+        except KeyError:
             return None
         if payload is None and vectors is None:
             return None

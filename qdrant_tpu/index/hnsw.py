@@ -890,6 +890,17 @@ class HnswIndex:
             return codes, (vf * vf).sum(axis=1)
 
         codes_dev, norms_dev = _encode_sq(vecs_dev, jnp.float32(scale))
+        if vecs_dev.dtype != jnp.float32:
+            # reduced-precision scoring dtype (f16/bf16): the device block
+            # has already lost bits, so ||v||^2 from it is inexact. Recompute
+            # norms from the f32 host originals — an [N] upload is cheap and
+            # keeps the inline table's exact-norm guarantee.
+            host = np.asarray(data, dtype=np.float32)
+            norms_host = (host * host).sum(axis=1).astype(np.float32)
+            pad = vecs_dev.shape[0] - norms_host.shape[0]
+            if pad > 0:
+                norms_host = np.pad(norms_host, (0, pad))
+            norms_dev = jnp.asarray(norms_host)
         # pad rows beyond the live prefix carry whatever the block holds;
         # the adjacency never points at them, so their codes are never read
         table = pack_linkcodes_device(

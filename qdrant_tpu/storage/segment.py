@@ -538,14 +538,20 @@ class Segment:
         if fi is None or fi.map_index is None:
             return None
         mask = self.filter_mask(flt)
+        # postings include deferred (unconfirmed) and stale offsets — the
+        # payload-scan fallback excludes them via alive visibility, so the
+        # fast path must intersect with alive too or facet results diverge
+        # while deferred writes are in flight
+        alive = self.alive_mask()
+        if mask is None:
+            mask = alive
+        else:
+            mask = mask[: len(alive)] & alive[: len(mask)]
         counts: Dict[Any, int] = {}
         for value, offs in fi.map_index.postings.items():
-            if mask is None:
-                c = len(offs)
-            else:
-                arr = np.fromiter(offs, dtype=np.int64, count=len(offs))
-                arr = arr[arr < len(mask)]
-                c = int(mask[arr].sum())
+            arr = np.fromiter(offs, dtype=np.int64, count=len(offs))
+            arr = arr[arr < len(mask)]
+            c = int(mask[arr].sum())
             if c:
                 counts[value] = c
         return counts
