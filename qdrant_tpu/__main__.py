@@ -59,10 +59,33 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("qdrant_tpu")
 
+    # optional on-disk log sink (reference: src/tracing/on_disk.rs; config
+    # schema mirrors config.yaml's `logger.on_disk` section)
+    on_disk_cfg = (settings.get("logger") or {}).get("on_disk") or {}
+    if on_disk_cfg.get("enabled"):
+        from .utils.telemetry import configure_on_disk_logging
+
+        try:
+            configure_on_disk_logging(on_disk_cfg)
+            log.info("on-disk log sink: %s", on_disk_cfg.get("log_file"))
+        except Exception as exc:
+            # same degradation as the reference: report and continue with
+            # the sink disabled rather than refusing to start
+            log.error("failed to enable on-disk log sink: %s", exc)
+
     # runtime feature flags (reference: common/flags.rs, OnceLock init)
     from .utils.flags import init_feature_flags
 
     init_feature_flags(settings.get("feature_flags"))
+
+    # load-time memory mode — an OOM-crash-loop recovery knob that only
+    # affects how segments load (reference: config.yaml:49-63)
+    lmm = settings.get_path("storage.low_memory_mode", "disabled")
+    if lmm and lmm != "disabled":
+        from .storage.segment import set_low_memory_mode
+
+        set_low_memory_mode(lmm)
+        log.warning("low_memory_mode=%s: segments load on-disk/unpopulated", lmm)
 
     # stall watchdog (reference: service_debug deadlock checker thread,
     # src/main.rs:331-366); also togglable at runtime via PATCH /debugger

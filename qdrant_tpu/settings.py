@@ -15,10 +15,24 @@ import yaml
 
 DEFAULTS: Dict[str, Any] = {
     "log_level": "INFO",
+    # optional second log sink writing to a file (reference:
+    # src/tracing/on_disk.rs + config/config.yaml `logger:` section)
+    "logger": {
+        "on_disk": {
+            "enabled": False,
+            "log_file": None,
+            "log_level": None,
+            "format": "text",  # text | json
+            "buffer_size_bytes": None,
+        }
+    },
     "storage": {
         "storage_path": "./storage",
         "snapshots_path": "./snapshots",
         "on_disk_payload": False,
+        # disabled | no_resident | no_populate (load-time OOM recovery knob;
+        # reference: config/config.yaml:49-63)
+        "low_memory_mode": "disabled",
         "optimizers": {
             "deleted_threshold": 0.2,
             "vacuum_min_vector_number": 1000,

@@ -83,6 +83,34 @@ GRAPH_CROSSOVER_ROWS = int(
     os.environ.get("QDRANT_TPU_GRAPH_CROSSOVER_ROWS", 7_500_000)
 )
 
+# Load-time memory mode (reference: /root/reference/config/config.yaml:49-63
+# `storage.low_memory_mode`): a recovery knob for nodes that crash-loop on
+# OOM. Only affects how segments LOAD — persisted configuration is not
+# modified.
+#   disabled    — load segments as persisted (default)
+#   no_resident — downgrade dense vector truth to on-disk memmaps even when
+#                 the segment was saved RAM-resident
+#   no_populate — no_resident + drop any eager device mirrors after load
+#                 (the TPU analogue of skipping mmap prefault: HBM is only
+#                 populated when a search actually needs the block)
+LOW_MEMORY_MODES = ("disabled", "no_resident", "no_populate")
+_LOW_MEMORY_MODE = "disabled"
+
+
+def set_low_memory_mode(mode: str) -> None:
+    global _LOW_MEMORY_MODE
+    mode = (mode or "disabled").lower()
+    if mode not in LOW_MEMORY_MODES:
+        raise ValueError(
+            f"unknown low_memory_mode {mode!r}; expected one of {LOW_MEMORY_MODES}"
+        )
+    _LOW_MEMORY_MODE = mode
+
+
+def low_memory_mode() -> str:
+    return _LOW_MEMORY_MODE
+
+
 # On-disk segment format version (reference: lib/segment StorageVersion +
 # tests/e2e_tests/test_data_compatibility.py). Bump when segment.json or a
 # store layout changes shape; add an upgrade step to _migrate_segment_meta.
@@ -1288,8 +1316,12 @@ class Segment:
                         msub, vp.size, vp.distance, vp.datatype
                     )
             elif os.path.exists(sub):
+                # low_memory_mode != disabled: force the f32 truth onto a
+                # disk memmap even if the segment was saved RAM-resident
+                # (reference: config.yaml:49-63 no_resident/no_populate)
                 seg.dense[name] = DenseVectorStore.load(
-                    sub, vp.size, vp.distance, vp.datatype, on_disk=vp.on_disk
+                    sub, vp.size, vp.distance, vp.datatype,
+                    on_disk=vp.on_disk or _LOW_MEMORY_MODE != "disabled",
                 )
         for name, sp in params.sparse_vectors.items():
             sub = os.path.join(path, f"sparse_{_safe(name)}")
@@ -1341,6 +1373,11 @@ class Segment:
                 seg.quantized[name] = qops.BinaryQuantized.load(qpath)
             elif qtype == "ProductQuantized":
                 seg.quantized[name] = qops.ProductQuantized.load(qpath)
+        if _LOW_MEMORY_MODE == "no_populate":
+            # TPU analogue of "skip mmap prefault": drop any device mirrors
+            # created during load so HBM fills only on first search
+            for store in seg.dense.values():
+                store.drop_device()
         return seg
 
 

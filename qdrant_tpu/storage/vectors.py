@@ -281,7 +281,12 @@ class DenseVectorStore:
             store._deleted_count = int(deleted.sum())
             return store
         store = cls(dim, distance, datatype, on_disk=on_disk)
-        data = np.load(os.path.join(path, "vectors.npy"))
+        # on_disk downgrade of a RAM-format save (low_memory_mode): stream
+        # npy -> memmap without materializing the block in RAM
+        data = np.load(
+            os.path.join(path, "vectors.npy"),
+            mmap_mode="r" if on_disk else None,
+        )
         deleted = np.load(os.path.join(path, "deleted.npy"))
         n = data.shape[0]
         store._ensure_capacity(n)

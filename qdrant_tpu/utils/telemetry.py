@@ -262,11 +262,96 @@ class TelemetryReporter:
 
 # ---------------------------------------------------------------------------
 # runtime logger configuration (reference: src/tracing/{config,handle}.rs —
-# reloadable log filters; here exposed through GET/POST /logger)
+# reloadable log filters; here exposed through GET/POST /logger) and the
+# optional on-disk sink (reference: src/tracing/on_disk.rs — a second layer
+# writing text or JSON lines to a file with its own level filter and a
+# configurable write-buffer size, reconfigurable at runtime)
 # ---------------------------------------------------------------------------
 
 _LOGGER_LOCK = threading.Lock()
 _LOGGER_OVERRIDES: Dict[str, str] = {}
+_ON_DISK: Dict[str, Any] = {
+    "enabled": False,
+    "log_file": None,
+    "log_level": None,
+    "format": "text",
+    "buffer_size_bytes": None,
+}
+_ON_DISK_HANDLER: Optional[logging.Handler] = None
+
+
+class JsonLogFormatter(logging.Formatter):
+    """One JSON object per line (reference: config::LogFormat::Json)."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        import json as _json
+
+        payload = {
+            "timestamp": self.formatTime(record, "%Y-%m-%dT%H:%M:%S%z"),
+            "level": record.levelname,
+            "target": record.name,
+            "message": record.getMessage(),
+        }
+        if record.exc_info:
+            payload["exception"] = self.formatException(record.exc_info)
+        return _json.dumps(payload)
+
+
+def _apply_on_disk_locked() -> None:
+    """(Re)install the file handler on the root logger from _ON_DISK."""
+    global _ON_DISK_HANDLER
+    root = logging.getLogger()
+    if _ON_DISK_HANDLER is not None:
+        root.removeHandler(_ON_DISK_HANDLER)
+        try:
+            _ON_DISK_HANDLER.close()
+        except Exception:
+            pass
+        _ON_DISK_HANDLER = None
+    if not _ON_DISK.get("enabled"):
+        return
+    path = _ON_DISK.get("log_file")
+    if not path:
+        # same contract as the reference: the sink can only be enabled with
+        # a file path (on_disk.rs: "log file is not specified")
+        raise ValueError("logger.on_disk.log_file is not specified")
+    buf = _ON_DISK.get("buffer_size_bytes")
+    # buffer_size_bytes > 0 batches writes (flushed on close/reconfigure);
+    # unset/0 = line-buffered so tail -f works out of the box
+    stream = open(path, "a", buffering=int(buf) if buf else 1)
+    handler = logging.StreamHandler(stream)
+    if str(_ON_DISK.get("format") or "text").lower() == "json":
+        handler.setFormatter(JsonLogFormatter())
+    else:
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+    lvl = _ON_DISK.get("log_level")
+    if lvl:
+        lvl = str(lvl).upper()
+        if lvl not in logging._nameToLevel:
+            raise ValueError(f"unknown log level: {lvl}")
+        handler.setLevel(lvl)
+    root.addHandler(handler)
+    # the sink's own filter must be reachable: if the root level is stricter
+    # than the sink's, lower the handler-independent root threshold the way
+    # tracing's per-layer filters compose (each layer filters independently)
+    if lvl and logging._nameToLevel[lvl] < root.level:
+        for h in root.handlers:
+            if h is not handler and h.level == logging.NOTSET:
+                h.setLevel(root.level)
+        root.setLevel(lvl)
+    _ON_DISK_HANDLER = handler
+
+
+def configure_on_disk_logging(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply an on-disk sink config (startup path: settings `logger.on_disk`)."""
+    with _LOGGER_LOCK:
+        for key in _ON_DISK:
+            if key in (cfg or {}):
+                _ON_DISK[key] = cfg[key]
+        _apply_on_disk_locked()
+    return dict(_ON_DISK)
 
 
 def logger_config() -> Dict[str, Any]:
@@ -274,14 +359,21 @@ def logger_config() -> Dict[str, Any]:
     return {
         "log_level": logging.getLevelName(root.level),
         "overrides": dict(_LOGGER_OVERRIDES),
+        "on_disk": dict(_ON_DISK),
     }
 
 
 def set_logger_config(patch: Dict[str, Any]) -> Dict[str, Any]:
     """Apply a runtime logging patch: {"log_level": "DEBUG",
-    "overrides": {"qdrant_tpu.cluster": "WARNING", "noisy.mod": null}}.
+    "overrides": {"qdrant_tpu.cluster": "WARNING", "noisy.mod": null},
+    "on_disk": {"enabled": true, "log_file": "...", "format": "json"}}.
     A null override resets that logger to inherit from root."""
     with _LOGGER_LOCK:
+        if isinstance(patch.get("on_disk"), dict):
+            for key in _ON_DISK:
+                if key in patch["on_disk"]:
+                    _ON_DISK[key] = patch["on_disk"][key]
+            _apply_on_disk_locked()
         if patch.get("log_level"):
             level = str(patch["log_level"]).upper()
             if level not in logging._nameToLevel:

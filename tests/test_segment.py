@@ -151,6 +151,43 @@ def test_segment_save_load(tmp_path):
     assert "k" in loaded.payload_index.indexed_fields()
 
 
+def test_low_memory_mode_load(tmp_path):
+    """low_memory_mode (reference config.yaml:49-63): a RAM-resident segment
+    loads with its f32 truth downgraded to an on-disk memmap; searches still
+    work; `disabled` restores normal loading."""
+    from qdrant_tpu.storage.segment import low_memory_mode, set_low_memory_mode
+
+    rng = np.random.default_rng(9)
+    seg = Segment(make_params())
+    data = rng.normal(size=(60, 16)).astype(np.float32)
+    for i in range(60):
+        seg.upsert_point(i + 1, i, {"": data[i]})
+    seg.save(str(tmp_path / "seg"))
+
+    assert low_memory_mode() == "disabled"
+    with pytest.raises(ValueError):
+        set_low_memory_mode("bogus")
+    try:
+        set_low_memory_mode("no_resident")
+        loaded = Segment.load(str(tmp_path / "seg"))
+        store = loaded.dense[""]
+        assert store.on_disk
+        assert isinstance(store._data, np.memmap)
+        _, ids = loaded.search_dense("", data[:3], k=1)
+        assert ids[:, 0].tolist() == [0, 1, 2]
+
+        set_low_memory_mode("no_populate")
+        loaded2 = Segment.load(str(tmp_path / "seg"))
+        store2 = loaded2.dense[""]
+        assert store2.on_disk and store2._dev is None
+        _, ids2 = loaded2.search_dense("", data[:3], k=1)
+        assert ids2[:, 0].tolist() == [0, 1, 2]
+    finally:
+        set_low_memory_mode("disabled")
+    loaded3 = Segment.load(str(tmp_path / "seg"))
+    assert not loaded3.dense[""].on_disk
+
+
 def test_segment_seal_with_turbo_quantization(tmp_path):
     from qdrant_tpu.types import TurboQuantizationConfig
 

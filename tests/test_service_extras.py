@@ -259,6 +259,63 @@ def test_logger_runtime_reload(server):
     call(server, "POST", "/logger", {"log_level": "NOT_A_LEVEL"}, expect=400)
 
 
+def test_logger_on_disk_sink(server, tmp_path):
+    """On-disk log sink (reference: src/tracing/on_disk.rs): enable via
+    POST /logger, emit, verify JSON lines land in the file, then disable."""
+    import logging
+
+    log_file = str(tmp_path / "qdrant.log.json")
+    out = call(
+        server,
+        "POST",
+        "/logger",
+        {
+            "on_disk": {
+                "enabled": True,
+                "log_file": log_file,
+                "log_level": "INFO",
+                "format": "json",
+            }
+        },
+    )["result"]
+    assert out["on_disk"]["enabled"] is True
+    logging.getLogger("qdrant_tpu.sink_test").info("hello sink %d", 42)
+    with open(log_file) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    assert any(
+        rec["message"] == "hello sink 42"
+        and rec["target"] == "qdrant_tpu.sink_test"
+        and rec["level"] == "INFO"
+        for rec in lines
+    )
+    # text format reconfigure writes plain lines to a second file
+    text_file = str(tmp_path / "qdrant.log")
+    call(
+        server,
+        "POST",
+        "/logger",
+        {"on_disk": {"log_file": text_file, "format": "text"}},
+    )
+    logging.getLogger("qdrant_tpu.sink_test").warning("plain line")
+    with open(text_file) as f:
+        assert "plain line" in f.read()
+    # enabling without a path is a client error, sink state unchanged
+    call(
+        server,
+        "POST",
+        "/logger",
+        {"on_disk": {"enabled": True, "log_file": None}},
+        expect=400,
+    )
+    out = call(server, "POST", "/logger", {"on_disk": {"enabled": False, "log_file": text_file}})[
+        "result"
+    ]
+    assert out["on_disk"]["enabled"] is False
+    logging.getLogger("qdrant_tpu.sink_test").warning("after disable")
+    with open(text_file) as f:
+        assert "after disable" not in f.read()
+
+
 def test_openapi_spec(server):
     """GET /openapi.json: valid OpenAPI 3 document covering every route."""
     spec = call(server, "GET", "/openapi.json")["result"]
@@ -432,6 +489,63 @@ def test_universal_io_tier(server, tmp_path):
         ur.read(f"peer://127.0.0.1:{server.port}/iotest/blob.bin", 1, 2)
         == b"\x01\x02"
     )
+
+
+def test_s3fifo_cache_behavior():
+    """S3-FIFO semantics (reference: lib/trififo): one-hit wonders wash
+    through the small queue; re-read keys promote to main; ghost hits
+    re-admit; capacity is respected."""
+    from qdrant_tpu.storage.io_tier import S3FifoCache
+
+    c = S3FifoCache(capacity_bytes=100)
+    # hot key: inserted, re-read (freq>0) -> survives the small-queue churn
+    c.put("hot", b"x" * 8)
+    assert c.get("hot") == b"x" * 8
+    for i in range(30):  # one-hit wonders wash through
+        c.put(f"w{i}", b"y" * 8)
+    assert c.size_bytes <= 100
+    assert c.get("hot") == b"x" * 8  # promoted to main, still cached
+    # ghost re-admission: a washed-out key that returns goes straight to main
+    victim = next(f"w{i}" for i in range(30) if c.get(f"w{i}") is None)
+    c.put(victim, b"z" * 8)
+    assert c.get(victim) == b"z" * 8
+    assert victim.encode() and c.stats()["entries"] > 0
+    # oversized value is never admitted
+    c.put("huge", b"h" * 200)
+    assert c.get("huge") is None
+    # duplicate put does not double-count bytes
+    before = c.size_bytes
+    c.put("hot", b"x" * 8)
+    assert c.size_bytes == before
+
+
+def test_universal_reader_cold_read_cache(server):
+    """Peer reads through UniversalReader are cached: the second identical
+    ranged read is served from the S3-FIFO cache without touching the
+    network plane."""
+    from qdrant_tpu.storage.io_tier import UniversalReader
+
+    root = server.toc.storage_path
+    sub = os.path.join(root, "iocache")
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, "cold.bin"), "wb") as f:
+        f.write(b"abcdef" * 100)
+
+    ur = UniversalReader(root, cache_bytes=1 << 20)
+    uri = f"peer://127.0.0.1:{server.port}/iocache/cold.bin"
+    first = ur.read(uri, 6, 6)
+    assert first == b"abcdef"
+    assert ur.cache.stats()["misses"] == 1
+    # mutate the file under the cache: the cached range must still serve
+    with open(os.path.join(sub, "cold.bin"), "wb") as f:
+        f.write(b"XXXXXX" * 100)
+    assert ur.read(uri, 6, 6) == b"abcdef"
+    assert ur.cache.stats()["hits"] == 1
+    # a different range is a different key -> fresh read sees new bytes
+    assert ur.read(uri, 0, 6) == b"XXXXXX"
+    # local files bypass the cache entirely
+    ur.read("file://iocache/cold.bin", 0, 6)
+    assert ur.cache.stats()["entries"] == 2
 
 
 def test_snapshot_checksum_roundtrip(server, tmp_path):
