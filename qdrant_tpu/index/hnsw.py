@@ -360,8 +360,7 @@ class HnswIndex:
         vectors_f32, _ = self.store.device_block()
         cap = vectors_f32.shape[0]
         n = len(self.store)
-        data = self.store._data[:n]
-        d = data.shape[1]
+        d = self.store.dim
         euclid = self.distance in (Distance.EUCLID, Distance.MANHATTAN)
         # bf16 codes cost 2x the HBM of int8 but carry ~5x less scoring
         # noise (and none of the 0.99-quantile clipping bias that int8 SQ
@@ -369,7 +368,9 @@ class HnswIndex:
         # +0.05 recall@10 on the final graph at 20k points, same MXU class.
         precision = os.environ.get("QDRANT_TPU_BUILD_PRECISION", "bf16")
         if precision == "int8":
-            sq = qops.ScalarQuantized.encode(data)
+            sq = qops.ScalarQuantized.encode(
+                self.store.get_batch(np.arange(n))
+            )
             codes_np = np.zeros((cap, d), dtype=np.int8)
             codes_np[:n] = sq.codes
             norms_np = np.zeros(cap, dtype=np.float32)

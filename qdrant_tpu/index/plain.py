@@ -32,13 +32,39 @@ class PlainIndex:
         filter_mask: Optional[np.ndarray] = None,  # [n] bool over offsets
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k], offsets [B, k]); offset -1 = no result."""
+        scores_dev, ids_dev, b, k_eff = self.search_device(
+            queries, k, filter_mask
+        )
+        scores = np.asarray(scores_dev, dtype=np.float32)[:b]
+        ids = np.asarray(ids_dev, dtype=np.int32)[:b]
+        ids = np.where(np.isfinite(scores), ids, -1)
+        if k_eff < k:
+            scores = np.pad(
+                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+    def search_device(
+        self,
+        queries: np.ndarray,
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Async variant: dispatches the search and returns DEVICE-resident
+        (scores [B', k_eff], ids [B', k_eff], b, k_eff) without blocking on
+        the result. Serving paths keep several batches in flight so device
+        compute and the host↔device link pipeline instead of serializing
+        (one synchronous round trip costs ~25 ms on a tunneled link — more
+        than the 1M-row scan itself). Scores are exact (euclid: -(q-v)²)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         q = preprocess_vectors(queries, self.store.distance)
+        b = q.shape[0]
         if (
             len(self.store) >= SCAN_THRESHOLD
             and self.store.distance is not Distance.MANHATTAN
         ):
-            return self._scan_search(q, k, filter_mask)
+            return self._scan_search_device(q, k, filter_mask)
         vectors, valid = self.store.device_block()
         if filter_mask is not None:
             fm = np.zeros(vectors.shape[0], dtype=bool)
@@ -48,24 +74,14 @@ class PlainIndex:
         scores, ids = score_and_topk(
             jnp.asarray(q), vectors, self.store.distance.value, k_eff, valid
         )
-        scores = np.asarray(scores)
-        ids = np.asarray(ids).astype(np.int32)
-        ids = np.where(np.isfinite(scores), ids, -1)
-        if k_eff < k:
-            pad_s = np.full((scores.shape[0], k - k_eff), -np.inf, dtype=scores.dtype)
-            pad_i = np.full((ids.shape[0], k - k_eff), -1, dtype=ids.dtype)
-            scores = np.concatenate([scores, pad_s], axis=1)
-            ids = np.concatenate([ids, pad_i], axis=1)
-        return scores, ids
+        return scores, ids, b, k_eff
 
-    def _scan_search(
+    def _scan_search_device(
         self, q: np.ndarray, k: int, filter_mask: Optional[np.ndarray]
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ):
         """Large-N path: blocked-scan group-reduction + exact f32 rescore of
         an oversampled candidate set (recovers exact ordering from the bf16
-        scan scores)."""
-        import jax
-
+        scan scores). One fused program; output stays on device."""
         from ..ops.scan import scan_search_rescore
 
         scan = self.store.scan_index()
@@ -74,40 +90,39 @@ class PlainIndex:
             combined = (~self.store.deleted_mask) & np.asarray(
                 filter_mask[: len(self.store)], dtype=bool
             )
-            mask_dev = scan.mask_device(combined)
-        if scan.mesh is not None:
-            # multi-device: SPMD sharded scan + per-shard rescore + ICI merge
-            b = q.shape[0]
-            b_pad = max(8, (b + 7) // 8 * 8)
-            qp = np.zeros((b_pad, scan.d_pad), dtype=np.float32)
-            qp[:b, : q.shape[1]] = q
-            return scan._search_mesh(qp, q, b, k, mask_dev)
-        k_fetch = min(max(2 * k, k + 8), scan.n)
-        k_eff = min(k, k_fetch)
-        vectors, _ = self.store.device_block()
+            mask_dev = scan.mask_device_cached(combined)
         b = q.shape[0]
         b_pad = max(8, (b + 7) // 8 * 8)
         qp = np.zeros((b_pad, scan.d_pad), dtype=np.float32)
         qp[:b, : q.shape[1]] = q
+        if scan.mesh is not None:
+            # multi-device: SPMD sharded scan + per-shard rescore + ICI merge
+            s, ids = scan._search_mesh_device(qp, k, mask_dev)
+            return s, ids, b, min(k, scan.n)
+        k_fetch = min(max(2 * k, k + 8), scan.n)
+        k_eff = min(k, k_fetch)
+        vectors, _ = self.store.device_block()
         euclid = self.store.distance in (Distance.EUCLID,)
         if scan.use_pallas:
-            # Pallas fused scan (bf16 in-kernel scores) → exact f32 rescore;
-            # candidates stay device-resident between the two dispatches
-            from ..ops.scan import rescore_topk
+            # Pallas fused scan (bf16 in-kernel scores, VMEM-resident — the
+            # XLA formulation is HBM-bound on its [B, blk] f32 score block)
+            # + exact f32 rescore, ONE compiled program
+            from .. import ops as _ops
+            from ..ops.pallas_scan import pallas_scan_rescore
 
-            _, cand = scan.pallas_candidates(qp, k_fetch, mask_dev)
-            top_s, top_i = rescore_topk(
-                jnp.asarray(q), cand, vectors, k_eff, euclid
+            top_s, top_i = pallas_scan_rescore(
+                jnp.asarray(qp),
+                jnp.asarray(qp),
+                scan._v,
+                mask_dev,
+                vectors,
+                k_fetch,
+                k_eff,
+                blk=scan.block,
+                qt=scan.pallas_qt(b_pad),
+                euclid=euclid,
             )
-            scores = np.asarray(top_s, dtype=np.float32)[:b]
-            ids = np.asarray(top_i, dtype=np.int32)[:b]
-            ids = np.where(np.isfinite(scores), ids, -1)
-            if k_eff < k:
-                scores = np.pad(
-                    scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-                )
-                ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-            return scores, ids
+            return top_s, top_i, b, k_eff
         top_s, top_i = scan_search_rescore(
             jnp.asarray(qp),
             scan._v,
@@ -119,13 +134,4 @@ class PlainIndex:
             k_eff,
             euclid,
         )
-        scores, ids = jax.device_get((top_s, top_i))
-        scores = np.asarray(scores, dtype=np.float32)[:b]
-        ids = np.asarray(ids, dtype=np.int32)[:b]
-        ids = np.where(np.isfinite(scores), ids, -1)
-        if k_eff < k:
-            scores = np.pad(
-                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-            )
-            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-        return scores, ids
+        return top_s, top_i, b, k_eff

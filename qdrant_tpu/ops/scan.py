@@ -406,12 +406,34 @@ def scan_search_rescore(
 from ..utils.flags import flag_env as _flag_env
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "d_pad", "euclid"))
+def _device_pad_block(v, n_pad: int, d_pad: int, euclid: bool):
+    """Pad a device-resident [N, D] block to tile shape and derive the scan
+    operands (bf16 codes + ||v||²) without a host round trip."""
+    n, d = v.shape
+    vf = v.astype(jnp.float32)
+    if (n, d) != (n_pad, d_pad):
+        vf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(vf)
+    vsq = (
+        (vf * vf).sum(axis=1)
+        if euclid
+        else jnp.zeros((n_pad,), jnp.float32)
+    )
+    return vf.astype(jnp.bfloat16), vsq
+
+
 class ScanIndex:
-    """Device-resident blocked-scan searcher over a frozen vector block."""
+    """Device-resident blocked-scan searcher over a frozen vector block.
+
+    `vectors` may be a host numpy array (classic path: padded and uploaded
+    once) OR a device `jax.Array` (device-native ingestion, e.g. a
+    DeviceVectorStore fed by an on-chip embedding model) — then padding,
+    bf16 cast and norms are derived on device and the block never visits
+    the host."""
 
     def __init__(
         self,
-        vectors: np.ndarray,  # [N, D] f32 (already distance-preprocessed)
+        vectors,  # [N, D] f32 np.ndarray OR jax.Array (distance-preprocessed)
         valid_mask: Optional[np.ndarray] = None,
         euclid: bool = False,
         block: int = DEFAULT_BLOCK,
@@ -419,6 +441,7 @@ class ScanIndex:
         import os
 
         n, d = vectors.shape
+        is_dev = isinstance(vectors, jax.Array)
         self.n = n
         self.block = block
         d_pad = max((d + 127) // 128 * 128, 128)
@@ -445,23 +468,50 @@ class ScanIndex:
             self.use_pallas = (
                 is_tpu_backend()
                 and n >= 32768
+                and not is_dev  # pallas bias table needs host norms
                 and _flag_env("pallas_scan", "QDRANT_TPU_PALLAS")
             )
             if self.use_pallas:
                 block = PBLK
                 self.block = block
             n_pad = max((n + block - 1) // block * block, block)
+        self.euclid = euclid
+        self.d = d
+        self.d_pad = d_pad
+        self.n_pad = n_pad
+        if is_dev:
+            v_bf16, vsq_dev = _device_pad_block(
+                vectors, n_pad, d_pad, euclid
+            )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                row = NamedSharding(self.mesh, PartitionSpec("shard"))
+                vf32 = vectors.astype(jnp.float32)
+                if vf32.shape != (n_pad, d_pad):
+                    vf32 = (
+                        jnp.zeros((n_pad, d_pad), jnp.float32)
+                        .at[:n, :d]
+                        .set(vf32)
+                    )
+                self._v = jax.device_put(v_bf16, row)
+                self._vsq = jax.device_put(vsq_dev, row)
+                self._v_f32 = jax.device_put(vf32, row)
+                self._row_sharding = row
+            else:
+                self._v = v_bf16
+                self._vsq = vsq_dev
+                self._v_f32 = None
+                self._row_sharding = None
+            self._mask = self.mask_device(valid_mask)
+            return
         v = np.zeros((n_pad, d_pad), dtype=np.float32)
         v[:n, :d] = vectors
-        self.euclid = euclid
         vsq = (
             (v * v).sum(axis=1).astype(np.float32)
             if euclid
             else np.zeros(n_pad, np.float32)
         )
-        self.d = d
-        self.d_pad = d_pad
-        self.n_pad = n_pad
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -510,6 +560,27 @@ class ScanIndex:
 
     def update_mask(self, valid_mask: np.ndarray) -> None:
         self._mask = self.mask_device(valid_mask)
+        if hasattr(self, "_mask_cache"):
+            self._mask_cache.clear()
+
+    def mask_device_cached(self, valid_mask: np.ndarray) -> jax.Array:
+        """mask_device with a small digest-keyed cache: repeated filtered
+        searches with the same filter (the common case — one payload filter,
+        many queries) reuse the device mask instead of re-uploading [N]
+        bytes per call."""
+        import hashlib
+
+        if not hasattr(self, "_mask_cache"):
+            self._mask_cache = {}
+        key = hashlib.blake2b(
+            np.ascontiguousarray(valid_mask), digest_size=16
+        ).digest()
+        hit = self._mask_cache.get(key)
+        if hit is None:
+            if len(self._mask_cache) >= 16:
+                self._mask_cache.pop(next(iter(self._mask_cache)))
+            hit = self._mask_cache[key] = self.mask_device(valid_mask)
+        return hit
 
     def search(
         self, queries: np.ndarray, k: int, mask: Optional[jax.Array] = None
@@ -544,31 +615,36 @@ class ScanIndex:
             ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return s, ids
 
+    def pallas_qt(self, b_pad: int) -> int:
+        """Query-tile for the Pallas grid: must divide the padded batch;
+        tiles of 128/256 keep VMEM bounded ([qt, blk] f32 scores +
+        [qt, slots*128] x2 scratch). b_pad is always a multiple of 8."""
+        from .pallas_scan import DEFAULT_QT
+
+        if b_pad % DEFAULT_QT == 0:
+            return DEFAULT_QT
+        if b_pad % 128 == 0:
+            return 128
+        if b_pad <= 256:
+            return b_pad
+        for qt in range(256, 7, -8):
+            if b_pad % qt == 0:
+                return qt
+        return b_pad  # unreachable: 8 | b_pad
+
     def pallas_candidates(
         self, q: np.ndarray, k: int, mask
     ) -> Tuple[jax.Array, jax.Array]:
         """Fused Pallas scan → DEVICE-resident (scores, ids); callers that
         rescore must not round-trip the candidates through the host."""
-        from .pallas_scan import DEFAULT_QT, pallas_scan_topk
+        from .pallas_scan import pallas_scan_topk
 
-        b_pad = q.shape[0]
-        if b_pad >= 128:
-            # query-tile must divide the padded batch; tiles of 128/256 keep
-            # VMEM bounded ([qt, blk] f32 scores + [qt, 2048]x2 scratch)
-            if b_pad % 128:
-                q = np.concatenate(
-                    [q, np.zeros((128 - b_pad % 128, q.shape[1]), q.dtype)]
-                )
-                b_pad = q.shape[0]
-            qt = DEFAULT_QT if b_pad % DEFAULT_QT == 0 else 128
-        else:
-            qt = b_pad  # small batches: one query tile
         return pallas_scan_topk(
             jnp.asarray(q),
             self._v,
             mask if mask is not None else self._mask,
             min(k, self.n),
-            qt=qt,
+            qt=self.pallas_qt(q.shape[0]),
         )
 
     def _search_pallas(
@@ -587,14 +663,20 @@ class ScanIndex:
             ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return s, ids
 
-    def _search_mesh(
-        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def _search_mesh_device(
+        self, q: np.ndarray, k: int, mask
+    ) -> Tuple[jax.Array, jax.Array]:
+        """SPMD sharded scan + per-shard rescore + ICI merge; returns
+        DEVICE-resident (scores [B_pad, k_eff], ids) so callers can keep
+        batches in flight. Euclid scores are already exact -(q-v)²."""
         from ..parallel.mesh import sharded_scan_rescore
 
         k_eff = min(k, self.n)
-        k_fetch = min(max(2 * k_eff, k_eff + 8), max(self.n_pad // jax.device_count(), 1))
-        s, ids = sharded_scan_rescore(
+        k_fetch = min(
+            max(2 * k_eff, k_eff + 8),
+            max(self.n_pad // jax.device_count(), 1),
+        )
+        return sharded_scan_rescore(
             self.mesh,
             jnp.asarray(q),
             self._v,
@@ -606,6 +688,11 @@ class ScanIndex:
             k_eff,
             self.euclid,
         )
+
+    def _search_mesh(
+        self, q: np.ndarray, queries: np.ndarray, b: int, k: int, mask
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        s, ids = self._search_mesh_device(q, k, mask)
         s = np.asarray(s, dtype=np.float32)[:b]
         ids = np.asarray(ids, dtype=np.int32)[:b]
         if self.euclid:

@@ -297,6 +297,97 @@ class DenseVectorStore:
         return store
 
 
+class DeviceVectorStore(DenseVectorStore):
+    """Sealed dense store whose vector truth ALREADY LIVES ON DEVICE.
+
+    Device-native ingestion path: when the vectors are produced on-chip (an
+    embedding model running on the same TPU, a device-side dataset
+    generator, a shard transfer landing directly in HBM) the [N, D] block
+    never round-trips the host link. The engine's few host-row reads (HNSW
+    seed graph ≤512 rows, exact candidate rescore) are served by an optional
+    `host_fetch(offsets) -> [k, D] f32` callable, falling back to a device
+    gather + download of just those rows.
+
+    Reference contrast: qdrant's storages are all host/disk-backed
+    (vector_storage_base.rs:607) — on TPU the authoritative copy can be HBM.
+    Sealed: `add`/`set` raise; build a new store to mutate membership.
+    """
+
+    def __init__(
+        self,
+        dev_vectors: jax.Array,  # [cap, D] (distance-preprocessed) on device
+        distance: Distance,
+        count: Optional[int] = None,
+        host_fetch=None,
+        datatype: Datatype = Datatype.FLOAT32,
+    ):
+        super().__init__(int(dev_vectors.shape[1]), distance, datatype)
+        cap = int(dev_vectors.shape[0])
+        n = int(count if count is not None else cap)
+        if not (0 <= n <= cap):
+            raise ValueError(f"count {n} outside device block rows {cap}")
+        self._count = n
+        self._deleted = np.zeros(n, dtype=bool)
+        self._host_fetch = host_fetch
+        mask = np.zeros(cap, dtype=bool)
+        mask[:n] = True
+        self._dev = dev_vectors.astype(_DTYPE_MAP[datatype])
+        self._dev_mask = jnp.asarray(mask)
+        self._dirty = False
+
+    def add(self, vectors):  # pragma: no cover - sealed
+        raise NotImplementedError("DeviceVectorStore is sealed (device-native)")
+
+    def set(self, offset, vector):  # pragma: no cover - sealed
+        raise NotImplementedError("DeviceVectorStore is sealed (device-native)")
+
+    def device_block(self) -> Tuple[jax.Array, jax.Array]:
+        return self._dev, self._dev_mask
+
+    def get(self, offset: int) -> np.ndarray:
+        return self.get_batch(np.asarray([offset]))[0]
+
+    def get_batch(self, offsets: np.ndarray) -> np.ndarray:
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if self._host_fetch is not None:
+            rows = np.asarray(self._host_fetch(offsets), dtype=np.float32)
+        else:
+            rows = np.asarray(
+                jnp.take(self._dev, jnp.asarray(offsets), axis=0),
+                dtype=np.float32,
+            )
+        return rows
+
+    @property
+    def host_array(self) -> np.ndarray:
+        # O(count) host materialization — only debug/persistence consumers
+        return self.get_batch(np.arange(self._count))
+
+    def scan_index(self):
+        from ..ops.scan import ScanIndex
+
+        if getattr(self, "_scan", None) is None or self._scan_version != (
+            self._count,
+            self._deleted_count,
+        ):
+            self._scan = ScanIndex(
+                self._dev[: max(self._count, 1)],
+                valid_mask=~self._deleted[: self._count],
+                euclid=self.distance
+                in (Distance.EUCLID, Distance.MANHATTAN),
+            )
+            self._scan_version = (self._count, self._deleted_count)
+        return self._scan
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import merge, sizeof, sizeof_attrs
+
+        return merge(
+            sizeof_attrs(self, "_dev", "_dev_mask", "_deleted"),
+            sizeof(getattr(self, "_scan", None)),
+        )
+
+
 class MultiVectorStore:
     """Storage for multi-vectors (token matrices, ColBERT-style).
 
