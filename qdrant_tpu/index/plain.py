@@ -45,6 +45,38 @@ class PlainIndex:
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
 
+    def search_many(
+        self,
+        batches,  # iterable of [B_i, D] query batches
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Pipelined multi-batch search: dispatch every batch before syncing
+        any result, then fetch ALL results in one `jax.device_get` (a single
+        host↔device round trip instead of one per batch — on a tunneled
+        link each fresh-result download costs a full ~28 ms RTT, 3x the 1M
+        scan itself). → list of (scores [B_i, k], ids [B_i, k]).
+
+        This is the sustained-throughput serving shape: the micro-batcher /
+        batch-search API hands every in-flight batch here and the device
+        pipelines uploads, scans, and downloads."""
+        import jax
+
+        outs = [self.search_device(q, k, filter_mask) for q in batches]
+        fetched = jax.device_get([(s, i) for s, i, _, _ in outs])
+        results = []
+        for (s_dev, i_dev), (_, _, b, k_eff) in zip(fetched, outs):
+            scores = np.asarray(s_dev, dtype=np.float32)[:b]
+            ids = np.asarray(i_dev, dtype=np.int32)[:b]
+            ids = np.where(np.isfinite(scores), ids, -1)
+            if k_eff < k:
+                scores = np.pad(
+                    scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+                )
+                ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+            results.append((scores, ids))
+        return results
+
     def search_device(
         self,
         queries: np.ndarray,
@@ -107,12 +139,12 @@ class PlainIndex:
             # Pallas fused scan (bf16 in-kernel scores, VMEM-resident — the
             # XLA formulation is HBM-bound on its [B, blk] f32 score block)
             # + exact f32 rescore, ONE compiled program
-            from .. import ops as _ops
             from ..ops.pallas_scan import pallas_scan_rescore
 
+            qp_dev = jnp.asarray(qp)  # ONE upload (it is both scan + rescore query)
             top_s, top_i = pallas_scan_rescore(
-                jnp.asarray(qp),
-                jnp.asarray(qp),
+                qp_dev,
+                qp_dev,
                 scan._v,
                 mask_dev,
                 vectors,

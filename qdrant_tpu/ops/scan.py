@@ -458,11 +458,11 @@ class ScanIndex:
             chunk = block * n_dev
             n_pad = max((n + chunk - 1) // chunk * chunk, chunk)
         else:
-            # single-device TPU: the Pallas kernel (ops/pallas_scan.py) is
-            # OPT-IN — its raw scan beats XLA in isolation, but end-to-end
-            # (candidates → exact f32 rescore) the fused XLA scan+rescore
-            # program wins: 22.0k vs 10.7k QPS at 1M x 128, B=1024 (v5e,
-            # one dispatch + one round trip vs two)
+            # single-device TPU: the Pallas fused scan+rescore (default ON,
+            # utils/flags.py) keeps block scores in VMEM where the XLA
+            # formulation round-trips a [B, blk] f32 block through HBM:
+            # 29 ms vs 45 ms per 2,048-query batch at 1M x 128 (pipelined
+            # depth-8, v5e). Flag off falls back to the XLA program.
             from .pallas_scan import DEFAULT_BLK as PBLK, is_tpu_backend
 
             self.use_pallas = (

@@ -66,3 +66,29 @@ def test_store_grows_and_persists(tmp_path):
     assert len(loaded) == 1500
     assert loaded.deleted_count == 1
     np.testing.assert_allclose(loaded.get(42), store.get(42))
+
+
+def test_search_many_matches_search():
+    rng = np.random.default_rng(4)
+    store = DenseVectorStore(32, Distance.EUCLID)
+    store.add(rng.normal(size=(800, 32)).astype(np.float32))
+    idx = PlainIndex(store)
+    batches = [rng.normal(size=(b, 32)).astype(np.float32) for b in (7, 16, 3)]
+    many = idx.search_many(batches, k=5)
+    assert len(many) == 3
+    for q, (s_m, i_m) in zip(batches, many):
+        s1, i1 = idx.search(q, k=5)
+        np.testing.assert_array_equal(i_m, i1)
+        np.testing.assert_allclose(s_m, s1, rtol=1e-5)
+
+
+def test_search_many_with_filter_and_device_store():
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(600, 16)).astype(np.float32)
+    store = DenseVectorStore(16, Distance.DOT)
+    store.add(data)
+    idx = PlainIndex(store)
+    mask = np.zeros(600, dtype=bool)
+    mask[:200] = True
+    [(s, ids)] = idx.search_many([data[:4]], k=3, filter_mask=mask)
+    assert np.all(ids[ids >= 0] < 200)
