@@ -406,10 +406,15 @@ def scan_search_rescore(
 from ..utils.flags import flag_env as _flag_env
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "d_pad", "euclid"))
-def _device_pad_block(v, n_pad: int, d_pad: int, euclid: bool):
+@functools.partial(
+    jax.jit, static_argnames=("n_pad", "d_pad", "euclid", "scale")
+)
+def _device_pad_block(v, n_pad: int, d_pad: int, euclid: bool,
+                      scale: float = 1.0):
     """Pad a device-resident [N, D] block to tile shape and derive the scan
-    operands (bf16 codes + ||v||²) without a host round trip."""
+    operands (bf16 codes + ||v||²) without a host round trip. `scale`
+    pre-multiplies the bf16 copy (the Pallas kernel wants 2*V for euclid so
+    its epilogue is one bias add)."""
     n, d = v.shape
     vf = v.astype(jnp.float32)
     if (n, d) != (n_pad, d_pad):
@@ -419,7 +424,8 @@ def _device_pad_block(v, n_pad: int, d_pad: int, euclid: bool):
         if euclid
         else jnp.zeros((n_pad,), jnp.float32)
     )
-    return vf.astype(jnp.bfloat16), vsq
+    out = vf if scale == 1.0 else scale * vf
+    return out.astype(jnp.bfloat16), vsq
 
 
 class ScanIndex:
@@ -468,7 +474,6 @@ class ScanIndex:
             self.use_pallas = (
                 is_tpu_backend()
                 and n >= 32768
-                and not is_dev  # pallas bias table needs host norms
                 and _flag_env("pallas_scan", "QDRANT_TPU_PALLAS")
             )
             if self.use_pallas:
@@ -481,8 +486,19 @@ class ScanIndex:
         self.n_pad = n_pad
         if is_dev:
             v_bf16, vsq_dev = _device_pad_block(
-                vectors, n_pad, d_pad, euclid
+                vectors, n_pad, d_pad, euclid,
+                scale=2.0 if (self.use_pallas and euclid) else 1.0,
             )
+            if self.use_pallas:
+                # bias table lives on host (rebuilt per mask update); one
+                # [n_pad] f32 download — the only host visit this block makes
+                self._v = v_bf16
+                self._vsq_host = np.asarray(vsq_dev, dtype=np.float32)
+                self._vsq = None
+                self._v_f32 = None
+                self._row_sharding = None
+                self._mask = self.mask_device(valid_mask)
+                return
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
