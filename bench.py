@@ -47,7 +47,9 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 D = int(os.environ.get("BENCH_D", 128))
-N_TRUTH = 64  # queries with exact ground truth
+N_TRUTH = 256  # queries with exact ground truth (device-computed; 64 was
+# +-0.03 recall noise at k=10 — too loose to score the 0.95 bar)
+N_CPU_BASE = 16  # queries for the host numpy baseline timing only
 N_BATCH = 1024  # throughput measurement batch (scan)
 HNSW_BATCH = 2048  # throughput batch for the graph path
 K = 10
@@ -80,6 +82,9 @@ def set_headline(qps: float, cpu_qps: float):
     if qps > STATE["value"]:
         STATE["value"] = round(qps, 1)
         STATE["vs_baseline"] = round(qps / cpu_qps, 2) if cpu_qps else 0.0
+        ref = STATE.get("ref_cpu_qdrant_qps_assumed")
+        if ref:
+            STATE["vs_qdrant_32core_est"] = round(qps / ref, 2)
 
 
 def make_dataset(rng, n, d, n_queries, n_clusters=1024, spread=20.0):
@@ -261,32 +266,62 @@ def main():
         data, queries = make_dataset(rng, N, D, max(N_BATCH, HNSW_BATCH))
         log(f"datagen {time.perf_counter() - t0:.1f}s")
 
-        truth, cpu_elapsed = host_exact_topk(data, queries[:N_TRUTH], K)
-        cpu_qps = N_TRUTH / cpu_elapsed
+        # host numpy exact scan, timed on a small batch — the 1-vCPU
+        # baseline denominator only (truth itself is computed on device
+        # below: exact f32 HIGHEST, 256 queries)
+        _, cpu_elapsed = host_exact_topk(data, queries[:N_CPU_BASE], K)
+        cpu_qps = N_CPU_BASE / cpu_elapsed
         log(f"cpu exact baseline: {cpu_elapsed:.2f}s -> {cpu_qps:.1f} qps")
-
+        # BASELINE.md north star is "higher QPS/chip than qdrant on a
+        # 32-core CPU node" — qdrant publishes ~1-4k QPS at 1M x 128-ish
+        # configs on such nodes; record the honest comparison next to the
+        # 1-vCPU numpy denominator so vs_baseline can't read as a straw man
+        STATE["ref_cpu_qdrant_qps_assumed"] = 4000
         store = DenseVectorStore(D, Distance.EUCLID)
         store.add(data)
         t0 = time.perf_counter()
         store.scan_index()
-        store.device_block()
-        log(f"device upload + scan prep {time.perf_counter() - t0:.1f}s")
+        vecs_dev_core, mask_dev_core = store.device_block()
+        truth = device_truth_ids(
+            queries[:N_TRUTH], vecs_dev_core, K, mask_dev_core, euclid=True
+        )
+        log(f"device upload + truth {time.perf_counter() - t0:.1f}s")
 
     if "scan" not in SKIP:
         idx = PlainIndex(store)
         _, ids = idx.search(queries[:N_BATCH], k=K)
         r = recall(ids[:N_TRUTH], truth)
         qps = measure_qps(lambda: idx.search(queries[:N_BATCH], k=K), N_BATCH)
-        log(f"scan path: recall@10={r:.4f} qps={qps:.1f}")
+        # sustained serving shape: the micro-batcher keeps several batches
+        # in flight and PlainIndex.search_many pipelines upload/scan/
+        # download — one device_get per WINDOW instead of one ~25 ms
+        # tunnel round trip per batch (the synchronous number above is
+        # latency-bound, not device-bound)
+        window = [queries[:N_BATCH], queries[N_BATCH : 2 * N_BATCH]] * 4
+        n_win = sum(len(w) for w in window)
+        res = idx.search_many(window, k=K)
+        r_sus = recall(res[0][1][:N_TRUTH], truth)
+        sus_qps = measure_qps(
+            lambda: idx.search_many(window, k=K), n_win, reps=3
+        )
+        log(
+            f"scan path: recall@10={r:.4f} qps={qps:.1f} "
+            f"sustained={sus_qps:.1f} (recall {r_sus:.4f})"
+        )
         STATE["detail"]["scan_1m_sift128"] = {
             "recall_at_10": round(r, 4),
             "qps": round(qps, 1),
+            "sustained_qps": round(sus_qps, 1),
+            "sustained_recall_at_10": round(r_sus, 4),
             "n": N,
             "dim": D,
             "batch": N_BATCH,
+            "pipeline_depth": len(window),
         }
         if r >= TARGET_RECALL:
             set_headline(qps, cpu_qps)
+        if r_sus >= TARGET_RECALL:
+            set_headline(sus_qps, cpu_qps)
         emit()
 
     # cheap, high-value configs land BEFORE the slow graph build so a
@@ -310,7 +345,7 @@ def main():
         build_s = time.perf_counter() - t0
         log(f"hnsw build ({N} pts): {build_s:.1f}s ({build_s / N * 1e6:.0f} us/pt)")
         sweep = {}
-        for ef in (64, 128, 256, 512):
+        for ef in (64, 128, 256):
             bsz = HNSW_BATCH if ef <= 128 else 1024
             _, hids = hidx.search(queries[:bsz], k=K, ef=ef)
             h_recall = recall(hids[:N_TRUTH], truth)
@@ -334,8 +369,12 @@ def main():
         emit()
 
     # config 4: filtered search at 1% / 10% / 50% selectivity.
-    # Mirrors the segment dispatch: low selectivity -> masked scan;
-    # higher -> graph beam with filter bias (storage/segment.py:477-501).
+    # The PRODUCT path at 1M rows is the masked scan at every selectivity:
+    # storage/segment.py::_should_use_graph routes to the graph only above
+    # the measured scan-vs-graph crossover row count, and the masked scan
+    # is exact whatever the filter matches. The graph+ACORN numbers are
+    # reported alongside as diagnostics (they become the product path above
+    # the crossover / beyond-HBM tiers).
     if "filtered" not in SKIP:
         import jax.numpy as jnp
 
@@ -352,44 +391,51 @@ def main():
                 queries[:N_TRUTH], vecs_dev, K, jnp.asarray(mask_pad),
                 euclid=True,
             )
-            if sel < 0.05 or hidx is None:
-                midx = PlainIndex(store)
-                _, f_ids = midx.search(queries[:N_BATCH], k=K, filter_mask=mask)
-                f_qps = measure_qps(
-                    lambda: midx.search(queries[:N_BATCH], k=K, filter_mask=mask),
-                    N_BATCH,
-                    reps=3,
-                )
-                path = "masked-scan"
-            else:
-                # mirror the product dispatch (storage/segment.py): ACORN
-                # 2-hop traversal for selectivity <= 0.4 (measured: at 10%
-                # sel the plain biased beam loses ~0.3 recall that ACORN
-                # recovers)
+            midx = PlainIndex(store)
+            _, f_ids = midx.search(queries[:N_BATCH], k=K, filter_mask=mask)
+            f_qps = measure_qps(
+                lambda: midx.search(queries[:N_BATCH], k=K, filter_mask=mask),
+                N_BATCH,
+                reps=2,
+            )
+            f_recall = recall(f_ids[:N_TRUTH], f_truth)
+            log(
+                f"filtered sel={sel:.0%} [masked-scan]: "
+                f"recall@10={f_recall:.4f} qps={f_qps:.1f}"
+            )
+            entry = {
+                "recall_at_10": round(f_recall, 4),
+                "qps": round(f_qps, 1),
+                "path": "masked-scan",
+            }
+            if hidx is not None and sel >= 0.05:
+                # diagnostic: the filtered-graph path the dispatcher uses
+                # above the crossover (ACORN for selectivity <= 0.4)
                 acorn = sel <= 0.4
-                _, f_ids = hidx.search(
+                gpath = "graph+acorn" if acorn else "graph+bias"
+                _, g_ids = hidx.search(
                     queries[:N_BATCH], k=K, ef=128, filter_mask=mask,
                     acorn=acorn,
                 )
-                f_qps = measure_qps(
+                g_qps = measure_qps(
                     lambda: hidx.search(
                         queries[:N_BATCH], k=K, ef=128, filter_mask=mask,
                         acorn=acorn,
                     ),
                     N_BATCH,
-                    reps=3,
+                    reps=2,
                 )
-                path = "graph+acorn" if acorn else "graph+bias"
-            f_recall = recall(f_ids[:N_TRUTH], f_truth)
-            log(
-                f"filtered sel={sel:.0%} [{path}]: recall@10={f_recall:.4f} "
-                f"qps={f_qps:.1f}"
-            )
-            filt[f"{sel:.0%}"] = {
-                "recall_at_10": round(f_recall, 4),
-                "qps": round(f_qps, 1),
-                "path": path,
-            }
+                g_recall = recall(g_ids[:N_TRUTH], f_truth)
+                log(
+                    f"filtered sel={sel:.0%} [{gpath} diagnostic]: "
+                    f"recall@10={g_recall:.4f} qps={g_qps:.1f}"
+                )
+                entry["graph_diagnostic"] = {
+                    "recall_at_10": round(g_recall, 4),
+                    "qps": round(g_qps, 1),
+                    "path": gpath,
+                }
+            filt[f"{sel:.0%}"] = entry
         STATE["detail"]["filtered_1m_sift128"] = filt
         emit()
 
@@ -399,7 +445,10 @@ def main():
     hidx = None
     gc.collect()
 
-    emit(final=True)
+    # NOT final: extras are part of the artifact ("partial": false only
+    # after every config ran — round-3's mid-run final-looking line read
+    # as complete while missing three extras)
+    emit()
     log("core configs complete — running scale extras")
 
     # ------------------------------------------------------------------
@@ -422,10 +471,13 @@ def main():
             except Exception:
                 pass
 
+    # hnsw1536 first: the explicit BASELINE.md:32 build-under-60s target,
+    # unmeasured for three rounds; then the scan-vs-graph crossover, then
+    # the two quantized-primary scale configs
     for name, fn in (
-        ("tq", tiered_tq_cfg),
-        ("crossover", crossover_cfg),
         ("hnsw1536", hnsw1536_cfg),
+        ("crossover", crossover_cfg),
+        ("tq", tiered_tq_cfg),
         ("tiered", tiered_cfg),
     ):
         if name in SKIP:
@@ -678,13 +730,14 @@ def tiered_cfg(rng):
 
 def tiered_tq_cfg(rng):
     """TQ-as-primary at 10M x 1536 on one 16 GB chip: packed 4-bit codes
-    (2 level indices/byte -> 7.7 GB resident) are the ONLY device residency
-    (ops/scan.py::scan_search_tq_flat; reference: vector_storage/turbo/
-    mod.rs:1-29 — turbo codes ARE the storage, not a sidecar). Encode here
-    uses uniform 4-bit levels on the same kernel (the `levels` table is a
-    kernel input either way; the product Lloyd-Max+Hadamard encode is
-    covered by tests). Reports codes-only QPS AND host-rescored QPS/recall
-    (quantization_rescore true/false, both product paths)."""
+    (2 level indices/byte over the 2048-d rotated space -> 10.2 GB
+    resident) are the ONLY device residency (ops/scan.py::
+    scan_search_tq_flat; reference: vector_storage/turbo/mod.rs:1-29 —
+    turbo codes ARE the storage, not a sidecar). Encode is the PRODUCT
+    formulation (ops/quantization.py::TurboQuantized.encode: randomized
+    Hadamard rotation + per-row scale + Lloyd-Max 4-bit levels), run
+    blockwise on device. Reports codes-only QPS AND host-rescored
+    QPS/recall (quantization_rescore true/false, both product paths)."""
     _tiered_scan_cfg(
         rng,
         int(os.environ.get("BENCH_TQ_N", 10_000_000)),
@@ -714,15 +767,26 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
     )
 
     d = 1536
-    codes_gb = n * d * (1 if bits == 8 else 0.5) / 1e9
+    if bits == 8:
+        d_codes = d  # int8 SQ: 1 byte per original dim
+    else:
+        # product TQ: rotate into the next-pow2 Hadamard space, then pack
+        # 2 level indices per byte (ops/quantization.py::TurboQuantized)
+        d_rot = 1
+        while d_rot < d:
+            d_rot *= 2
+        d_codes = d_rot // 2
+    codes_gb = n * d_codes / 1e9
     log(f"tiered[{bits}bit] config: {n}x{d} (f32 {n * d * 4 / 1e9:.1f} GB "
         f"> HBM; codes {codes_gb:.1f} GB resident)")
     t0 = time.perf_counter()
     sm = SynthModel(rng, n, d)
     blk = DEFAULT_BLOCK
-    # 262144-row generation blocks (1.6 GB f32 transient), smaller if the
-    # whole config is smaller (CPU smoke runs)
-    bs = min(32 * blk, max((n + blk - 1) // blk * blk, blk))
+    # generation blocks: 1.6 GB f32 transient for SQ; TQ adds [bs, d_rot]
+    # rotated transients ON TOP of 10.2 GB resident codes, so it runs
+    # 65536-row blocks to stay inside HBM
+    bs = min(32 * blk if bits == 8 else 8 * blk,
+             max((n + blk - 1) // blk * blk, blk))
     n_pad = max((n + bs - 1) // bs * bs, bs)
     sm.pad_to(n_pad)
     centers_d, pool_d, assign_d, pick_d, jit_d = sm.device()
@@ -730,9 +794,32 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
     q = sm.queries(rng, nq)
     q_dev = jnp.asarray(q)
 
-    half_bins = 7.5
-    levels_np = (np.arange(16, dtype=np.float32) - half_bins) / half_bins * 3.2
     sq_scale = 3.6 / 127.0  # +-3.6 covers a unit-ish gaussian + jitter
+    if bits == 4:
+        from qdrant_tpu.ops.quantization import (
+            _hadamard_rotation,
+            _lloyd_max,
+        )
+
+        thr_np, levels_np = _lloyd_max(4)
+        # [d, d_rot] slice of the orthogonal rotation (rows past d multiply
+        # zero-padding) — the exact matrix TurboQuantized.encode applies
+        rot_dev = jnp.asarray(_hadamard_rotation(d, seed=13)[:d, :])
+        thr_dev = jnp.asarray(thr_np.astype(np.float32))
+    else:
+        levels_np = np.zeros(16, np.float32)  # unused for SQ
+
+    def tq_quantize(r, sc):
+        """Nearest-Lloyd-Max-level index via 4-step binary search over the
+        15 midpoint thresholds (a [bs, d_rot, 16] argmin transient would
+        not fit HBM next to the resident codes)."""
+        x = r / sc[:, None]
+        idx = jnp.zeros(x.shape, jnp.int32)
+        for step in (8, 4, 2, 1):
+            cand = idx + step
+            t = jnp.take(thr_dev, jnp.minimum(cand, 15) - 1)
+            idx = jnp.where((cand <= 15) & (x > t), cand, idx)
+        return idx.astype(jnp.uint8)
 
     @functools.partial(
         jax.jit, donate_argnums=(0, 1, 2), static_argnames=("bs",)
@@ -748,13 +835,9 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
             )
             sc = jnp.zeros((bs,), jnp.float32)  # unused for SQ
         else:
-            sc = block.std(axis=1) + 1e-12
-            idx = jnp.clip(
-                jnp.round(block / (sc[:, None] * (3.2 / half_bins)))
-                + half_bins,
-                0,
-                15,
-            ).astype(jnp.uint8)
+            r = block @ rot_dev  # [bs, d_rot] rotated
+            sc = r.std(axis=1) + 1e-12
+            idx = tq_quantize(r, sc)
             enc = (idx[:, 0::2] << 4) | idx[:, 1::2]
         codes_buf = jax.lax.dynamic_update_slice(codes_buf, enc, (off, 0))
         scales_buf = jax.lax.dynamic_update_slice(scales_buf, sc, (off,))
@@ -770,8 +853,7 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
         return codes_buf, scales_buf, norms_buf, t_s, t_i + off
 
     codes_buf = jnp.zeros(
-        (n_pad, d if bits == 8 else d // 2),
-        jnp.int8 if bits == 8 else jnp.uint8,
+        (n_pad, d_codes), jnp.int8 if bits == 8 else jnp.uint8
     )
     scales_buf = jnp.zeros((n_pad,), jnp.float32)
     norms_buf = jnp.zeros((n_pad,), jnp.float32)
@@ -804,11 +886,14 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
                 mask_dev, blk, k, False,
             )
     else:
-        levels_dev = jnp.asarray(levels_np)
+        levels_dev = jnp.asarray(levels_np.astype(np.float32))
+        # queries enter the kernel in the rotated space (the rotation is
+        # orthogonal, so dot(q_rot, v_rot) == dot(q, v))
+        q_rot_dev = q_dev @ rot_dev
 
         def device_scan(k):
             return scan_search_tq_flat(
-                q_dev, qn, codes_buf, scales_buf, norms_buf, levels_dev,
+                q_rot_dev, qn, codes_buf, scales_buf, norms_buf, levels_dev,
                 mask_dev, blk, k, euclid=False, pack=2, bits_w=4,
             )
 
@@ -828,15 +913,21 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
     # as the product memmap gather
     def search_rescored():
         _, cand = device_scan(k_over)
-        cand = np.asarray(cand, dtype=np.int32)
-        i_out = np.full((nq, K), -1, np.int32)
-        for bi in range(nq):
-            ids = cand[bi]
-            ids = ids[(ids >= 0) & (ids < n)]
-            rows = sm.host_rows(ids)
-            sc = rows @ q[bi]
-            i_out[bi, : K] = ids[np.argsort(-sc)[:K]]
-        return i_out
+        cand = np.asarray(cand, dtype=np.int32)  # [nq, k_over]
+        # ONE stacked closed-form gather + ONE batched BLAS contraction
+        # for all queries (the round-3 per-query python loop capped this
+        # path at 132 QPS)
+        ok = (cand >= 0) & (cand < n)
+        flat = np.where(ok, cand, 0).ravel()
+        rows = sm.host_rows(flat).reshape(nq, k_over, d)
+        sc = np.einsum("qkd,qd->qk", rows, q, optimize=True)
+        sc[~ok] = -np.inf
+        top = np.argsort(-sc, axis=1)[:, :K]
+        return np.where(
+            np.take_along_axis(ok, top, axis=1),
+            np.take_along_axis(cand, top, axis=1),
+            -1,
+        ).astype(np.int32)
 
     ids_re = search_rescored()
     r_re = recall(ids_re[:nq], truth)
@@ -852,9 +943,50 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
                        "qps": round(qps_codes, 1)},
         "rescored": {"recall_at_10": round(r_re, 4), "qps": round(qps_re, 1)},
     }
-    emit(final=True)
+    emit()
     del codes_buf, scales_buf, norms_buf, sm
     gc.collect()
+
+
+def _device_store_cfg(rng, n, d, distance, nq):
+    """Shared datagen for the graph-at-scale extras: rows come from the
+    SynthModel closed form evaluated ON DEVICE (this host is one throttled
+    vCPU — materializing N x d f32 host-side was the round-2/3 bench
+    killer), wrapped in a DeviceVectorStore whose few host-row reads (HNSW
+    seed graph, exact rescore) replay the closed form via host_rows."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from qdrant_tpu.storage.vectors import DeviceVectorStore
+
+    t0 = time.perf_counter()
+    sm = SynthModel(rng, n, d, n_centers=512)
+    n_pad = max((n + 4095) // 4096 * 4096, 4096)
+    sm.pad_to(n_pad)
+    centers_d, pool_d, assign_d, pick_d, jit_d = sm.device()
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("bs",))
+    def _fill(buf, off, bs):
+        a = jax.lax.dynamic_slice_in_dim(assign_d, off, bs)
+        p = jax.lax.dynamic_slice_in_dim(pick_d, off, bs)
+        jt = jax.lax.dynamic_slice_in_dim(jit_d, off, bs)
+        block = centers_d[a] + pool_d[p] * jt[:, None]
+        return jax.lax.dynamic_update_slice(buf, block, (off, 0))
+
+    bs = min(262144, n_pad)
+    while n_pad % bs:
+        bs //= 2
+    vecs_dev = jnp.zeros((n_pad, d), jnp.float32)
+    for off in range(0, n_pad, bs):
+        vecs_dev = _fill(vecs_dev, jnp.int32(off), bs=bs)
+    store = DeviceVectorStore(
+        vecs_dev, distance, count=n, host_fetch=sm.host_rows
+    )
+    queries = sm.queries(rng, nq)
+    log(f"device datagen {n}x{d}: {time.perf_counter() - t0:.1f}s")
+    return store, queries
 
 
 def hnsw1536_cfg(rng):
@@ -862,24 +994,10 @@ def hnsw1536_cfg(rng):
     (bar: under one minute) + ef sweep vs the exact scan on the same data."""
     from qdrant_tpu.index.hnsw import HnswIndex
     from qdrant_tpu.index.plain import PlainIndex
-    from qdrant_tpu.storage.vectors import DenseVectorStore
     from qdrant_tpu.types import Distance, HnswConfig
 
     n, d = int(os.environ.get("BENCH_HNSW1536_N", 1_000_000)), 1536
-    t0 = time.perf_counter()
-    # host copy IS required here (the builder's host seed graph reads
-    # store._data) — build it with the fewest possible host passes:
-    # gather + one in-place add, no jitter multiply, truth on device
-    centers = rng.standard_normal((512, d), dtype=np.float32)
-    pool = rng.standard_normal((16384, d), dtype=np.float32)
-    data = centers[rng.integers(0, 512, n)]
-    data += pool[rng.integers(0, 16384, n)]
-    queries = centers[rng.integers(0, 512, 1024)] + rng.standard_normal(
-        (1024, d), dtype=np.float32
-    )
-    log(f"hnsw1536 datagen {time.perf_counter() - t0:.1f}s")
-    store = DenseVectorStore(d, Distance.DOT)
-    store.add(data)
+    store, queries = _device_store_cfg(rng, n, d, Distance.DOT, 1024)
     vecs_dev, mask_dev = store.device_block()
     truth = device_truth_ids(queries[:N_TRUTH], vecs_dev, K, mask_dev)
     sidx = PlainIndex(store)
@@ -906,8 +1024,8 @@ def hnsw1536_cfg(rng):
         "scan_qps": round(scan_qps, 1),
         "scan_recall": round(scan_r, 4),
     }
-    emit(final=True)
-    del store, data, hidx
+    emit()
+    del store, hidx
     gc.collect()
 
 
@@ -917,15 +1035,10 @@ def crossover_cfg(rng):
     (round-2 question: the graph had no measured reason to exist)."""
     from qdrant_tpu.index.hnsw import HnswIndex
     from qdrant_tpu.index.plain import PlainIndex
-    from qdrant_tpu.storage.vectors import DenseVectorStore
     from qdrant_tpu.types import Distance, HnswConfig
 
     n, d = int(os.environ.get("BENCH_CROSS_N", 4_000_000)), 128
-    t0 = time.perf_counter()
-    data, queries = make_dataset(rng, n, d, HNSW_BATCH)
-    log(f"crossover datagen {time.perf_counter() - t0:.1f}s")
-    store = DenseVectorStore(d, Distance.EUCLID)
-    store.add(data)
+    store, queries = _device_store_cfg(rng, n, d, Distance.EUCLID, HNSW_BATCH)
     vecs_dev, mask_dev = store.device_block()
     truth = device_truth_ids(
         queries[:N_TRUTH], vecs_dev, K, mask_dev, euclid=True
@@ -941,7 +1054,7 @@ def crossover_cfg(rng):
     build_s = time.perf_counter() - t0
     log(f"crossover build: {build_s:.1f}s ({build_s / n * 1e6:.0f} us/pt)")
     sweep = {}
-    for ef in (64, 128):
+    for ef in (64, 128, 256):
         _, hids = hidx.search(queries[:HNSW_BATCH], k=K, ef=ef)
         h_r = recall(hids[:N_TRUTH], truth)
         h_qps = measure_qps(
@@ -956,7 +1069,7 @@ def crossover_cfg(rng):
         "build_seconds": round(build_s, 1),
         "hnsw_ef_sweep": sweep,
     }
-    emit(final=True)
+    emit()
 
 
 if __name__ == "__main__":

@@ -1082,6 +1082,252 @@ class HnswIndex:
         return idx
 
 
+_scatter_rows_jit = jax.jit(
+    lambda buf, ids, vals: buf.at[ids].set(vals), donate_argnums=0
+)
+
+
+class ShardedHnswIndex:
+    """Multi-device graph serving: S independent per-row-slice sub-graphs
+    searched as ONE SPMD program over a `jax.sharding.Mesh`
+    (parallel/mesh.py::sharded_hnsw_search) with an all-gather merge on ICI.
+
+    Reference equivalence: qdrant fans a query out over every segment and
+    merges top-k on the coordinator (lib/collection/src/collection_manager/
+    segments_searcher.rs:212-306). Here each device holds one contiguous
+    row-slice "segment" — its vectors and a LOCAL-offset adjacency — and
+    the fan-out + merge is one compiled program instead of an RPC tree.
+
+    Build: sub-graphs are built sequentially with the single-device builder
+    (each restricted to its slice via `subset=`), then re-based to local
+    offsets ON DEVICE (a subset build only links slice members, so every
+    link value lands inside the slice) and laid out shard-major. Upper
+    levels are not used when serving: each shard's beam starts at its own
+    entry point, and the per-shard row count (n/S) keeps the level-0 walk
+    short. Incremental inserts go through the segment's deferred-rebuild
+    path, same as payload-block subgraphs.
+    """
+
+    def __init__(
+        self,
+        store: DenseVectorStore,
+        config: HnswConfig,
+        seed: int = 42,
+        mesh=None,
+    ):
+        self.store = store
+        self.config = config
+        self.seed = seed
+        self.distance: Distance = store.distance
+        self.mesh = mesh
+        self.n_shards = 0
+        self.n_per_shard = 0
+        self._v = None  # [S*Np, D] sharded rows
+        self._links = None  # [S*Np, M0] sharded, local-offset values
+        self._entries = None  # [S] per-shard entry (local offset)
+        self._alive = None  # [S*Np] bool host (pad rows False)
+        self._mask_cache: Dict[bytes, jax.Array] = {}
+
+    # -- build ----------------------------------------------------------
+
+    def build(
+        self, batch_size: int = 1024, ef_construct: Optional[int] = None,
+        progress_fn=None,
+    ) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SHARD_AXIS, make_mesh
+
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        s_count = int(self.mesh.devices.size)
+        n = len(self.store)
+        alive_mask = ~self.store.deleted_mask
+        np_local = max((n + s_count - 1) // s_count, 8)
+        np_local = (np_local + 127) // 128 * 128
+        cap_total = s_count * np_local
+        v, _ = self.store.device_block()
+        d = v.shape[1]
+        if v.shape[0] >= cap_total:
+            v_full = v[:cap_total]
+        else:
+            v_full = (
+                jnp.zeros((cap_total, d), v.dtype).at[: v.shape[0]].set(v)
+            )
+        links = jnp.full((cap_total, self.config.m0), -1, jnp.int32)
+        entries = np.zeros(s_count, np.int32)
+        for s in range(s_count):
+            lo = s * np_local
+            hi = min(lo + np_local, n)
+            if hi <= lo:
+                continue
+            ids = (np.nonzero(alive_mask[lo:hi])[0] + lo).astype(np.int32)
+            if len(ids) == 0:
+                continue
+            sub = HnswIndex(
+                self.store, self.config, seed=self.seed + s, subset=ids
+            )
+            sub.build(batch_size=batch_size, ef_construct=ef_construct)
+            # re-base to local offsets on device (the tunnel download of a
+            # host links mirror would dwarf the build itself)
+            ids_dev = jnp.asarray(ids)
+            rows = jnp.take(sub._rank_device(), ids_dev)
+            lk = jnp.take(sub._links0_device(), rows, axis=0)
+            lk_local = jnp.where(lk >= 0, lk - lo, -1).astype(jnp.int32)
+            links = _scatter_rows_jit(links, ids_dev, lk_local)
+            entries[s] = sub.entry - lo
+            if progress_fn:
+                progress_fn(hi, n)
+        row = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._v = jax.device_put(v_full, row)
+        self._links = jax.device_put(links, row)
+        self._entries = jax.device_put(jnp.asarray(entries), row)
+        alive_pad = np.zeros(cap_total, dtype=bool)
+        alive_pad[:n] = alive_mask[:n]
+        self._alive = alive_pad
+        self.n_shards = s_count
+        self.n_per_shard = np_local
+
+    # -- search ---------------------------------------------------------
+
+    def _mask_sharded(self, mask: np.ndarray) -> jax.Array:
+        import hashlib
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SHARD_AXIS
+
+        key = hashlib.blake2b(
+            np.ascontiguousarray(mask), digest_size=16
+        ).digest()
+        hit = self._mask_cache.get(key)
+        if hit is None:
+            if len(self._mask_cache) >= 16:
+                self._mask_cache.pop(next(iter(self._mask_cache)))
+            hit = self._mask_cache[key] = jax.device_put(
+                mask, NamedSharding(self.mesh, P(SHARD_AXIS))
+            )
+        return hit
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: Optional[int] = None,
+        filter_mask: Optional[np.ndarray] = None,
+        acorn: bool = False,  # noqa: ARG002 — sharded beam is mask-biased
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, k], offsets [B, k]), -1 padded. Offsets are global
+        store offsets (shard-major rows coincide with store offsets)."""
+        from ..parallel.mesh import sharded_hnsw_search
+
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b = queries.shape[0]
+        if self._v is None or self.n_shards == 0:
+            return (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int32),
+            )
+        b_pad = _pow2_at_least(b, 8)
+        q = _pad_rows(preprocess_vectors(queries, self.distance), b_pad, 0.0)
+        mask = self._alive
+        if filter_mask is not None:
+            fm = np.zeros(mask.shape[0], dtype=bool)
+            m = min(len(filter_mask), mask.shape[0])
+            fm[:m] = filter_mask[:m]
+            mask = mask & fm
+        ef_eff = max(ef or self.config.ef_construct, k)
+        s, ids = sharded_hnsw_search(
+            self.mesh,
+            jnp.asarray(q),
+            self._v,
+            self._links,
+            self._entries,
+            self._mask_sharded(mask),
+            self.distance.value,
+            ef_eff,
+            k,
+        )
+        return (
+            np.asarray(s, dtype=np.float32)[:b],
+            np.asarray(ids, dtype=np.int32)[:b],
+        )
+
+    def memory_usage_bytes(self):
+        from ..utils.memsize import sizeof_attrs
+
+        return sizeof_attrs(self, "_v", "_links", "_entries", "_alive")
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "hnsw_sharded.npz"),
+            links=np.asarray(self._links, dtype=np.int32),
+            entries=np.asarray(self._entries, dtype=np.int32),
+            alive=self._alive,
+        )
+        with open(os.path.join(path, "hnsw_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "sharded": True,
+                    "n_shards": self.n_shards,
+                    "n_per_shard": self.n_per_shard,
+                    "m": self.config.m,
+                    "ef_construct": self.config.ef_construct,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(
+        cls, path: str, store: DenseVectorStore, config: HnswConfig
+    ) -> "ShardedHnswIndex":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SHARD_AXIS, make_mesh
+
+        idx = cls(store, config)
+        with open(os.path.join(path, "hnsw_meta.json")) as f:
+            meta = json.load(f)
+        data = np.load(os.path.join(path, "hnsw_sharded.npz"))
+        idx.mesh = make_mesh()
+        if int(idx.mesh.devices.size) != int(meta["n_shards"]):
+            # topology changed since save: rebuild for the current mesh
+            idx.build()
+            return idx
+        idx.n_shards = int(meta["n_shards"])
+        idx.n_per_shard = int(meta["n_per_shard"])
+        idx._alive = data["alive"]
+        cap_total = idx.n_shards * idx.n_per_shard
+        v, _ = store.device_block()
+        d = v.shape[1]
+        if v.shape[0] >= cap_total:
+            v_full = v[:cap_total]
+        else:
+            v_full = (
+                jnp.zeros((cap_total, d), v.dtype).at[: v.shape[0]].set(v)
+            )
+        row = NamedSharding(idx.mesh, P(SHARD_AXIS))
+        idx._v = jax.device_put(v_full, row)
+        idx._links = jax.device_put(
+            jnp.asarray(data["links"], dtype=jnp.int32), row
+        )
+        idx._entries = jax.device_put(
+            jnp.asarray(data["entries"], dtype=jnp.int32), row
+        )
+        return idx
+
+
+def load_hnsw_any(path: str, store: DenseVectorStore, config: HnswConfig):
+    """Load whichever graph flavor was saved at `path` (single-device
+    HnswIndex or mesh-sharded ShardedHnswIndex)."""
+    if os.path.exists(os.path.join(path, "hnsw_sharded.npz")):
+        return ShardedHnswIndex.load(path, store, config)
+    return HnswIndex.load(path, store, config)
+
+
 _scatter_stack_jit = jax.jit(
     lambda stack, rows, vals, i: stack.at[i, rows].set(vals),
     donate_argnums=0,

@@ -1191,7 +1191,24 @@ class Segment:
             # residency serves through the quantized scan + host-memmap
             # rescore; a graph would force the f32 block onto the device
             if store.available_count > 0 and not store.on_disk:
-                idx = HnswIndex(store, cfg)
+                # multi-device: per-shard sub-graphs served as one SPMD
+                # fan-out over the mesh (index/hnsw.py::ShardedHnswIndex),
+                # mirroring the sharded scan gate in ops/scan.py. Payload-
+                # block subgraphs below stay single-device (they are small
+                # by construction: bounded by full_scan_threshold blocks).
+                import jax as _jax
+
+                from ..index.hnsw import ShardedHnswIndex
+
+                use_mesh = (
+                    _jax.device_count() > 1
+                    and os.environ.get("QDRANT_TPU_MESH", "1") != "0"
+                )
+                idx = (
+                    ShardedHnswIndex(store, cfg)
+                    if use_mesh
+                    else HnswIndex(store, cfg)
+                )
                 idx.build()
                 self.hnsw[name] = idx
                 # payload-block subgraphs for filterable search
@@ -1345,9 +1362,11 @@ class Segment:
         for field, pdict in meta.get("payload_indexes", {}).items():
             seg.payload_index.set_indexed(field, PayloadIndexParams.from_dict(pdict))
         for name in meta.get("hnsw", []):
+            from ..index.hnsw import load_hnsw_any
+
             vp = params.vectors[name]
             cfg = vp.hnsw_config or HnswConfig()
-            seg.hnsw[name] = HnswIndex.load(
+            seg.hnsw[name] = load_hnsw_any(
                 os.path.join(path, f"hnsw_{_safe(name)}"), seg.dense[name], cfg
             )
         for name in meta.get("hnsw_multi", []):

@@ -196,10 +196,14 @@ def fold_to_ascii(text: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Multilingual segmentation (reference: tokenizers/multilingual.rs +
-# japanese.rs). Latin/Cyrillic/etc. scripts segment on word boundaries; CJK
-# runs (where charabia/vaporetto do dictionary segmentation) fall back to
-# character bigrams — the standard n-gram rendering that keeps CJK phrase
-# search functional without a dictionary model.
+# japanese.rs). Latin/Cyrillic/etc. scripts segment on word boundaries. CJK
+# runs — where the reference runs dictionary morphological segmentation
+# (lindera/vaporetto) — use a dictionary-less approximation: Japanese runs
+# split at script-class boundaries (kanji|hiragana|katakana, which in real
+# text track morpheme boundaries closely: 東京で働く → 東京 | で | 働 | く),
+# katakana loanwords stay whole words, and han/hangul runs render as
+# character bigrams (the standard n-gram fallback). Both index and query
+# sides tokenize identically, so phrase positions stay consistent.
 # ---------------------------------------------------------------------------
 
 def _is_cjk(ch: str) -> bool:
@@ -237,7 +241,43 @@ def segment_multilingual(text: str) -> list:
     return tokens
 
 
+def _script_class(ch: str) -> str:
+    cp = ord(ch)
+    if 0x3040 <= cp <= 0x309F:
+        return "hira"
+    if 0x30A0 <= cp <= 0x30FF or cp == 0xFF70:  # katakana incl. ー
+        return "kata"
+    if 0xAC00 <= cp <= 0xD7AF:
+        return "hangul"
+    return "han"
+
+
+def _bigrams(seg: str) -> list:
+    if len(seg) == 1:
+        return [seg]
+    return [seg[i : i + 2] for i in range(len(seg) - 1)]
+
+
 def _emit_cjk(run: list) -> list:
-    if len(run) == 1:
-        return ["".join(run)]
-    return ["".join(run[i : i + 2]) for i in range(len(run) - 1)]
+    """Segment one CJK run. Script-class boundaries split Japanese into
+    morpheme-ish units (reference behavior: tokenizers/japanese.rs via a
+    dictionary model; here dictionary-less): katakana sub-runs are emitted
+    whole (loanwords), hiragana sub-runs ≤2 chars whole (particles /
+    inflections) else bigrams, kanji/hangul sub-runs as bigrams."""
+    s = "".join(run)
+    out: list = []
+    i = 0
+    while i < len(s):
+        cls = _script_class(s[i])
+        j = i + 1
+        while j < len(s) and _script_class(s[j]) == cls:
+            j += 1
+        seg = s[i:j]
+        if cls == "kata":
+            out.append(seg)
+        elif cls == "hira" and len(seg) <= 2:
+            out.append(seg)
+        else:
+            out.extend(_bigrams(seg))
+        i = j
+    return out

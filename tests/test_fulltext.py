@@ -73,3 +73,37 @@ def test_phrase_match():
     assert set(seg.filter_mask(flt).nonzero()[0]) == {0}
     flt2 = parse_filter({"must": [{"key": "body", "match": {"phrase": "brown quick fox"}}]})
     assert set(seg.filter_mask(flt2).nonzero()[0]) == set()
+
+
+def test_japanese_script_class_segmentation():
+    """Dictionary-less Japanese segmentation (reference: tokenizers/
+    japanese.rs): script-class boundaries split kanji/kana, katakana
+    loanwords stay whole, short hiragana runs stay whole."""
+    from qdrant_tpu.utils.text import segment_multilingual
+
+    toks = segment_multilingual("東京で働くコンピュータ技術者")
+    assert "コンピュータ" in toks      # katakana loanword: one token
+    assert "東京" in toks              # kanji bigram
+    assert "で" in toks                # particle survives as its own token
+    # no token spans a kanji|kana boundary
+    assert all(
+        len({("hira" if 0x3040 <= ord(c) <= 0x309F else
+              "kata" if 0x30A0 <= ord(c) <= 0x30FF else "han")
+             for c in t}) == 1
+        for t in toks
+    )
+
+    # text + phrase match through the index path stays consistent
+    import numpy as np
+
+    seg = make_segment(tokenizer="multilingual")
+    seg.upsert_point(
+        100, 100, {"": np.zeros(4, dtype=np.float32)},
+        {"body": "東京で働くコンピュータ技術者"},
+    )
+    offs = mask_for(seg, "コンピュータ")
+    assert len(offs) == 1
+    flt = parse_filter(
+        {"must": [{"key": "body", "match": {"phrase": "東京で働く"}}]}
+    )
+    assert set(seg.filter_mask(flt).nonzero()[0]) == offs

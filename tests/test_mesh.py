@@ -97,6 +97,89 @@ def test_sharded_build_step_runs(mesh8):
     assert (sel >= -1).all() and (sel < np_local).all()
 
 
+def test_sharded_hnsw_index_recall_parity(mesh8):
+    """Product-path multi-device graph serving: ShardedHnswIndex (per-shard
+    sub-graphs + SPMD fan-out) must match single-device HnswIndex recall on
+    the same store — the upgrade of the old "runs"-only assertion."""
+    from qdrant_tpu.index.hnsw import HnswIndex, ShardedHnswIndex
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance, HnswConfig
+
+    rng = np.random.default_rng(7)
+    n, d, k = 12_000, 32, 10
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    data = centers[rng.integers(0, 64, n)] + 0.3 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+    queries = centers[rng.integers(0, 64, 32)] + 0.3 * rng.normal(
+        size=(32, d)
+    ).astype(np.float32)
+    store = DenseVectorStore(d, Distance.EUCLID)
+    store.add(data)
+
+    cfg = HnswConfig(m=12, ef_construct=96)
+    single = HnswIndex(store, cfg, seed=3)
+    single.build()
+    sharded = ShardedHnswIndex(store, cfg, seed=3, mesh=mesh8)
+    sharded.build()
+    assert sharded.n_shards == 8
+
+    exact = -(
+        ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    )
+    want = np.argsort(-exact, axis=1)[:, :k]
+
+    def recall(ids):
+        return sum(
+            len(set(ids[q].tolist()) & set(want[q].tolist()))
+            for q in range(len(want))
+        ) / want.size
+
+    _, ids_single = single.search(queries, k, ef=96)
+    _, ids_sharded = sharded.search(queries, k, ef=96)
+    r_single, r_sharded = recall(ids_single), recall(ids_sharded)
+    # sharded = 8 independent ef-beams + exact merge: parity or better
+    assert r_sharded >= 0.9
+    assert r_sharded >= r_single - 0.02
+
+    # filtered parity: mask half the points
+    fmask = np.zeros(n, dtype=bool)
+    fmask[::2] = True
+    exact_f = exact.copy()
+    exact_f[:, ~fmask] = -np.inf
+    want_f = np.argsort(-exact_f, axis=1)[:, :k]
+    _, ids_f = sharded.search(queries, k, ef=128, filter_mask=fmask)
+    got = set(ids_f.ravel().tolist()) - {-1}
+    assert all(fmask[i] for i in got)
+    hits = sum(
+        len(set(ids_f[q].tolist()) & set(want_f[q].tolist()))
+        for q in range(len(want_f))
+    )
+    assert hits / want_f.size >= 0.8
+
+
+def test_sharded_hnsw_save_load(tmp_path, mesh8):
+    from qdrant_tpu.index.hnsw import ShardedHnswIndex, load_hnsw_any
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance, HnswConfig
+
+    rng = np.random.default_rng(8)
+    n, d, k = 4_000, 16, 5
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    store = DenseVectorStore(d, Distance.DOT)
+    store.add(data)
+    cfg = HnswConfig(m=8, ef_construct=64)
+    idx = ShardedHnswIndex(store, cfg, mesh=mesh8)
+    idx.build()
+    q = data[:8] + 0.01
+    _, ids_before = idx.search(q, k, ef=64)
+    idx.save(str(tmp_path / "g"))
+    idx2 = load_hnsw_any(str(tmp_path / "g"), store, cfg)
+    assert isinstance(idx2, ShardedHnswIndex)
+    _, ids_after = idx2.search(q, k, ef=64)
+    np.testing.assert_array_equal(ids_before, ids_after)
+
+
 def test_scan_index_auto_mesh():
     """With >1 device visible, ScanIndex shards the scan over the mesh and
     the SPMD path returns exact-rescored results."""
