@@ -39,17 +39,11 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def sharded_exact_search(
-    mesh: Mesh,
-    queries: jax.Array,  # [B, D] (replicated)
-    vectors: jax.Array,  # [S * Np, D] (sharded on axis 0)
-    valid: jax.Array,  # [S * Np] bool (sharded)
-    distance: str,
-    k: int,
-):
-    """Data-parallel full scan: local MXU scoring + local top-k, then an
-    all-gather of [k] candidates per device and a global merge. Returns
-    (scores [B, k], global_ids [B, k])."""
+@functools.lru_cache(maxsize=64)
+def _exact_fn(mesh: Mesh, distance: str, k: int):
+    """Build + jit the SPMD exact-search program ONCE per (mesh, distance,
+    k) — an uncached shard_map re-traces on every call, which costs more
+    than the scan itself on the serving path."""
 
     def local(queries, vectors, valid):
         # shapes here are per-device: vectors [Np, D]
@@ -68,14 +62,29 @@ def sharded_exact_search(
         mg = jnp.take_along_axis(flat_g, midx, axis=1)
         return ms, mg
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    return fn(queries, vectors, valid)
+
+
+def sharded_exact_search(
+    mesh: Mesh,
+    queries: jax.Array,  # [B, D] (replicated)
+    vectors: jax.Array,  # [S * Np, D] (sharded on axis 0)
+    valid: jax.Array,  # [S * Np] bool (sharded)
+    distance: str,
+    k: int,
+):
+    """Data-parallel full scan: local MXU scoring + local top-k, then an
+    all-gather of [k] candidates per device and a global merge. Returns
+    (scores [B, k], global_ids [B, k])."""
+    return _exact_fn(mesh, distance, k)(queries, vectors, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -83,20 +92,8 @@ def sharded_exact_search(
 # ---------------------------------------------------------------------------
 
 
-def sharded_hnsw_search(
-    mesh: Mesh,
-    queries: jax.Array,  # [B, D] replicated
-    vectors: jax.Array,  # [S * Np, D] sharded
-    links: jax.Array,  # [S * Np, M0] sharded (local-offset adjacency)
-    entries: jax.Array,  # [S] int32 per-shard entry point (local offset), sharded
-    filter_mask: jax.Array,  # [S * Np] bool sharded
-    distance: str,
-    ef: int,
-    k: int,
-):
-    """Each device runs batched beam search over its local graph; per-shard
-    top-k are all-gathered and merged — the ICI-collective analogue of
-    qdrant's segment fan-out."""
+@functools.lru_cache(maxsize=64)
+def _hnsw_fn(mesh: Mesh, distance: str, ef: int, k: int):
     max_iters = 2 * ef + 16
 
     def local(queries, vectors, links, entry, filter_mask):
@@ -124,14 +121,38 @@ def sharded_hnsw_search(
         mg = jnp.take_along_axis(flat_g, midx, axis=1)
         return ms, mg
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                P(SHARD_AXIS),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    return fn(queries, vectors, links, entries, filter_mask)
+
+
+def sharded_hnsw_search(
+    mesh: Mesh,
+    queries: jax.Array,  # [B, D] replicated
+    vectors: jax.Array,  # [S * Np, D] sharded
+    links: jax.Array,  # [S * Np, M0] sharded (local-offset adjacency)
+    entries: jax.Array,  # [S] int32 per-shard entry point (local offset), sharded
+    filter_mask: jax.Array,  # [S * Np] bool sharded
+    distance: str,
+    ef: int,
+    k: int,
+):
+    """Each device runs batched beam search over its local graph; per-shard
+    top-k are all-gathered and merged — the ICI-collective analogue of
+    qdrant's segment fan-out. The SPMD program is built + jitted once per
+    (mesh, distance, ef, k)."""
+    return _hnsw_fn(mesh, distance, ef, k)(
+        queries, vectors, links, entries, filter_mask
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,23 +205,8 @@ def sharded_build_step(
 # ---------------------------------------------------------------------------
 
 
-def sharded_scan_rescore(
-    mesh: Mesh,
-    queries: jax.Array,      # [B, Dp] f32 (replicated)
-    v_bf16: jax.Array,       # [S*Np, Dp] bf16 (sharded axis 0)
-    vsq: jax.Array,          # [S*Np] f32 (sharded)
-    mask: jax.Array,         # [S*Np] int8 (sharded)
-    v_f32: jax.Array,        # [S*Np, Dp] f32 (sharded; rescore truth)
-    blk: int,
-    k_fetch: int,
-    k: int,
-    euclid: bool,
-):
-    """Each device runs the blocked group-reduction scan + exact f32 rescore
-    over ITS shard of the vectors, then the per-device top-k candidates are
-    all-gathered and merged — one SPMD program, collectives on ICI
-    (reference equivalence: segments_searcher.rs fan-out + coordinator
-    merge). Returns (scores [B, k], global ids [B, k])."""
+@functools.lru_cache(maxsize=64)
+def _scan_rescore_fn(mesh: Mesh, blk: int, k_fetch: int, k: int, euclid: bool):
     from ..ops.scan import scan_search
 
     def local(q, v, vs, m, vf):
@@ -228,11 +234,38 @@ def sharded_scan_rescore(
         mg = jnp.take_along_axis(flat_g, mi, axis=1)
         return ms, jnp.where(jnp.isfinite(ms), mg, -1)
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                P(SHARD_AXIS),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    return fn(queries, v_bf16, vsq, mask, v_f32)
+
+
+def sharded_scan_rescore(
+    mesh: Mesh,
+    queries: jax.Array,      # [B, Dp] f32 (replicated)
+    v_bf16: jax.Array,       # [S*Np, Dp] bf16 (sharded axis 0)
+    vsq: jax.Array,          # [S*Np] f32 (sharded)
+    mask: jax.Array,         # [S*Np] int8 (sharded)
+    v_f32: jax.Array,        # [S*Np, Dp] f32 (sharded; rescore truth)
+    blk: int,
+    k_fetch: int,
+    k: int,
+    euclid: bool,
+):
+    """Each device runs the blocked group-reduction scan + exact f32 rescore
+    over ITS shard of the vectors, then the per-device top-k candidates are
+    all-gathered and merged — one SPMD program, collectives on ICI
+    (reference equivalence: segments_searcher.rs fan-out + coordinator
+    merge). Returns (scores [B, k], global ids [B, k]). The SPMD program is
+    built + jitted once per (mesh, blk, k_fetch, k, euclid)."""
+    return _scan_rescore_fn(mesh, blk, k_fetch, k, euclid)(
+        queries, v_bf16, vsq, mask, v_f32
+    )
