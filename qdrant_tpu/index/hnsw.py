@@ -520,12 +520,15 @@ class HnswIndex:
         # selection (existing row links merged into the candidate set, the
         # point itself masked out) fixes exactly those rows. Batches run in
         # reverse insertion order so the most-damaged earliest rows are
-        # refined last. Measured at 20k iid-gaussian (worst case), ef=128
-        # recall, same data + searcher: no refine 0.839, one full pass
-        # 0.857, two passes 0.866 vs 0.871 for a sequential gold-standard
-        # host build — each pass costs about one build pass. Env override:
-        # comma-separated fractions, "" disables (QDRANT_TPU_BUILD_REFINE).
-        refine_spec = os.environ.get("QDRANT_TPU_BUILD_REFINE", "1.0")
+        # refined last. Scale-dependent, DEFAULT OFF: at 20k iid-gaussian
+        # a pass helps (ef=128 recall 0.839 -> 0.857 vs 0.871 sequential
+        # gold), but at 1M clustered (the serving regime) it HURTS — the
+        # re-selection prunes the early long-range links that bridge
+        # clusters: ef=128 recall 0.9477 no-refine vs 0.9203 with one pass,
+        # 0.9227 with two (same data/truth/searcher, N_TRUTH=256). Env
+        # override: comma-separated fractions via QDRANT_TPU_BUILD_REFINE
+        # (e.g. "1.0" = one full pass), "" disables.
+        refine_spec = os.environ.get("QDRANT_TPU_BUILD_REFINE", "")
         refine_fracs = [float(f) for f in refine_spec.split(",") if f.strip()]
         for refine_frac in refine_fracs:
             n_refine = min(int(n_alive * refine_frac), n_alive)
@@ -960,14 +963,39 @@ class HnswIndex:
             fm[: len(filter_mask)] = filter_mask
             mask_dev = jnp.asarray(fm)
 
-        max_iters = 2 * ef_eff + 16
+        # beam seeds: the greedy-descent winner, plus optionally a fixed
+        # seeded spread of extra graph nodes — on clustered data a single
+        # entry's basin can miss whole clusters at small ef (recall lever,
+        # costs one wider entry-score batch; see ARCHITECTURE.md round 4)
+        entries2d = cur[:, None]
+        n_extra = int(os.environ.get("QDRANT_TPU_SEARCH_EXTRA_ENTRIES", "0"))
+        if n_extra > 0 and self.levels is not None:
+            nodes = np.flatnonzero(self.levels >= 0)
+            if len(nodes) > n_extra:
+                extra = np.random.default_rng(0x5EED).choice(
+                    nodes, size=n_extra, replace=False
+                ).astype(np.int32)
+                extra_dev = jnp.broadcast_to(
+                    jnp.asarray(extra), (b_pad, n_extra)
+                )
+                # a seed equal to the greedy winner would duplicate a beam
+                # slot; -1 seeds are inert in every beam kernel
+                extra_dev = jnp.where(
+                    extra_dev == cur[:, None], -1, extra_dev
+                )
+                entries2d = jnp.concatenate([entries2d, extra_dev], axis=1)
+
+        max_iters = int(
+            (2 * ef_eff + 16)
+            * float(os.environ.get("QDRANT_TPU_SEARCH_ITERS_MULT", "1"))
+        )
         inline = None if (acorn and mask_dev is not None) else self._inline_state()
         if acorn and mask_dev is not None:
             beam_scores, beam_ids = hnsw_ops.beam_search_acorn(
                 q_dev,
                 vectors,
                 self._links0_device(),
-                cur[:, None],
+                entries2d,
                 mask_dev,
                 ef_eff,
                 max_iters,
@@ -996,7 +1024,7 @@ class HnswIndex:
                 jnp.float32((2.0 if euclid else 1.0) * scale * scale),
                 self._rank_device(),
                 vectors,
-                cur[:, None],
+                entries2d,
                 fbias,
                 m=inline["m0"],
                 d=inline["d"],
@@ -1011,7 +1039,7 @@ class HnswIndex:
                 q_dev,
                 vectors,
                 self._links0_device(),
-                cur[:, None],
+                entries2d,
                 mask_dev,
                 ef_eff,
                 max_iters,
