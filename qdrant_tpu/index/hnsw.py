@@ -878,11 +878,20 @@ class HnswIndex:
         # while the device encode is one fused elementwise program. Only the
         # clip bound comes from a small host value sample (quantile of
         # |v| over <=1M samples, same rule as ScalarQuantized.encode).
-        data = self.store._data[: len(self.store)]
-        flat = np.asarray(data, dtype=np.float32).reshape(-1)
-        if flat.size > 1_000_000:
+        # sample via get_batch, NOT store._data: DeviceVectorStore keeps its
+        # truth on device and leaves _data as the inherited empty array — a
+        # flat.size==0 sample would silently yield bound=1.0 and saturate
+        # the inline SQ codes for any data with |v|>1
+        n_live = len(self.store)
+        max_rows = max(1, min(n_live, 1_000_000 // max(d, 1) + 1))
+        if n_live > max_rows:
             rng = np.random.default_rng(0)
-            flat = flat[rng.integers(0, flat.size, 1_000_000)]
+            sample_ids = rng.integers(0, n_live, max_rows)
+        else:
+            sample_ids = np.arange(n_live)
+        flat = np.asarray(
+            self.store.get_batch(sample_ids), dtype=np.float32
+        ).reshape(-1)
         bound = max(float(np.quantile(np.abs(flat), 0.99)), 1e-12) if flat.size else 1.0
         scale = bound / 127.0
         vecs_dev, _ = self.store.device_block()
@@ -897,9 +906,12 @@ class HnswIndex:
         if vecs_dev.dtype != jnp.float32:
             # reduced-precision scoring dtype (f16/bf16): the device block
             # has already lost bits, so ||v||^2 from it is inexact. Recompute
-            # norms from the f32 host originals — an [N] upload is cheap and
-            # keeps the inline table's exact-norm guarantee.
-            host = np.asarray(data, dtype=np.float32)
+            # norms from the f32 originals via get_batch (host truth, or the
+            # store's host_fetch for device-native stores) — an [N] upload
+            # is cheap and keeps the inline table's exact-norm guarantee.
+            host = np.asarray(
+                self.store.get_batch(np.arange(n_live)), dtype=np.float32
+            )
             norms_host = (host * host).sum(axis=1).astype(np.float32)
             pad = vecs_dev.shape[0] - norms_host.shape[0]
             if pad > 0:
@@ -1183,7 +1195,10 @@ class ShardedHnswIndex:
                 jnp.zeros((cap_total, d), v.dtype).at[: v.shape[0]].set(v)
             )
         links = jnp.full((cap_total, self.config.m0), -1, jnp.int32)
-        entries = np.zeros(s_count, np.int32)
+        # -1 = inert entry: empty/padded shards must not seed their beam at
+        # local row 0, whose global id would be a zero pad row that could
+        # land in the merged top-k (beam_search_level treats -1 as invalid)
+        entries = np.full(s_count, -1, np.int32)
         for s in range(s_count):
             lo = s * np_local
             hi = min(lo + np_local, n)
@@ -1276,10 +1291,18 @@ class ShardedHnswIndex:
             ef_eff,
             k,
         )
-        return (
-            np.asarray(s, dtype=np.float32)[:b],
-            np.asarray(ids, dtype=np.int32)[:b],
-        )
+        scores = np.asarray(s, dtype=np.float32)[:b]
+        out_ids = np.asarray(ids, dtype=np.int32)[:b]
+        # per-shard entry points bypass the in-kernel filter (traversal must
+        # be able to start anywhere) — enforce alive∧filter on the merged
+        # results host-side, mirroring the single-device HnswIndex.search
+        ok = (out_ids >= 0) & mask[np.maximum(out_ids, 0)]
+        scores = np.where(ok, scores, -np.inf)
+        out_ids = np.where(ok, out_ids, -1)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        scores = np.take_along_axis(scores, order, axis=1)
+        out_ids = np.take_along_axis(out_ids, order, axis=1)
+        return scores, out_ids
 
     def memory_usage_bytes(self):
         from ..utils.memsize import sizeof_attrs

@@ -341,6 +341,20 @@ class DeviceVectorStore(DenseVectorStore):
     def set(self, offset, vector):  # pragma: no cover - sealed
         raise NotImplementedError("DeviceVectorStore is sealed (device-native)")
 
+    def delete(self, offset: int) -> bool:
+        # membership changes must reach the static device mask, or
+        # device_block() keeps scoring deleted rows for any caller that
+        # relies on the store's own validity (small-store PlainIndex path,
+        # HNSW alive defaults)
+        ok = super().delete(offset)
+        if ok:
+            cap = int(self._dev.shape[0])
+            mask = np.zeros(cap, dtype=bool)
+            mask[: self._count] = ~self._deleted[: self._count]
+            self._dev_mask = jnp.asarray(mask)
+            self._dirty = False
+        return ok
+
     def device_block(self) -> Tuple[jax.Array, jax.Array]:
         return self._dev, self._dev_mask
 

@@ -203,3 +203,47 @@ def test_scan_index_auto_mesh():
     np.testing.assert_allclose(
         s[0, 0], -((vecs[1234] - q[0]) ** 2).sum(), rtol=1e-4
     )
+
+
+def test_sharded_hnsw_low_selectivity_and_empty_shard(mesh8):
+    """Advisor high finding (round 4): sharded search results must be
+    post-filtered host-side — entry points bypass the in-kernel filter, and
+    an entirely-deleted shard slice must stay inert (entry -1), never
+    leaking a zero pad row or a deleted/filtered-out id into the top-k."""
+    from qdrant_tpu.index.hnsw import ShardedHnswIndex
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance, HnswConfig
+
+    rng = np.random.default_rng(11)
+    n, d, k = 4_096, 16, 10
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    store = DenseVectorStore(d, Distance.DOT)
+    store.add(data)
+    # wipe the 3rd shard slice completely: np_local = 4096/8 = 512
+    np_local = 512
+    for off in range(2 * np_local, 3 * np_local):
+        store.delete(off)
+
+    idx = ShardedHnswIndex(store, HnswConfig(m=8, ef_construct=64), mesh=mesh8)
+    idx.build()
+    assert idx.n_per_shard == np_local
+    assert int(np.asarray(idx._entries)[2]) == -1  # empty shard is inert
+
+    queries = data[rng.integers(0, n, 16)] + 0.05 * rng.normal(
+        size=(16, d)
+    ).astype(np.float32)
+
+    # unfiltered: no deleted id may appear
+    _, ids = idx.search(queries, k, ef=64)
+    got = set(ids.ravel().tolist()) - {-1}
+    assert all(not (2 * np_local <= i < 3 * np_local) for i in got)
+
+    # 5% selectivity: every returned id matches the filter (entry points of
+    # all 7 live shards are almost surely OUTSIDE the mask — pre-fix they
+    # could land in the merged top-k)
+    fmask = np.zeros(n, dtype=bool)
+    fmask[rng.integers(0, n, n // 20)] = True
+    _, ids_f = idx.search(queries, k, ef=128, filter_mask=fmask)
+    got_f = set(ids_f.ravel().tolist()) - {-1}
+    assert got_f, "filtered search returned nothing"
+    assert all(fmask[i] for i in got_f)
