@@ -614,20 +614,31 @@ class Collection:
             )
             rows = [queries[i] for i in range(queries.shape[0])]
 
-            def exec_batch(all_rows):
+            def _pad(all_rows):
                 # pad the coalesced batch to a power-of-two row count: the
                 # device programs compile per batch shape, and unpadded
                 # coalescing would compile one program per distinct batch
                 # size (each ~tens of seconds through the device link)
                 n = len(all_rows)
                 pad = max(8, 1 << (n - 1).bit_length())
-                padded = list(all_rows) + [all_rows[0]] * (pad - n)
-                res = self._search_dense_exec(
-                    name, np.stack(padded), k, flt, params, shard_key
-                )
-                return res[:n]
+                return np.stack(list(all_rows) + [all_rows[0]] * (pad - n))
 
-            return batcher.run(key, rows, exec_batch)
+            def exec_batch(all_rows):
+                res = self._search_dense_exec(
+                    name, _pad(all_rows), k, flt, params, shard_key
+                )
+                return res[: len(all_rows)]
+
+            def exec_many(row_lists):
+                # pipelined window: dispatch every chunk's device program,
+                # sync all with one device_get (shard.search_dense_many)
+                res = self._search_dense_many_exec(
+                    name, [_pad(c) for c in row_lists], k, flt, params,
+                    shard_key,
+                )
+                return [r[: len(c)] for r, c in zip(res, row_lists)]
+
+            return batcher.run(key, rows, exec_batch, exec_many_fn=exec_many)
         return self._search_dense_exec(name, queries, k, flt, params, shard_key)
 
     def _microbatcher(self):
@@ -641,6 +652,40 @@ class Collection:
 
             b = self._batcher = MicroBatcher()
         return b
+
+    def _search_dense_many_exec(
+        self,
+        name: str,
+        batches: List[np.ndarray],
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+        shard_key: Any = None,
+    ) -> List[List[List[Tuple[float, PointId, int]]]]:
+        """Pipelined multi-batch dense search → one result list per batch.
+        Single-shard reads ride shard.search_dense_many (every batch's
+        device work in flight before one sync); multi-shard reads fall back
+        to sequential per-batch execution (the cross-shard merge already
+        amortizes device dispatches across segments)."""
+        vp = self.params.vectors.get(name)
+        if vp is None:
+            raise CollectionError(
+                f"Wrong input: vector {name!r} does not exist in collection "
+                f"{self.name!r}"
+            )
+        for q in batches:
+            if q.shape[1] != vp.size:
+                raise CollectionError(
+                    f"Wrong input: vector dimension {q.shape[1]} does not "
+                    f"match the collection dimensionality {vp.size}"
+                )
+        shards = self._shards_for_read(shard_key)
+        if len(shards) == 1 and hasattr(shards[0], "search_dense_many"):
+            return shards[0].search_dense_many(name, batches, k, flt, params)
+        return [
+            self._search_dense_exec(name, q, k, flt, params, shard_key)
+            for q in batches
+        ]
 
     def _search_dense_exec(
         self,

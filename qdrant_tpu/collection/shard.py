@@ -362,6 +362,68 @@ class LocalShard:
         with self._lock:
             return self._search_dense_locked(name, queries, k, flt, params)
 
+    def search_dense_many(
+        self,
+        name: str,
+        batches: List[np.ndarray],
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ) -> List[List[List[Tuple[float, PointId, int]]]]:
+        """Pipelined multi-batch dense search: every (batch × segment)
+        device program is dispatched before ANY result is synced, then all
+        results return in ONE `jax.device_get` (Segment.sync_dispatches).
+        On a tunneled host↔device link one synchronous round trip costs
+        more than a 1M-row scan itself, so depth-D pipelining multiplies
+        sustained throughput (reference analogue: the threadpool fan-out
+        that keeps the engine saturated under concurrent load,
+        segments_searcher.rs:212-306). → one result list per batch."""
+        with self._lock:
+            batches = [
+                np.atleast_2d(np.asarray(q, dtype=np.float32)) for q in batches
+            ]
+            active = [
+                seg for seg in self.segments
+                if name in seg.dense and len(seg) > 0
+            ]
+            handles = []
+            for q in batches:
+                for seg in active:
+                    handles.append(
+                        seg.search_dense_dispatch(name, q, k, flt, params)
+                    )
+            resolved = Segment.sync_dispatches(handles)
+            out_all: List[List[List[Tuple[float, PointId, int]]]] = []
+            hi = 0
+            for q in batches:
+                b = q.shape[0]
+                merged: List[Dict[PointId, Tuple[float, int]]] = [
+                    dict() for _ in range(b)
+                ]
+                for seg in active:
+                    scores, ids = resolved[hi]
+                    hi += 1
+                    for qi in range(b):
+                        for s, off in zip(scores[qi], ids[qi]):
+                            if off < 0 or not np.isfinite(s):
+                                continue
+                            ext = seg.id_tracker.external_id(int(off))
+                            if ext is None:
+                                continue
+                            ver = seg.id_tracker.version(int(off))
+                            prev = merged[qi].get(ext)
+                            if prev is None or ver > prev[1]:
+                                merged[qi][ext] = (float(s), ver)
+                out = []
+                for qi in range(b):
+                    items = [
+                        (s, ext, ver) for ext, (s, ver) in merged[qi].items()
+                    ]
+                    items.sort(key=lambda t: -t[0])
+                    out.append(items[:k])
+                out_all.append(out)
+            return out_all
+
     def _search_dense_locked(
         self,
         name: str,

@@ -21,6 +21,24 @@ from ..types import Distance
 SCAN_THRESHOLD = 65536
 
 
+def finalize_device_result(
+    scores_host, ids_host, b: int, k_eff: int, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Convert fetched device search output to the host (scores, ids)
+    convention: trim padding rows, -1 out ids without a finite score, pad
+    columns up to k. Shared by the sync, pipelined, and segment-dispatch
+    paths so they cannot drift."""
+    scores = np.asarray(scores_host, dtype=np.float32)[:b]
+    ids = np.asarray(ids_host, dtype=np.int32)[:b]
+    ids = np.where(np.isfinite(scores), ids, -1)
+    if k_eff < k:
+        scores = np.pad(
+            scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+        )
+        ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return scores, ids
+
+
 class PlainIndex:
     def __init__(self, store: DenseVectorStore):
         self.store = store
@@ -35,15 +53,7 @@ class PlainIndex:
         scores_dev, ids_dev, b, k_eff = self.search_device(
             queries, k, filter_mask
         )
-        scores = np.asarray(scores_dev, dtype=np.float32)[:b]
-        ids = np.asarray(ids_dev, dtype=np.int32)[:b]
-        ids = np.where(np.isfinite(scores), ids, -1)
-        if k_eff < k:
-            scores = np.pad(
-                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-            )
-            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-        return scores, ids
+        return finalize_device_result(scores_dev, ids_dev, b, k_eff, k)
 
     def search_many(
         self,
@@ -64,18 +74,10 @@ class PlainIndex:
 
         outs = [self.search_device(q, k, filter_mask) for q in batches]
         fetched = jax.device_get([(s, i) for s, i, _, _ in outs])
-        results = []
-        for (s_dev, i_dev), (_, _, b, k_eff) in zip(fetched, outs):
-            scores = np.asarray(s_dev, dtype=np.float32)[:b]
-            ids = np.asarray(i_dev, dtype=np.int32)[:b]
-            ids = np.where(np.isfinite(scores), ids, -1)
-            if k_eff < k:
-                scores = np.pad(
-                    scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-                )
-                ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-            results.append((scores, ids))
-        return results
+        return [
+            finalize_device_result(s, i, b, k_eff, k)
+            for (s, i), (_, _, b, k_eff) in zip(fetched, outs)
+        ]
 
     def search_device(
         self,

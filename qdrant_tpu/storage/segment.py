@@ -625,6 +625,65 @@ class Segment:
         params: Optional[SearchParams] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores [B, k] internal convention, offsets [B, k])."""
+        return self.finish_dispatch(
+            self._search_dense_dispatch(name, queries, k, flt, params)
+        )
+
+    @_with_search_budget
+    def search_dense_dispatch(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ):
+        """Async dispatch: starts the device program and returns an opaque
+        handle WITHOUT blocking on the result. Callers keep several batches
+        in flight and sync them with ONE `jax.device_get` via
+        `sync_dispatches` — the pipelined serving shape (one host↔device
+        round trip per window instead of per batch). Branches that compute
+        host-side (graph beam, quantized two-stage) fall back to synchronous
+        execution inside the handle; pipelining degrades gracefully."""
+        return self._search_dense_dispatch(name, queries, k, flt, params)
+
+    @staticmethod
+    def finish_dispatch(handle, fetched=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Resolve a search_dense_dispatch handle to host (scores, ids)."""
+        if handle[0] == "host":
+            return handle[1]
+        from ..index.plain import finalize_device_result
+
+        _, (s_dev, i_dev, b, k_eff), k = handle
+        s_host, i_host = fetched if fetched is not None else (s_dev, i_dev)
+        return finalize_device_result(s_host, i_host, b, k_eff, k)
+
+    @staticmethod
+    def sync_dispatches(handles) -> list:
+        """Fetch every device-resident handle with ONE jax.device_get and
+        finish all handles in order → [(scores, ids)]."""
+        import jax
+
+        dev_pos = [i for i, h in enumerate(handles) if h[0] == "dev"]
+        fetched = (
+            jax.device_get([(handles[i][1][0], handles[i][1][1]) for i in dev_pos])
+            if dev_pos
+            else []
+        )
+        by_pos = dict(zip(dev_pos, fetched))
+        return [
+            Segment.finish_dispatch(h, by_pos.get(i))
+            for i, h in enumerate(handles)
+        ]
+
+    def _search_dense_dispatch(
+        self,
+        name: str,
+        queries: np.ndarray,
+        k: int,
+        flt: Optional[Filter] = None,
+        params: Optional[SearchParams] = None,
+    ):
         params = params or SearchParams()
         store = self.dense.get(name)
         if store is None:
@@ -639,8 +698,11 @@ class Segment:
         if n == 0:
             b = len(np.atleast_2d(queries))
             return (
-                np.full((b, k), -np.inf, dtype=np.float32),
-                np.full((b, k), -1, dtype=np.int32),
+                "host",
+                (
+                    np.full((b, k), -np.inf, dtype=np.float32),
+                    np.full((b, k), -1, dtype=np.int32),
+                ),
             )
         fmask = self.filter_mask(flt)
         alive = self.alive_mask()
@@ -670,7 +732,10 @@ class Segment:
             for field, vkey in _block_conditions(flt):
                 sub = self.hnsw_blocks.get(name, {}).get((field, vkey))
                 if sub is not None:
-                    return sub.search(queries, k, ef=ef, filter_mask=combined)
+                    return (
+                        "host",
+                        sub.search(queries, k, ef=ef, filter_mask=combined),
+                    )
 
         use_graph = (
             hnsw is not None
@@ -692,15 +757,16 @@ class Segment:
                     params.acorn_enable
                     or selectivity <= params.acorn_max_selectivity
                 )
-            scores, ids = hnsw.search(
-                queries, k, ef=ef, filter_mask=combined, acorn=acorn
+            return (
+                "host",
+                hnsw.search(queries, k, ef=ef, filter_mask=combined, acorn=acorn),
             )
-            return scores, ids
         if quant is not None and not params.exact:
-            return self._search_quantized(
-                name, quant, queries, k, combined, params
+            return (
+                "host",
+                self._search_quantized(name, quant, queries, k, combined, params),
             )
-        return PlainIndex(store).search(queries, k, filter_mask=combined)
+        return ("dev", PlainIndex(store).search_device(queries, k, combined), k)
 
     def _should_use_graph(
         self,
