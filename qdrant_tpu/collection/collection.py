@@ -732,6 +732,61 @@ class Collection:
         flt: Optional[Filter] = None,
         shard_key: Any = None,
     ) -> List[List[Tuple[float, PointId, int]]]:
+        """Sparse search; like search_dense, concurrent callers coalesce
+        into batches and queue backlogs drain as depth-D pipelined windows
+        (one device sync per window — the tunneled-link RTT otherwise caps
+        single-batch sparse throughput)."""
+        batcher = self._microbatcher()
+        if batcher is not None:
+            key = (
+                "sparse",
+                name,
+                k,
+                _canonical_key(
+                    None if flt is None else dataclasses.asdict(flt)
+                ),
+                _canonical_key(shard_key),
+            )
+
+            def exec_batch(all_rows):
+                return self._search_sparse_exec(
+                    name, list(all_rows), k, flt, shard_key
+                )
+
+            def exec_many(row_lists):
+                return self._search_sparse_many_exec(
+                    name, [list(c) for c in row_lists], k, flt, shard_key
+                )
+
+            return batcher.run(
+                key, list(queries), exec_batch, exec_many_fn=exec_many
+            )
+        return self._search_sparse_exec(name, queries, k, flt, shard_key)
+
+    def _search_sparse_many_exec(
+        self,
+        name: str,
+        batches: List[List[SparseVector]],
+        k: int,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[List[List[Tuple[float, PointId, int]]]]:
+        shards = self._shards_for_read(shard_key)
+        if len(shards) == 1 and hasattr(shards[0], "search_sparse_many"):
+            return shards[0].search_sparse_many(name, batches, k, flt)
+        return [
+            self._search_sparse_exec(name, q, k, flt, shard_key)
+            for q in batches
+        ]
+
+    def _search_sparse_exec(
+        self,
+        name: str,
+        queries: List[SparseVector],
+        k: int,
+        flt: Optional[Filter] = None,
+        shard_key: Any = None,
+    ) -> List[List[Tuple[float, PointId, int]]]:
         merged: List[Dict[PointId, Tuple[float, int]]] = [dict() for _ in queries]
         for shard in self._shards_for_read(shard_key):
             res = shard.search_sparse(name, queries, k, flt)

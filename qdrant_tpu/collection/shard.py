@@ -570,6 +570,51 @@ class LocalShard:
             out.append(items[:k])
         return out
 
+    def search_sparse_many(
+        self,
+        name: str,
+        batches: List[List[SparseVector]],
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> List[List[List[Tuple[float, PointId, int]]]]:
+        """Pipelined multi-batch sparse search: each segment syncs one
+        device window for ALL batches (segment.search_sparse_many) instead
+        of one round trip per batch. → one result list per batch."""
+        active = [
+            seg for seg in self.segments
+            if name in seg.sparse and len(seg) > 0
+        ]
+        per_seg = [
+            seg.search_sparse_many(name, batches, k, flt) for seg in active
+        ]
+        out_all: List[List[List[Tuple[float, PointId, int]]]] = []
+        for bi, batch in enumerate(batches):
+            merged: List[Dict[PointId, Tuple[float, int]]] = [
+                dict() for _ in batch
+            ]
+            for seg, seg_results in zip(active, per_seg):
+                scores, ids = seg_results[bi]
+                for qi in range(len(batch)):
+                    for s, off in zip(scores[qi], ids[qi]):
+                        if off < 0 or not np.isfinite(s):
+                            continue
+                        ext = seg.id_tracker.external_id(int(off))
+                        if ext is None:
+                            continue
+                        ver = seg.id_tracker.version(int(off))
+                        prev = merged[qi].get(ext)
+                        if prev is None or ver > prev[1]:
+                            merged[qi][ext] = (float(s), ver)
+            out = []
+            for qi in range(len(batch)):
+                items = [
+                    (s, ext, ver) for ext, (s, ver) in merged[qi].items()
+                ]
+                items.sort(key=lambda t: -t[0])
+                out.append(items[:k])
+            out_all.append(out)
+        return out_all
+
     def search_multi(
         self,
         name: str,

@@ -678,25 +678,82 @@ class SparseIndex:
                 np.zeros((0, k), np.float32),
                 np.full((0, k), -1, np.int32),
             )
-        exact_mode = flag_env("sparse_exact_search", "QDRANT_TPU_SPARSE_EXACT")
-        if not exact_mode:
-            hot = self._hot_device()
-            if (
-                hot is not None
-                and self._fwd_cold_device() is not None
-                and self._window_device() is not None
-            ):
-                out = [
-                    self._search_hybrid(
-                        queries[i : i + 256], k, filter_mask, window
-                    )
-                    for i in range(0, len(queries), 256)
-                ]
-                return (
-                    np.concatenate([o[0] for o in out]),
-                    np.concatenate([o[1] for o in out]),
+        if self._hybrid_ready():
+            out = [
+                self._search_hybrid(
+                    queries[i : i + 256], k, filter_mask, window
                 )
+                for i in range(0, len(queries), 256)
+            ]
+            return (
+                np.concatenate([o[0] for o in out]),
+                np.concatenate([o[1] for o in out]),
+            )
         return self._search_legacy(queries, k, filter_mask, window)
+
+    def _hybrid_ready(self) -> bool:
+        from ..utils.flags import flag_env
+
+        if flag_env("sparse_exact_search", "QDRANT_TPU_SPARSE_EXACT"):
+            return False
+        return (
+            self._hot_device() is not None
+            and self._fwd_cold_device() is not None
+            and self._window_device() is not None
+        )
+
+    def search_many(
+        self,
+        batches: List[List[SparseVector]],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+        window: int = DEFAULT_WINDOW,
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined multi-batch sparse search: dispatch every batch's
+        device program before syncing any result, then fetch ALL results in
+        one `jax.device_get` — the same one-round-trip-per-window treatment
+        the dense scan got (on a tunneled link each fresh-result download
+        costs a full RTT, which capped sparse at ~584 QPS in round 4).
+        → one (scores [B_i, k], ids [B_i, k]) per batch."""
+        if not self._hybrid_ready():
+            return [
+                self.search(q, k, filter_mask=filter_mask, window=window)
+                for q in batches
+            ]
+        handles = []
+        for q in batches:
+            handles.append(
+                [
+                    self._search_hybrid_dispatch(
+                        q[i : i + 256], k, filter_mask, window
+                    )
+                    for i in range(0, len(q), 256)
+                ]
+            )
+        flat = [h for hs in handles for h in hs]
+        fetched = jax.device_get([(s, i) for s, i, _, _ in flat])
+        by_id = {id(h): f for h, f in zip(flat, fetched)}
+        out = []
+        for chunk_handles in handles:
+            parts = [
+                self._finish_hybrid(*by_id[id(h)], h[2], h[3])
+                for h in chunk_handles
+            ]
+            if not parts:
+                out.append(
+                    (
+                        np.zeros((0, k), np.float32),
+                        np.full((0, k), -1, np.int32),
+                    )
+                )
+                continue
+            out.append(
+                (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+            )
+        return out
 
     def _remap_weights_idf(
         self, qidx: np.ndarray, tids: np.ndarray, w: np.ndarray
@@ -718,6 +775,33 @@ class SparseIndex:
         filter_mask: Optional[np.ndarray],
         window: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        s_dev, i_dev, b, kk = self._search_hybrid_dispatch(
+            queries, k, filter_mask, window
+        )
+        return self._finish_hybrid(s_dev, i_dev, b, kk)
+
+    @staticmethod
+    def _finish_hybrid(s_host, i_host, b, k) -> Tuple[np.ndarray, np.ndarray]:
+        scores = np.asarray(s_host, dtype=np.float32)[:b]
+        ids = np.asarray(i_host, dtype=np.int32)[:b]
+        ids = np.where(np.isfinite(scores), ids, -1)
+        k_eff = scores.shape[1]
+        if k_eff < k:
+            scores = np.pad(
+                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+    def _search_hybrid_dispatch(
+        self,
+        queries: List[SparseVector],
+        k: int,
+        filter_mask: Optional[np.ndarray],
+        window: int,
+    ):
+        """Async: start the hybrid device program, return
+        (scores_dev, ids_dev, b, k) without blocking on the result."""
         from ..ops.sparse import sparse_hybrid_search
 
         flat_ids_d, flat_w_d, _table, n_pad = self._dev
@@ -819,16 +903,7 @@ class SparseIndex:
             k_fetch,
             k,
         )
-        scores = np.asarray(scores, dtype=np.float32)[:b]
-        ids = np.asarray(ids, dtype=np.int32)[:b]
-        ids = np.where(np.isfinite(scores), ids, -1)
-        k_eff = scores.shape[1]
-        if k_eff < k:
-            scores = np.pad(
-                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-            )
-            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-        return scores, ids
+        return scores, ids, b, k
 
     def _mask_device(
         self, filter_mask: Optional[np.ndarray], n_pad: int

@@ -1230,6 +1230,22 @@ class Segment:
         combined = alive if fmask is None else (alive & fmask)
         return self.sparse_index[name].search(queries, k, filter_mask=combined)
 
+    def search_sparse_many(
+        self,
+        name: str,
+        batches: List[List[SparseVector]],
+        k: int,
+        flt: Optional[Filter] = None,
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined multi-batch sparse search (one device sync per window;
+        index/sparse.py::SparseIndex.search_many)."""
+        fmask = self.filter_mask(flt)
+        alive = self.alive_mask()
+        combined = alive if fmask is None else (alive & fmask)
+        return self.sparse_index[name].search_many(
+            batches, k, filter_mask=combined
+        )
+
     # ------------------------------------------------------------------
     # seal: build indexes + quantization (reference: SegmentBuilder::build)
     # ------------------------------------------------------------------

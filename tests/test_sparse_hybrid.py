@@ -148,3 +148,34 @@ def test_packed_csr_retention_matches_raw(corpus, monkeypatch):
     mem = packed.memory_usage_bytes()
     assert mem["host_bytes"] > 0
     assert packed._packed.packed_nbytes < fi_raw.nbytes
+
+
+def test_search_many_matches_search(corpus):
+    """Pipelined search_many (one device sync for the whole window) must
+    return exactly what per-batch search returns."""
+    store, queries = corpus
+    idx = SparseIndex(store)
+    k = 10
+    batches = [queries[:6], queries[6:11], [], queries[11:]]
+    want = [idx.search(b, k=k) if b else None for b in batches]
+    got = idx.search_many(batches, k=k)
+    assert len(got) == len(batches)
+    for g, w, b in zip(got, want, batches):
+        if not b:
+            assert g[0].shape == (0, k) and g[1].shape == (0, k)
+            continue
+        np.testing.assert_array_equal(g[1], w[1])
+        np.testing.assert_allclose(g[0], w[0], rtol=1e-5)
+
+
+def test_search_many_with_filter(corpus):
+    store, queries = corpus
+    idx = SparseIndex(store)
+    k = 10
+    mask = np.zeros(len(store), dtype=bool)
+    mask[::3] = True
+    got = idx.search_many([queries[:4], queries[4:8]], k=k, filter_mask=mask)
+    for scores, ids in got:
+        live = ids[ids >= 0]
+        assert live.size
+        assert all(mask[i] for i in live.tolist())
