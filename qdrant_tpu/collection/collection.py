@@ -61,6 +61,26 @@ def _canonical_key(value: Any) -> str:
     return json.dumps(value, sort_keys=True, default=_default)
 
 
+def _normalize_point_vectors(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept the REST wire form (`vector`: bare list | named map) next to
+    the internal form (`vectors`: named map). The embedded API previously
+    required `vectors`; a point carrying only `vector` silently ingested as
+    vector-less (every row placeholder-deleted) — a data-loss footgun."""
+    if p.get("vectors") is not None or "vector" not in p:
+        return p
+    vec = p.get("vector")
+    if isinstance(vec, dict) and "indices" not in vec:
+        vectors = vec  # named map
+    elif vec is None:
+        vectors = {}
+    else:
+        vectors = {"": vec}
+    out = dict(p)
+    out.pop("vector", None)
+    out["vectors"] = vectors
+    return out
+
+
 class CollectionError(Exception):
     status_code = 400
 
@@ -431,6 +451,7 @@ class Collection:
     ) -> Dict[str, Any]:
         self.check_strict_upsert(len(points))
         self._resolve_inference(points)
+        points = [_normalize_point_vectors(p) for p in points]
         by_shard: Dict[int, List[dict]] = {}
         for p in points:
             pid = normalize_point_id(p["id"])
@@ -652,6 +673,44 @@ class Collection:
 
             b = self._batcher = MicroBatcher()
         return b
+
+    def bulk_ingest(
+        self,
+        ids: List[PointId],
+        dense: Dict[str, np.ndarray],
+        payloads: Optional[List[Optional[dict]]] = None,
+        shard_key: Any = None,
+    ) -> Dict[str, Any]:
+        """Array-native bulk load (shard.bulk_ingest): ids route by the
+        hash ring in one pass, each shard ingests its slice as numpy
+        appends + one flush. The per-point upsert path costs ~100 µs of
+        interpreter+WAL time per point — this is the product path for
+        loading millions of vectors."""
+        ids_norm = [normalize_point_id(p) for p in ids]
+        # route each point through the shard router; group per shard
+        groups: Dict[int, List[int]] = {}
+        for i, pid in enumerate(ids_norm):
+            sid = self._route_sid(pid, shard_key)
+            groups.setdefault(sid, []).append(i)
+        results = []
+        for sid, rows in groups.items():
+            shard = self.shards.get(sid)
+            if shard is None:
+                raise CollectionError(
+                    f"bulk_ingest: shard {sid} is not local to this peer"
+                )
+            sel = np.asarray(rows, dtype=np.int64)
+            results.append(
+                shard.bulk_ingest(
+                    [ids_norm[i] for i in rows],
+                    {name: np.asarray(v)[sel] for name, v in dense.items()},
+                    None if payloads is None else [payloads[i] for i in rows],
+                )
+            )
+        return {
+            "operation_id": max(r["operation_id"] for r in results),
+            "status": "completed",
+        }
 
     def _search_dense_many_exec(
         self,

@@ -321,6 +321,12 @@ class LocalShard:
         elif t == "delete_vector_name":
             for seg in self.segments:
                 seg.drop_vector_name(op["name"])
+        elif t == "bulk_ingest_marker":
+            # bulk loads flush their segment before returning; a replayed
+            # marker means the crash hit before the flush — the data is
+            # gone with the process and the load is re-run by the caller
+            # (at-most-once semantics, shard.bulk_ingest)
+            pass
         else:
             raise ShardUpdateError(f"unknown operation type {t!r}")
 
@@ -770,6 +776,42 @@ class LocalShard:
     # ------------------------------------------------------------------
     # persistence
     # ------------------------------------------------------------------
+
+    def bulk_ingest(
+        self,
+        ids: List[PointId],
+        dense: Dict[str, np.ndarray],
+        payloads: Optional[List[Optional[dict]]] = None,
+    ) -> Dict[str, Any]:
+        """Array-native bulk load with at-most-once durability: a marker op
+        lands in the WAL (vector payloads do not ride the log — a million
+        128-d rows is ~0.5 GB of msgpack), the appendable segment ingests
+        the arrays, and the segments flush before returning. On a crash
+        mid-ingest the marker replays as a no-op (segment.version already
+        covers it or the data is absent entirely) — the caller re-runs the
+        load, same contract as the reference's snapshot-based bulk
+        recovery."""
+        with self._lock:
+            existing = [
+                pid for pid in ids
+                if any(s.id_tracker.contains(pid) for s in self.segments)
+            ]
+            if existing:
+                raise ShardUpdateError(
+                    f"bulk_ingest: {len(existing)} ids already exist "
+                    f"(first: {existing[0]!r})"
+                )
+            op_num = self.wal.append(
+                {
+                    "type": "bulk_ingest_marker",
+                    "n": len(ids),
+                    "names": sorted(dense),
+                }
+            )
+            seg = self.appendable_segment
+            seg.bulk_ingest(op_num, ids, dense, payloads)
+            self._flush_locked()
+        return {"operation_id": op_num, "status": "completed"}
 
     def flush(self) -> None:
         with self._lock:

@@ -49,6 +49,24 @@ class IdTracker:
         self._int_to_ext[internal] = external
         self._versions[internal] = version
 
+    def bulk_link_fresh(
+        self, externals: List[PointId], start_internal: int, version: int = 0
+    ) -> None:
+        """Link a contiguous run of NEW external ids to offsets
+        [start_internal, start_internal + len). Bulk-ingest fast path: the
+        per-point `link` loop costs ~8 python ops/point — at 1M points that
+        is seconds of pure interpreter time. Callers guarantee none of the
+        externals is already tracked (fresh segment / pre-deduped load)."""
+        n = len(externals)
+        end = start_internal + n
+        if len(self._int_to_ext) < end:
+            grow = end - len(self._int_to_ext)
+            self._int_to_ext.extend([None] * grow)
+            self._versions.extend([0] * grow)
+        self._int_to_ext[start_internal:end] = list(externals)
+        self._versions[start_internal:end] = [version] * n
+        self._ext_to_int.update(zip(externals, range(start_internal, end)))
+
     def drop(self, external: PointId) -> Optional[int]:
         internal = self._ext_to_int.pop(external, None)
         if internal is not None:

@@ -397,6 +397,66 @@ class Segment:
         # segments dirty so the optimizer rebuilds (reference: proxy segments)
         return True
 
+    def bulk_ingest(
+        self,
+        op_num: int,
+        ids: List[PointId],
+        dense: Dict[str, np.ndarray],  # name → [N, D] f32
+        payloads: Optional[List[Optional[dict]]] = None,
+    ) -> int:
+        """Array-native bulk load of FRESH points into an appendable
+        segment: one numpy append per dense store + one bulk id-tracker
+        link, instead of N python upserts (the per-point path costs ~100 µs
+        of interpreter time each — minutes per million points on a small
+        host). Reference analogue: batch upserts / snapshot bulk recovery
+        (the reference streams raw storage bytes on transfers,
+        entry_point.rs:439-452 upsert_point_raw). Callers ensure ids are
+        not already present (the shard routes bulk loads at fresh offsets
+        and flushes immediately — shard.bulk_ingest)."""
+        if not self.appendable:
+            raise ValueError("bulk_ingest requires an appendable segment")
+        n = len(ids)
+        if n == 0:
+            return 0
+        start = self._next_offset()
+        for name, store in self.dense.items():
+            vecs = dense.get(name)
+            if vecs is not None:
+                if len(vecs) != n:
+                    raise ValueError(
+                        f"bulk_ingest: {len(vecs)} vectors for {n} ids"
+                    )
+                offs = store.add(np.asarray(vecs, dtype=np.float32))
+                assert offs[0] == start, (offs[0], start)
+            else:
+                pad = np.zeros((n, store.dim), dtype=np.float32)
+                offs = store.add(pad)
+                for off in offs:
+                    store.delete(int(off))
+        for name, store in self.multi.items():
+            for _ in range(n):
+                off = store.add([np.zeros((1, store.dim), dtype=np.float32)])[0]
+                store.delete(off)
+        for name, store in self.sparse.items():
+            if hasattr(store, "add_flat"):
+                store.add_flat(
+                    np.zeros(n, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float32),
+                )
+            else:  # pragma: no cover - all sparse stores support add_flat
+                for _ in range(n):
+                    store.add([SparseVector([], [])])
+            self.sparse_index[name].invalidate()
+        self.id_tracker.bulk_link_fresh(list(ids), start, op_num)
+        if payloads is not None:
+            for i, payload in enumerate(payloads):
+                if payload:
+                    self.payload_storage.overwrite(start + i, payload)
+                    self.payload_index.update_point(start + i, payload)
+        self.version = max(self.version, op_num)
+        return n
+
     def _next_offset(self) -> int:
         return self.total_offsets
 
