@@ -30,9 +30,14 @@ Headline metric: best QPS at recall@10 >= 0.95 on the 1M x 128 dense config
 single-host numpy exact-scan QPS on the same data (the reference publishes
 no absolute numbers in-repo; BASELINE.md).
 
+Process model: the parent orchestrates; every config group runs in its OWN
+subprocess with a fresh TPU allocator (round-4 lesson: one OOM in a shared
+process poisoned the allocator and took down three configs that fit).
+
 Env knobs: BENCH_N (default 1M), BENCH_D (128), BENCH_SQ_N (1M),
-BENCH_SPARSE_N (1M), BENCH_SKIP=csv of config names
-(scan|hnsw|sq|filtered|sparse|tiered|hnsw1536|crossover|tq).
+BENCH_SPARSE_N (1M), BENCH_CLIENTS (64), BENCH_CHILD_TIMEOUT (s),
+BENCH_SKIP=csv of config names
+(scan|product|hnsw|sq|filtered|sparse|tiered|hnsw1536|crossover|tq).
 """
 
 from __future__ import annotations
@@ -69,19 +74,51 @@ STATE = {
 }
 
 
+CHILD = os.environ.get("BENCH_CHILD", "")
+STATE_MARK = "@@STATE@@ "
+
+
 def log(*args):
-    print(f"[{time.perf_counter() - T_START:7.1f}s]", *args, file=sys.stderr, flush=True)
+    tag = f"[{CHILD or 'bench'}]" if CHILD else ""
+    print(
+        f"[{time.perf_counter() - T_START:7.1f}s]{tag}", *args,
+        file=sys.stderr, flush=True,
+    )
 
 
 def emit(final: bool = False):
     STATE["partial"] = not final
-    print(json.dumps(STATE), flush=True)
+    if CHILD:
+        # children stream their cumulative state to the orchestrator via a
+        # marker line; the parent's stdout is the artifact's only JSON
+        print(STATE_MARK + json.dumps(STATE), flush=True)
+    else:
+        print(json.dumps(STATE), flush=True)
 
 
-def set_headline(qps: float, cpu_qps: float):
+def _log_hbm(tag: str):
+    """Per-config HBM audit (round-4 lesson: one extra's OOM cascaded
+    invisibly; every config now logs device bytes-in-use at its edges)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        log(
+            f"HBM[{tag}]: {stats.get('bytes_in_use', 0) / 1e9:.2f} GB in use"
+            f" / {stats.get('bytes_limit', 0) / 1e9:.2f} GB limit"
+        )
+    except Exception as exc:  # CPU backend has no memory_stats
+        log(f"HBM[{tag}]: unavailable ({exc})")
+
+
+def set_headline(qps: float, cpu_qps: float, path: str):
+    """`path` names the call path that produced the number — the headline
+    must be reachable by a real client (round-4 lesson: a bench-only helper
+    produced a 4x-the-server number)."""
     if qps > STATE["value"]:
         STATE["value"] = round(qps, 1)
         STATE["vs_baseline"] = round(qps / cpu_qps, 2) if cpu_qps else 0.0
+        STATE["headline_path"] = path
         ref = STATE.get("ref_cpu_qdrant_qps_assumed")
         if ref:
             STATE["vs_qdrant_32core_est"] = round(qps / ref, 2)
@@ -240,7 +277,109 @@ def device_truth_ids(q_np, data_dev, k=None, mask_dev=None, euclid=False):
     return np.asarray(ids, dtype=np.int32)
 
 
+CORE_CONFIGS = {"scan", "hnsw", "sq", "filtered", "sparse", "product"}
+EXTRA_NAMES = ("hnsw1536", "crossover", "tq", "tiered")
+
+
 def main():
+    if CHILD:
+        _child_main(CHILD)
+    else:
+        _orchestrate()
+
+
+def _orchestrate():
+    """Run every config group in its OWN subprocess (the parent never
+    imports jax, so each child gets the TPU with a fresh allocator).
+
+    Round-4 lesson: all four scale extras died RESOURCE_EXHAUSTED in one
+    process — the first genuine OOM (hnsw1536) left the in-process
+    allocator unusable and took down even a 3 GB-working-set config that
+    fits trivially. Process isolation makes that cascade structurally
+    impossible: an OOM kills exactly one child, the next starts clean.
+
+    The parent merges each child's streamed state into the cumulative
+    artifact and re-emits after every update, so a harness timeout at any
+    point still leaves a JSON line carrying everything completed.
+    `partial` stays true unless EVERY config produced data (a crashed or
+    killed child is not "ran")."""
+    import subprocess
+    import threading
+
+    jobs = []
+    if CORE_CONFIGS - SKIP:
+        jobs.append("core")
+    jobs += [n for n in EXTRA_NAMES if n not in SKIP]
+    failed = []
+    for name in jobs:
+        default_to = 3600 if name == "core" else 1500
+        timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", default_to))
+        log(f"--- child '{name}' starting (timeout {timeout:.0f}s)")
+        env = dict(os.environ, BENCH_CHILD=name)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        timed_out = threading.Event()
+
+        def _kill():
+            timed_out.set()
+            proc.kill()
+
+        timer = threading.Timer(timeout, _kill)
+        timer.start()
+        try:
+            for line in proc.stdout:
+                line = line.strip()
+                if line.startswith(STATE_MARK):
+                    _merge_child_state(json.loads(line[len(STATE_MARK):]))
+                    emit()
+                elif line:
+                    log(f"[{name} stdout] {line}")
+        finally:
+            rc = proc.wait()
+            timer.cancel()
+        if rc != 0:
+            failed.append(name)
+            key = "core_error" if name == "core" else f"extra_error_{name}"
+            if key not in STATE["detail"]:
+                STATE["detail"][key] = (
+                    f"killed: child timeout {timeout:.0f}s"
+                    if timed_out.is_set()
+                    else f"child exit code {rc}"
+                )
+            log(f"--- child '{name}' FAILED (rc={rc})")
+            emit()
+        else:
+            log(f"--- child '{name}' done")
+    errors = sorted(
+        k for k in STATE["detail"]
+        if k == "core_error" or k.startswith("extra_error_")
+    )
+    if errors:
+        STATE["configs_failed"] = errors
+    # "partial": false ONLY when every config produced data — an artifact
+    # whose scale tier crashed must say so on its top-level line
+    emit(final=not errors)
+
+
+def _merge_child_state(cs: dict):
+    STATE["detail"].update(cs.get("detail", {}))
+    for k in ("ref_cpu_qdrant_qps_assumed",):
+        if k in cs:
+            STATE[k] = cs[k]
+    if cs.get("value", 0) > STATE["value"]:
+        STATE["value"] = cs["value"]
+        STATE["vs_baseline"] = cs.get("vs_baseline", 0.0)
+        if "vs_qdrant_32core_est" in cs:
+            STATE["vs_qdrant_32core_est"] = cs["vs_qdrant_32core_est"]
+        if "headline_path" in cs:
+            STATE["headline_path"] = cs["headline_path"]
+
+
+def _child_main(name: str):
     if os.environ.get("BENCH_FORCE_CPU"):
         # env JAX_PLATFORMS=cpu is overridden by the axon plugin; only the
         # config knob (set before first jax use) actually forces CPU
@@ -249,7 +388,33 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         log("NOTE: BENCH_FORCE_CPU — running on the CPU backend")
     rng = np.random.default_rng(42)
+    _log_hbm(f"{name} start")
+    try:
+        if name == "core":
+            core_cfg(rng)
+        else:
+            {
+                "hnsw1536": hnsw1536_cfg,
+                "crossover": crossover_cfg,
+                "tq": tiered_tq_cfg,
+                "tiered": tiered_cfg,
+            }[name](rng)
+    except BaseException as exc:
+        if isinstance(exc, (KeyboardInterrupt, SystemExit)):
+            raise
+        import traceback
 
+        traceback.print_exc(file=sys.stderr)
+        key = "core_error" if name == "core" else f"extra_error_{name}"
+        STATE["detail"][key] = f"{type(exc).__name__}: {exc}"
+        emit()
+        _log_hbm(f"{name} failed")
+        sys.exit(3)
+    _log_hbm(f"{name} done")
+    emit()
+
+
+def core_cfg(rng):
     from qdrant_tpu.index.plain import PlainIndex
     from qdrant_tpu.storage.vectors import DenseVectorStore
     from qdrant_tpu.types import Distance
@@ -319,10 +484,17 @@ def main():
             "pipeline_depth": len(window),
         }
         if r >= TARGET_RECALL:
-            set_headline(qps, cpu_qps)
-        if r_sus >= TARGET_RECALL:
-            set_headline(sus_qps, cpu_qps)
+            set_headline(qps, cpu_qps, "index-scan-sync")
+        # the pipelined search_many number is detail only: the headline
+        # slot belongs to the product serving path (product_cfg)
         emit()
+
+    # the HEADLINE config: the same 1M x 128 dataset served through the
+    # REAL product path (Collection -> micro-batcher -> pipelined shard
+    # windows) under concurrent client threads. Runs right after the scan
+    # so a driver timeout can't cost the one number that names the artifact.
+    if "product" not in SKIP and {"scan", "hnsw", "filtered"} - SKIP:
+        product_cfg(data, queries, truth, cpu_qps)
 
     # cheap, high-value configs land BEFORE the slow graph build so a
     # driver timeout can only cost the graph numbers (round-2 lesson: the
@@ -358,7 +530,7 @@ def main():
                 "qps": round(h_qps, 1),
             }
             if h_recall >= TARGET_RECALL:
-                set_headline(h_qps, cpu_qps)
+                set_headline(h_qps, cpu_qps, "index-hnsw")
         STATE["detail"]["hnsw_1m_sift128"] = {
             "build_seconds": round(build_s, 1),
             "ef_sweep": sweep,
@@ -439,59 +611,130 @@ def main():
         STATE["detail"]["filtered_1m_sift128"] = filt
         emit()
 
-    # free the dense 1M block before the 1536-d config
+    # free the dense 1M block (the orchestrator runs the 1536-d scale
+    # configs in their own subprocesses)
     if {"scan", "hnsw", "filtered"} - SKIP:
         del store, data, truth
     hidx = None
     gc.collect()
+    log("core configs complete")
 
-    # NOT final: extras are part of the artifact ("partial": false only
-    # after every config ran — round-3's mid-run final-looking line read
-    # as complete while missing three extras)
-    emit()
-    log("core configs complete — running scale extras")
 
-    # ------------------------------------------------------------------
-    # extras: each re-emits the cumulative JSON when it lands, so a
-    # harness timeout mid-extra never loses completed results
-    # ------------------------------------------------------------------
-    # ordered by value-per-second: each extra re-emits, so a harness
-    # timeout mid-extra keeps everything completed before it
-    def _free_device():
-        # each extra is self-contained; anything still resident is a leak
-        # from an earlier config (or a failed one) that would OOM the next
-        # near-HBM-capacity extra (measured: the 10M tq config needs ~7.9
-        # of ~15.5 GB and dies if core-config remnants hold a few GB)
-        import jax
+def product_cfg(data, queries, truth, cpu_qps):
+    """HEADLINE config: the 1M x 128 dataset served through the PRODUCT
+    path — a real Collection (array-native bulk_ingest), searched via
+    Collection.search_dense so concurrent client threads coalesce in the
+    micro-batcher and drain as depth-D pipelined windows
+    (Shard.search_dense_many: every chunk's device program dispatched
+    before ONE jax.device_get). This is the throughput an actual REST/gRPC
+    client population sees — round-4's sustained number lived in a helper
+    no server code called. Reference behavior analogue: the threadpool
+    fan-out that keeps the engine saturated under concurrent load
+    (segments_searcher.rs:212-306)."""
+    import shutil
+    import tempfile
+    import threading
 
+    from qdrant_tpu.collection.collection import Collection
+    from qdrant_tpu.types import (
+        CollectionParams,
+        Distance,
+        OptimizersConfig,
+        VectorParams,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_coll_")
+    coll = None
+    try:
+        coll = Collection(
+            "bench",
+            tmp,
+            CollectionParams(
+                vectors={"": VectorParams(size=D, distance=Distance.EUCLID)},
+                sparse_vectors={},
+            ),
+            # huge threshold = indexing optimizer off: at 1M rows the
+            # dispatcher routes to the masked scan anyway (below the
+            # measured crossover), and a background graph build mid-
+            # measurement would contaminate the serving numbers (that
+            # interference is measured separately — interference_cfg)
+            optimizers_config=OptimizersConfig(indexing_threshold=1 << 40),
+        )
+        t0 = time.perf_counter()
+        coll.bulk_ingest(list(range(len(data))), {"": data})
+        ingest_s = time.perf_counter() - t0
+        log(
+            f"product bulk_ingest {len(data)} pts: {ingest_s:.1f}s "
+            f"({len(data) / ingest_s / 1e3:.0f}k pts/s)"
+        )
+
+        # recall through the full product path (same truth as the scan cfg)
+        res = coll.search_dense("", queries[:N_TRUTH], K)
+        ids = np.asarray(
+            [[pid for _, pid, _ in r] + [-1] * (K - len(r)) for r in res]
+        )
+        r_prod = recall(ids, truth)
+        sync_qps = measure_qps(
+            lambda: coll.search_dense("", queries[:N_BATCH], K),
+            N_BATCH,
+            reps=3,
+        )
+        log(f"product sync b{N_BATCH}: recall@10={r_prod:.4f} qps={sync_qps:.1f}")
+
+        # concurrent clients: T threads x B rows/request, each thread
+        # fires its next request the moment the previous returns — the
+        # backlog (T*B rows) is what lets the batcher form depth-D windows
+        T = int(os.environ.get("BENCH_CLIENTS", 64))
+        B = int(os.environ.get("BENCH_CLIENT_ROWS", 128))
+        iters = max(int(os.environ.get("BENCH_CLIENT_ITERS", 8)), 2)
+        nq = queries.shape[0]
+
+        def client(ti: int):
+            off = (ti * 131) % max(nq - B, 1)
+            for _ in range(iters):
+                coll.search_dense("", queries[off : off + B], K)
+
+        def one_round():
+            threads = [
+                threading.Thread(target=client, args=(ti,)) for ti in range(T)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return T * B * iters / (time.perf_counter() - t0)
+
+        one_round()  # warm: compiles the padded chunk shapes
+        conc_qps = max(one_round() for _ in range(3))
+        log(
+            f"product concurrent ({T} clients x {B} rows): "
+            f"qps={conc_qps:.1f} ({conc_qps / max(sync_qps, 1e-9):.2f}x sync)"
+        )
+        STATE["detail"]["product_serving_1m_sift128"] = {
+            "recall_at_10": round(r_prod, 4),
+            "bulk_ingest_seconds": round(ingest_s, 1),
+            "sync_qps": round(sync_qps, 1),
+            "concurrent_qps": round(conc_qps, 1),
+            "clients": T,
+            "rows_per_request": B,
+            "path": "Collection.search_dense -> MicroBatcher depth-8 "
+            "windows -> Shard.search_dense_many",
+        }
+        if r_prod >= TARGET_RECALL:
+            set_headline(sync_qps, cpu_qps, "collection-sync")
+            set_headline(conc_qps, cpu_qps, f"collection-concurrent-{T}c")
+        emit()
+    finally:
+        if coll is not None:
+            for shard in coll.shards.values():
+                try:
+                    shard.close()
+                except Exception:
+                    pass
+        del coll
         gc.collect()
-        for arr in jax.live_arrays():
-            try:
-                arr.delete()
-            except Exception:
-                pass
-
-    # hnsw1536 first: the explicit BASELINE.md:32 build-under-60s target,
-    # unmeasured for three rounds; then the scan-vs-graph crossover, then
-    # the two quantized-primary scale configs
-    for name, fn in (
-        ("hnsw1536", hnsw1536_cfg),
-        ("crossover", crossover_cfg),
-        ("tq", tiered_tq_cfg),
-        ("tiered", tiered_cfg),
-    ):
-        if name in SKIP:
-            continue
-        _free_device()
-        try:
-            fn(rng)
-        except Exception as exc:  # extras must never invalidate the core line
-            log(f"extra config '{name}' failed: {type(exc).__name__}: {exc}")
-            STATE["detail"][f"extra_error_{name}"] = (
-                f"{type(exc).__name__}: {exc}"
-            )
-            _free_device()
-    emit(final=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def glove_cfg(rng):
@@ -1000,15 +1243,26 @@ def hnsw1536_cfg(rng):
     store, queries = _device_store_cfg(rng, n, d, Distance.DOT, 1024)
     vecs_dev, mask_dev = store.device_block()
     truth = device_truth_ids(queries[:N_TRUTH], vecs_dev, K, mask_dev)
+    del vecs_dev, mask_dev
     sidx = PlainIndex(store)
     _, s_ids = sidx.search(queries[:N_BATCH], k=K)
     scan_r = recall(s_ids[:N_TRUTH], truth)
     scan_qps = measure_qps(lambda: sidx.search(queries[:N_BATCH], k=K), N_BATCH, reps=3)
     log(f"hnsw1536 scan ref: recall={scan_r:.4f} qps={scan_qps:.1f}")
+    # drop the cached bf16 scan block (~3.1 GB at 1M x 1536) BEFORE the
+    # graph build — holding it across build() put round 4's working set
+    # (f32 master 6.2 GB + scan 3.1 GB + the builder's own bf16 codes
+    # 3.1 GB + beam transients) over HBM
+    del sidx
+    store._scan = None
+    store._scan_version = None
+    gc.collect()
+    _log_hbm("hnsw1536 pre-build")
     hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
     t0 = time.perf_counter()
     hidx.build(batch_size=4096)
     build_s = time.perf_counter() - t0
+    _log_hbm("hnsw1536 post-build")
     log(f"hnsw1536 build: {build_s:.1f}s ({build_s / n * 1e6:.0f} us/pt)")
     sweep = {}
     for ef in (64, 128):
@@ -1048,10 +1302,25 @@ def crossover_cfg(rng):
     scan_r = recall(s_ids[:N_TRUTH], truth)
     scan_qps = measure_qps(lambda: sidx.search(queries[:N_BATCH], k=K), N_BATCH, reps=3)
     log(f"crossover scan {n}x{d}: recall={scan_r:.4f} qps={scan_qps:.1f}")
+    scan_sus_qps = 0.0
+    if hasattr(sidx, "search_many"):
+        window = [queries[i * N_BATCH : (i + 1) * N_BATCH] for i in range(2)] * 4
+        n_win = sum(len(w) for w in window)
+        scan_sus_qps = measure_qps(
+            lambda: sidx.search_many(window, k=K), n_win, reps=3
+        )
+        log(f"crossover scan sustained: qps={scan_sus_qps:.1f}")
+    # free the cached scan block before the graph build (see hnsw1536_cfg)
+    del sidx
+    store._scan = None
+    store._scan_version = None
+    gc.collect()
+    _log_hbm("crossover pre-build")
     hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
     t0 = time.perf_counter()
     hidx.build(batch_size=4096)
     build_s = time.perf_counter() - t0
+    _log_hbm("crossover post-build")
     log(f"crossover build: {build_s:.1f}s ({build_s / n * 1e6:.0f} us/pt)")
     sweep = {}
     for ef in (64, 128, 256):
@@ -1065,6 +1334,7 @@ def crossover_cfg(rng):
     STATE["detail"]["crossover_4m_sift128"] = {
         "n": n,
         "scan_qps": round(scan_qps, 1),
+        "scan_sustained_qps": round(scan_sus_qps, 1),
         "scan_recall": round(scan_r, 4),
         "build_seconds": round(build_s, 1),
         "hnsw_ef_sweep": sweep,
