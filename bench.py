@@ -278,7 +278,7 @@ def device_truth_ids(q_np, data_dev, k=None, mask_dev=None, euclid=False):
 
 
 CORE_CONFIGS = {"scan", "hnsw", "sq", "filtered", "sparse", "product"}
-EXTRA_NAMES = ("hnsw1536", "crossover", "tq", "tiered")
+EXTRA_NAMES = ("hnsw1536", "crossover", "tq", "tiered", "interference")
 
 
 def main():
@@ -398,6 +398,7 @@ def _child_main(name: str):
                 "crossover": crossover_cfg,
                 "tq": tiered_tq_cfg,
                 "tiered": tiered_cfg,
+                "interference": interference_cfg,
             }[name](rng)
     except BaseException as exc:
         if isinstance(exc, (KeyboardInterrupt, SystemExit)):
@@ -1339,6 +1340,99 @@ def crossover_cfg(rng):
         "build_seconds": round(build_s, 1),
         "hnsw_ef_sweep": sweep,
     }
+    emit()
+
+
+def interference_cfg(rng):
+    """Build/serve interference: search latency percentiles WHILE a 1M x 128
+    HNSW build runs on the same device, with the cooperative build throttle
+    off vs default. The contended resource on TPU is the single device
+    command queue — the builder yields between batches while searches are
+    in flight (utils/budget.py::yield_to_searches; reference:
+    common/src/budget.rs ResourceBudget gating optimizer runs)."""
+    import threading
+
+    from qdrant_tpu.index.hnsw import HnswIndex
+    from qdrant_tpu.index.plain import PlainIndex
+    from qdrant_tpu.storage.vectors import DenseVectorStore
+    from qdrant_tpu.types import Distance, HnswConfig
+    from qdrant_tpu.utils.budget import BUDGET
+
+    n, d = int(os.environ.get("BENCH_INTERF_N", 1_000_000)), 128
+    data, queries = make_dataset(rng, n, d, 1024)
+    store = DenseVectorStore(d, Distance.EUCLID)
+    store.add(data)
+    store.scan_index()
+    idx = PlainIndex(store)
+    B = 64
+
+    def one_search():
+        # the same BUDGET.search() wrapper the product segment search uses
+        # (storage/segment.py:65) — it is what the builder yields to
+        with BUDGET.search():
+            idx.search(queries[:B], k=K)
+
+    one_search()  # compile
+
+    def timed_searches(stop_when=None, n_max=200):
+        lat = []
+        while len(lat) < n_max and (stop_when is None or not stop_when.is_set()):
+            t0 = time.perf_counter()
+            one_search()
+            lat.append(time.perf_counter() - t0)
+        return lat
+
+    def pcts(lat):
+        a = np.asarray(lat) * 1e3
+        return round(float(np.percentile(a, 50)), 1), round(
+            float(np.percentile(a, 99)), 1
+        )
+
+    p50_idle, p99_idle = pcts(timed_searches(n_max=100))
+    log(f"interference idle: p50={p50_idle}ms p99={p99_idle}ms")
+    out = {"idle": {"p50_ms": p50_idle, "p99_ms": p99_idle}, "n": n, "dim": d}
+
+    prev = os.environ.get("QDRANT_TPU_BUILD_THROTTLE_MS")
+    try:
+        for mode, thr in (("throttle_off", "0"), ("throttle_default", "5")):
+            os.environ["QDRANT_TPU_BUILD_THROTTLE_MS"] = thr
+            yielded0 = BUDGET.yielded_s
+            hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+            done = threading.Event()
+            build_s = [0.0]
+
+            def run_build():
+                t0 = time.perf_counter()
+                try:
+                    hidx.build(batch_size=4096)
+                finally:
+                    build_s[0] = time.perf_counter() - t0
+                    done.set()
+
+            th = threading.Thread(target=run_build)
+            th.start()
+            lat = timed_searches(stop_when=done, n_max=100_000)
+            th.join()
+            p50, p99 = pcts(lat)
+            out[mode] = {
+                "p50_ms": p50,
+                "p99_ms": p99,
+                "build_seconds": round(build_s[0], 1),
+                "searches_during_build": len(lat),
+                "builder_yielded_s": round(BUDGET.yielded_s - yielded0, 1),
+            }
+            log(
+                f"interference {mode}: p50={p50}ms p99={p99}ms "
+                f"build={build_s[0]:.1f}s ({len(lat)} searches)"
+            )
+            del hidx
+            gc.collect()
+    finally:
+        if prev is None:
+            os.environ.pop("QDRANT_TPU_BUILD_THROTTLE_MS", None)
+        else:
+            os.environ["QDRANT_TPU_BUILD_THROTTLE_MS"] = prev
+    STATE["detail"]["build_serve_interference_1m_sift128"] = out
     emit()
 
 
