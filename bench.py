@@ -380,13 +380,35 @@ def _merge_child_state(cs: dict):
 
 
 def _child_main(name: str):
+    # SIGUSR1 → stack dump to stderr without killing the child (first
+    # device compiles through a tunneled link can take minutes; this
+    # distinguishes "slow" from "stuck")
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, file=sys.stderr)
+    if os.environ.get("BENCH_STALL_DUMP"):
+        faulthandler.dump_traceback_later(
+            int(os.environ["BENCH_STALL_DUMP"]), repeat=True, file=sys.stderr
+        )
+    import jax
+
     if os.environ.get("BENCH_FORCE_CPU"):
         # env JAX_PLATFORMS=cpu is overridden by the axon plugin; only the
         # config knob (set before first jax use) actually forces CPU
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
         log("NOTE: BENCH_FORCE_CPU — running on the CPU backend")
+    # persistent compilation cache: children are separate processes, and
+    # remote compiles through a tunneled link cost minutes — cache across
+    # children and across bench runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BENCH_JAX_CACHE", "/tmp/qdrant_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as exc:
+        log(f"compilation cache unavailable: {exc}")
     rng = np.random.default_rng(42)
     _log_hbm(f"{name} start")
     try:
@@ -512,7 +534,7 @@ def core_cfg(rng):
         from qdrant_tpu.index.hnsw import HnswIndex
         from qdrant_tpu.types import HnswConfig
 
-        hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+        hidx = HnswIndex(store, HnswConfig(), seed=7)  # product default profile
         t0 = time.perf_counter()
         hidx.build(batch_size=4096)
         build_s = time.perf_counter() - t0
@@ -536,8 +558,8 @@ def core_cfg(rng):
             "build_seconds": round(build_s, 1),
             "ef_sweep": sweep,
             "batch": HNSW_BATCH,
-            "m": 16,
-            "ef_construct": 128,
+            "m": HnswConfig().m,
+            "ef_construct": HnswConfig().ef_construct,
         }
         emit()
 
@@ -1065,10 +1087,17 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
             idx = jnp.where((cand <= 15) & (x > t), cand, idx)
         return idx.astype(jnp.uint8)
 
+    # model/query/rotation arrays are explicit ARGUMENTS (closure-captured
+    # device arrays embed as MLIR constants via a host download — the
+    # round-5 datagen stall; see _device_store_cfg)
     @functools.partial(
         jax.jit, donate_argnums=(0, 1, 2), static_argnames=("bs",)
     )
-    def gen_step(codes_buf, scales_buf, norms_buf, off, bs):
+    def gen_step(
+        codes_buf, scales_buf, norms_buf,
+        centers_d, pool_d, assign_d, pick_d, jit_d, q_dev, rot_dev,
+        off, bs,
+    ):
         a = jax.lax.dynamic_slice_in_dim(assign_d, off, bs)
         p = jax.lax.dynamic_slice_in_dim(pick_d, off, bs)
         jt = jax.lax.dynamic_slice_in_dim(jit_d, off, bs)
@@ -1101,10 +1130,14 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
     )
     scales_buf = jnp.zeros((n_pad,), jnp.float32)
     norms_buf = jnp.zeros((n_pad,), jnp.float32)
+    if bits != 4:
+        rot_dev = jnp.zeros((1, 1), jnp.float32)  # unused SQ placeholder
     truth_parts = []
     for off in range(0, n_pad, bs):
         codes_buf, scales_buf, norms_buf, t_s, t_i = gen_step(
-            codes_buf, scales_buf, norms_buf, jnp.int32(off), bs=bs
+            codes_buf, scales_buf, norms_buf,
+            centers_d, pool_d, assign_d, pick_d, jit_d, q_dev, rot_dev,
+            jnp.int32(off), bs=bs,
         )
         truth_parts.append((np.asarray(t_s), np.asarray(t_i)))
     all_s = np.concatenate([s for s, _ in truth_parts], axis=1)
@@ -1211,8 +1244,12 @@ def _device_store_cfg(rng, n, d, distance, nq):
     sm.pad_to(n_pad)
     centers_d, pool_d, assign_d, pick_d, jit_d = sm.device()
 
+    # model arrays are explicit ARGUMENTS, not closure captures — jit
+    # lowers a captured device array as an embedded MLIR constant, which
+    # first DOWNLOADS it through the tunneled link (measured: the 1M x 1536
+    # datagen sat >10 min inside _array_mlir_constant_handler)
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("bs",))
-    def _fill(buf, off, bs):
+    def _fill(buf, centers_d, pool_d, assign_d, pick_d, jit_d, off, bs):
         a = jax.lax.dynamic_slice_in_dim(assign_d, off, bs)
         p = jax.lax.dynamic_slice_in_dim(pick_d, off, bs)
         jt = jax.lax.dynamic_slice_in_dim(jit_d, off, bs)
@@ -1224,7 +1261,10 @@ def _device_store_cfg(rng, n, d, distance, nq):
         bs //= 2
     vecs_dev = jnp.zeros((n_pad, d), jnp.float32)
     for off in range(0, n_pad, bs):
-        vecs_dev = _fill(vecs_dev, jnp.int32(off), bs=bs)
+        vecs_dev = _fill(
+            vecs_dev, centers_d, pool_d, assign_d, pick_d, jit_d,
+            jnp.int32(off), bs=bs,
+        )
     store = DeviceVectorStore(
         vecs_dev, distance, count=n, host_fetch=sm.host_rows
     )
@@ -1259,7 +1299,7 @@ def hnsw1536_cfg(rng):
     store._scan_version = None
     gc.collect()
     _log_hbm("hnsw1536 pre-build")
-    hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+    hidx = HnswIndex(store, HnswConfig(), seed=7)  # product default profile
     t0 = time.perf_counter()
     hidx.build(batch_size=4096)
     build_s = time.perf_counter() - t0
@@ -1317,7 +1357,7 @@ def crossover_cfg(rng):
     store._scan_version = None
     gc.collect()
     _log_hbm("crossover pre-build")
-    hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+    hidx = HnswIndex(store, HnswConfig(), seed=7)  # product default profile
     t0 = time.perf_counter()
     hidx.build(batch_size=4096)
     build_s = time.perf_counter() - t0
@@ -1397,7 +1437,7 @@ def interference_cfg(rng):
         for mode, thr in (("throttle_off", "0"), ("throttle_default", "5")):
             os.environ["QDRANT_TPU_BUILD_THROTTLE_MS"] = thr
             yielded0 = BUDGET.yielded_s
-            hidx = HnswIndex(store, HnswConfig(m=16, ef_construct=128), seed=7)
+            hidx = HnswIndex(store, HnswConfig(), seed=7)  # product default profile
             done = threading.Event()
             build_s = [0.0]
 

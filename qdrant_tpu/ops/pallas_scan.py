@@ -231,6 +231,20 @@ def pad_for_pallas(n: int, blk: int = DEFAULT_BLK) -> int:
     return max((n + blk - 1) // blk * blk, blk)
 
 
+def pallas_block_for(d: int, itemsize: int = 2, qt: int = DEFAULT_QT) -> int:
+    """Largest vector-block size whose per-grid-step VMEM footprint — the
+    double-buffered [blk, d] vector tile plus the [qt, blk] f32 score tile
+    — fits the ~16 MB scoped-VMEM window with headroom for the
+    [qt, slots*128] running-winner scratch. The tuned DEFAULT_BLK=4096
+    holds for d=128 bf16; at d=1536 the same block is a 25 MB stack frame
+    and the kernel fails to COMPILE (scoped-vmem OOM, measured on v5e), so
+    high-dimensional blocks shrink to 1024."""
+    budget = 8 << 20
+    blk = budget // (2 * d * itemsize + 4 * qt)
+    blk = min(DEFAULT_BLK, blk // LANES * LANES)
+    return max(blk, LANES)
+
+
 def is_tpu_backend() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")

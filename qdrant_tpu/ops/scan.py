@@ -414,18 +414,41 @@ def _device_pad_block(v, n_pad: int, d_pad: int, euclid: bool,
     """Pad a device-resident [N, D] block to tile shape and derive the scan
     operands (bf16 codes + ||v||²) without a host round trip. `scale`
     pre-multiplies the bf16 copy (the Pallas kernel wants 2*V for euclid so
-    its epilogue is one bias add)."""
+    its epilogue is one bias add).
+
+    Blockwise with donated outputs: the whole-array formulation held TWO
+    extra [n_pad, d_pad] f32 transients (pad + scale) next to the caller's
+    master — 18.5 GB peak at 1M x 1536, a measured device OOM. Peak here is
+    master + bf16 out + one 128k-row block."""
+    import functools
+
     n, d = v.shape
-    vf = v.astype(jnp.float32)
-    if (n, d) != (n_pad, d_pad):
-        vf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(vf)
-    vsq = (
-        (vf * vf).sum(axis=1)
-        if euclid
-        else jnp.zeros((n_pad,), jnp.float32)
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1), static_argnames=("bs",)
     )
-    out = vf if scale == 1.0 else scale * vf
-    return out.astype(jnp.bfloat16), vsq
+    def step(out, vsq, v, off, bs):
+        blk = jax.lax.dynamic_slice(v, (off, jnp.int32(0)), (bs, d)).astype(
+            jnp.float32
+        )
+        if euclid:
+            vsq = jax.lax.dynamic_update_slice(
+                vsq, (blk * blk).sum(axis=1), (off,)
+            )
+        enc = (blk if scale == 1.0 else scale * blk).astype(jnp.bfloat16)
+        if d_pad != d:
+            enc = jnp.pad(enc, ((0, 0), (0, d_pad - d)))
+        return jax.lax.dynamic_update_slice(out, enc, (off, jnp.int32(0))), vsq
+
+    out = jnp.zeros((n_pad, d_pad), jnp.bfloat16)
+    vsq = jnp.zeros((n_pad,), jnp.float32)
+    bs = min(131072, n)
+    off = 0
+    while off < n:
+        step_bs = min(bs, n - off)
+        out, vsq = step(out, vsq, v, jnp.int32(off), bs=step_bs)
+        off += step_bs
+    return out, vsq
 
 
 class ScanIndex:
@@ -469,7 +492,7 @@ class ScanIndex:
             # formulation round-trips a [B, blk] f32 block through HBM:
             # 29 ms vs 45 ms per 2,048-query batch at 1M x 128 (pipelined
             # depth-8, v5e). Flag off falls back to the XLA program.
-            from .pallas_scan import DEFAULT_BLK as PBLK, is_tpu_backend
+            from .pallas_scan import is_tpu_backend, pallas_block_for
 
             self.use_pallas = (
                 is_tpu_backend()
@@ -477,7 +500,10 @@ class ScanIndex:
                 and _flag_env("pallas_scan", "QDRANT_TPU_PALLAS")
             )
             if self.use_pallas:
-                block = PBLK
+                # block scales down with dimension so the kernel's VMEM
+                # frame fits the scoped window (4096 at 128-d, 1024 at
+                # 1536-d — the fixed default failed to compile at 1536-d)
+                block = pallas_block_for(d_pad)
                 self.block = block
             n_pad = max((n + block - 1) // block * block, block)
         self.euclid = euclid

@@ -41,7 +41,9 @@ DEFAULTS: Dict[str, Any] = {
             "flush_interval_sec": 5,
         },
         "hnsw_index": {
-            "m": 16,
+            # 20, not the reference's 16: the TPU batched beam needs graph
+            # density for ef=128 coverage (types.py::HnswConfig rationale)
+            "m": 20,
             "ef_construct": 128,
             "full_scan_threshold_kb": 10000,
             "payload_m": None,

@@ -912,8 +912,12 @@ class Segment:
 
         from ..ops import pallas_scan as ps
 
-        codes_dev, norms_host, n_pad = quant.pallas_device()
-        d_pad = codes_dev.shape[1]
+        d_pad = max((store.dim + 127) // 128 * 128, 128)
+        # int8 codes: the VMEM-scaled block (see ops/pallas_scan.py —
+        # the fixed 4096 default fails to compile past ~512 dims)
+        blk = ps.pallas_block_for(d_pad, itemsize=1)
+        codes_dev, norms_host, n_pad = quant.pallas_device(block=blk)
+        assert codes_dev.shape[1] == d_pad
         euclid = store.distance in (Distance.EUCLID, Distance.MANHATTAN)
         mask_pad = np.zeros(n_pad, dtype=bool)
         mask_pad[: len(mask)] = mask[:n_pad]
@@ -950,6 +954,7 @@ class Segment:
                 k_over,
                 min(k, k_over),
                 scale_sq=scale_sq,
+                blk=blk,
                 qt=qt,
                 euclid=euclid,
                 int8_mode=True,
@@ -963,6 +968,7 @@ class Segment:
                 jnp.asarray(bias),
                 min(k, k_over),
                 scale_sq=scale_sq,
+                blk=blk,
                 qt=qt,
                 int8_mode=True,
             )

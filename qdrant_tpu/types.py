@@ -70,7 +70,14 @@ class MultiVectorComparator(str, enum.Enum):
 
 @dataclass
 class HnswConfig:
-    m: int = 16
+    # Default graph degree 20, NOT the reference's 16 (hnsw_config.rs):
+    # the TPU batched beam converges before its iteration budget, so at
+    # ef=128 its candidate coverage is capped by graph density alone —
+    # measured at 1M clustered: m=16 → 0.948 recall@10, m=20 → 0.958,
+    # m=24 → 0.995 (ARCHITECTURE.md, round-4 study). The CPU reference's
+    # sequential beam keeps expanding until ef candidates converge, so it
+    # tolerates the sparser graph. Users can still set m=16 explicitly.
+    m: int = 20
     ef_construct: int = 128
     full_scan_threshold: int = 10_000
     max_indexing_threads: int = 0

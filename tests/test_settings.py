@@ -4,7 +4,7 @@ from qdrant_tpu.settings import Settings
 def test_defaults():
     s = Settings.load(config_dir="/nonexistent", environ={})
     assert s.get_path("service.http_port") == 6333
-    assert s.get_path("storage.hnsw_index.m") == 16
+    assert s.get_path("storage.hnsw_index.m") == 20
 
 
 def test_yaml_cascade(tmp_path):
