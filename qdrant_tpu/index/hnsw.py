@@ -449,9 +449,10 @@ class HnswIndex:
         # overheads amortize), but batches beyond 4096 measurably hurt the
         # graph: at 100k points a 16384 lockstep batch left ~2% of queries
         # unreachable at any ef (recall plateau 0.982 at ef 128-512), while
-        # 4096 recovers 1.000. The reverse pass also materializes
-        # [B*m0, m0, D] code gathers — cap harder for wide vectors.
-        top_batch = 4096 if d <= 768 else 2048
+        # 4096 recovers 1.000. (The reverse pass's [B*m0, m0, D] code
+        # gather is chunked inside insert_batch_level0, so wide vectors no
+        # longer need a smaller batch.)
+        top_batch = 4096
         top_batch = int(
             os.environ.get("QDRANT_TPU_BUILD_TOP_BATCH", top_batch)
         )

@@ -388,10 +388,34 @@ def insert_batch_level0(
     row_links = jnp.take(links, rows_c, axis=0)  # [K, m0]
     owners = jnp.take(nb, order)  # target row owner = the neighbor itself
     owner_codes = jnp.take(codes, jnp.maximum(owners, 0), axis=0)  # [K, D]
-    link_codes = jnp.take(codes, jnp.maximum(row_links, 0), axis=0)  # [K,m0,D]
-    link_scores = _dot_general_f32(
-        owner_codes, link_codes, (((1,), (2,)), ((0,), (0,)))
-    ) * scale_sq
+    # link-code gather + scoring, CHUNKED: the one-shot [K, m0, D] gather is
+    # B*m0*m0*D*itemsize bytes — 10.1 GB at B=2048, m0=40, D=1536 bf16,
+    # a device OOM next to the 1M-row residents (K = b*m0 with b a power of
+    # two, so any power-of-two chunk count <= b divides K evenly)
+    gather_bytes = k_pairs * m0 * codes.shape[1] * codes.dtype.itemsize
+    n_chunks = 1
+    budget = 1.5e9
+    while gather_bytes / n_chunks > budget and n_chunks < b:
+        n_chunks *= 2
+
+    def _chunk_scores(args):
+        oc, rl = args  # [C, D], [C, m0]
+        lc = jnp.take(codes, jnp.maximum(rl, 0), axis=0)  # [C, m0, D]
+        return _dot_general_f32(
+            oc, lc, (((1,), (2,)), ((0,), (0,)))
+        ) * scale_sq
+
+    if n_chunks == 1:
+        link_scores = _chunk_scores((owner_codes, row_links))
+    else:
+        c = k_pairs // n_chunks
+        link_scores = jax.lax.map(
+            _chunk_scores,
+            (
+                owner_codes.reshape(n_chunks, c, -1),
+                row_links.reshape(n_chunks, c, m0),
+            ),
+        ).reshape(k_pairs, m0)
     if euclid:
         link_scores = link_scores - jnp.take(
             norms, jnp.maximum(row_links, 0)

@@ -589,7 +589,10 @@ class ScanIndex:
         if valid_mask is None:
             mask[: self.n] = 1
         else:
-            mask[: self.n] = valid_mask[: self.n].astype(np.int8)
+            # the mask may be SHORTER than n (a store whose device block
+            # carries pad rows passes a count-length mask; pad rows stay 0)
+            m = valid_mask[: self.n].astype(np.int8)
+            mask[: len(m)] = m
         if self.use_pallas:
             from .pallas_scan import NEG_INF as PNEG
 

@@ -384,8 +384,11 @@ class DeviceVectorStore(DenseVectorStore):
             self._count,
             self._deleted_count,
         ):
+            # pass the FULL device block: a [:count] device slice is a COPY
+            # (measured: +6.15 GB at 1M x 1536 — an OOM next to the master);
+            # pad rows beyond count stay invalid via the short mask
             self._scan = ScanIndex(
-                self._dev[: max(self._count, 1)],
+                self._dev,
                 valid_mask=~self._deleted[: self._count],
                 euclid=self.distance
                 in (Distance.EUCLID, Distance.MANHATTAN),
