@@ -336,7 +336,7 @@ def _orchestrate():
     jobs += [n for n in EXTRA_NAMES if n not in SKIP]
     failed = []
     for name in jobs:
-        default_to = 3600 if name == "core" else 1500
+        default_to = 3600 if name == "core" else 2700
         timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", default_to))
         log(f"--- child '{name}' starting (timeout {timeout:.0f}s)")
         env = dict(os.environ, BENCH_CHILD=name)

@@ -440,7 +440,7 @@ class HnswIndex:
         # at equal total expansions — measured 258 -> 187 us/pt at B=4096
         # with no recall change (the beam is latency-bound on its while_loop
         # chain, not on gather bandwidth: int8 codes time the same as bf16)
-        expand = 8
+        expand = int(os.environ.get("QDRANT_TPU_BUILD_EXPAND", 8))
         iters = max((int(efc * 1.2) + 16) // expand, 8)
         sel_c = min(max(efc, m0), 128)
         inc_cap = int(os.environ.get("QDRANT_TPU_BUILD_INC_CAP", 16))
@@ -578,6 +578,13 @@ class HnswIndex:
             jnp.stack([upper_links[i] for i in range(n_up)]) if n_up else None
         )
         self._host_stale = True
+        # build() must mean BUILT: the batch loop above only DISPATCHES its
+        # programs (jit calls are async), so without this barrier the queued
+        # build execution lands on whoever touches the device next — the
+        # first post-build search blocked for the remaining minutes of build
+        # work at 4M rows, and every wall-clock "build seconds" measurement
+        # was timing dispatch, not the build
+        jax.block_until_ready(self._links0_dev)
 
     def _heal_low_indegree(
         self, order: np.ndarray, min_indegree: int = 8, force_links: int = 6
