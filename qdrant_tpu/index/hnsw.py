@@ -509,6 +509,16 @@ class HnswIndex:
             inserted += bsz
             if progress_fn:
                 progress_fn(inserted, n_alive)
+            # Backpressure: dispatch is async, so without a periodic sync
+            # the loop queues the WHOLE build on the device and the
+            # cooperative yield below is meaningless — searches would wait
+            # behind minutes of queued build programs no matter how long
+            # the builder sleeps. Draining every few batches bounds the
+            # queue to ~one batch of device work (the interleave slice a
+            # concurrent search actually waits for).
+            sync_every = int(os.environ.get("QDRANT_TPU_BUILD_SYNC_EVERY", 4))
+            if sync_every and (inserted // b_pad) % sync_every == 0:
+                jax.block_until_ready(links0_dev)
             # let queued search programs run before the next build batch
             # (utils/budget.py; reference: ResourceBudget in main.rs:509)
             from ..utils.budget import BUDGET

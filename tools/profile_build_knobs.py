@@ -39,6 +39,20 @@ def main():
 
     from qdrant_tpu.index.hnsw import HnswIndex
 
+    # shared truth for recall checks (blockwise exact dot)
+    rng = np.random.default_rng(1)
+    nq = 256
+    q = np.asarray(vecs[:nq]) + 0.05 * rng.standard_normal(
+        (nq, d)
+    ).astype(np.float32)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import importlib
+
+    bench = importlib.import_module("bench")
+    mask = jnp.arange(n_pad) < n
+    truth = bench.device_truth_ids(q, vecs, 10, mask)
+    print("truth ready", file=sys.stderr, flush=True)
+
     for e in expands:
         os.environ["QDRANT_TPU_BUILD_EXPAND"] = str(e)
         store = DeviceVectorStore(vecs, Distance.DOT, count=n)
@@ -46,8 +60,11 @@ def main():
         t0 = time.perf_counter()
         hidx.build(batch_size=4096)
         dt = time.perf_counter() - t0
+        _, ids = hidx.search(q, k=10, ef=128)
+        rec = bench.recall(ids, truth)
         print(
-            f"expand={e}: build {dt:.1f}s ({dt / n * 1e6:.0f} us/pt)",
+            f"expand={e}: build {dt:.1f}s ({dt / n * 1e6:.0f} us/pt) "
+            f"recall@10(ef=128)={rec:.4f}",
             file=sys.stderr, flush=True,
         )
         del hidx, store
