@@ -70,17 +70,22 @@ def _with_search_budget(fn):
 
 DEFAULT_FULL_SCAN_THRESHOLD = 10_000
 
-# Measured scan-vs-graph crossover (v5e-class chip, BENCH_r02 + the 4M
-# crossover config): the batched MXU exact scan sustains ~22.5k QPS at
-# 1M x 128 f32 (recall 0.998) while the graph beam reaches ~3k QPS at
-# recall >= 0.95 — brute force IS the faster path until the scan wall
-# (linear in rows) grows past the graph's ~constant per-query cost, i.e.
-# around 22.5k/3k x 1M ~ 7.5M rows. Unlike the CPU reference — where the
-# graph wins from ~10k points (hnsw/read_view/dispatch.rs:111-170) — the
-# TPU dispatch therefore prefers the scan below this row count unless the
-# caller asks for the graph explicitly (params.hnsw_ef set).
+# MEASURED scan-vs-graph crossover (v5e, BENCH_r05 crossover_4m_sift128):
+# at 4M x 128 the exact MXU scan sustains 42.3k QPS @ recall 0.998 while
+# the graph's >=0.95-recall operating point (ef=256) delivers 655 QPS —
+# a 65x gap in the scan's favor. Scan cost is linear in rows, so equal
+# throughput extrapolates to 4M x (42290/655) ~ 258M rows — but a single
+# chip's HBM runs out of residency long before that (~30M rows at 128-d
+# f32, ~60M bf16, less at higher dims). Conclusion, on the record: ON TPU
+# THE EXACT SCAN WINS AT EVERY ROW COUNT THAT FITS HBM — the opposite of
+# the CPU reference, where the graph wins from ~10k points
+# (hnsw/read_view/dispatch.rs:111-170). The graph's product roles are the
+# beyond-HBM/tiered path, filtered-graph regimes, and explicit
+# params.hnsw_ef requests; this constant now marks the extrapolated
+# equal-throughput point rather than a practical routing threshold (the
+# residency/tiered checks fire first).
 GRAPH_CROSSOVER_ROWS = int(
-    os.environ.get("QDRANT_TPU_GRAPH_CROSSOVER_ROWS", 7_500_000)
+    os.environ.get("QDRANT_TPU_GRAPH_CROSSOVER_ROWS", 258_000_000)
 )
 
 # Load-time memory mode (reference: /root/reference/config/config.yaml:49-63
