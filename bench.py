@@ -1148,7 +1148,10 @@ def _tiered_scan_cfg(rng, n, bits, detail_key):
             r = block @ rot_dev  # [bs, d_rot] rotated
             sc = r.std(axis=1) + 1e-12
             idx = tq_quantize(r, sc)
-            enc = (idx[:, 0::2] << 4) | idx[:, 1::2]
+            # half-split packing, same convention as flat_device: byte j =
+            # (level[j] << 4) | level[j + d_rot/2]
+            half = idx.shape[1] // 2
+            enc = (idx[:, :half] << 4) | idx[:, half:]
         codes_buf = jax.lax.dynamic_update_slice(codes_buf, enc, (off, 0))
         scales_buf = jax.lax.dynamic_update_slice(scales_buf, sc, (off,))
         nrm = (block * block).sum(axis=1)

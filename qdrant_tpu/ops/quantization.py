@@ -359,10 +359,18 @@ class TurboQuantized:
             c = np.zeros((n_pad, d_pad), dtype=np.uint8)
             c[:n] = self.codes.astype(np.uint8)
             if p > 1:
+                # HALF-SPLIT packing: byte column j holds dims
+                # {j, j + d/p, j + 2d/p, ...} so the kernel's unpack is a
+                # CONTIGUOUS concat of p sub-ranges. The previous stride-
+                # interleave (dims 2j, 2j+1 in one byte) forced XLA to give
+                # the packed parameter a column-major layout inside
+                # scan_search_tq_flat and COPY the whole argument — +9.56 GB
+                # at 10M x 2048, the round-3/4 "second copy" OOM.
                 w = 8 // p
-                packed = np.zeros((n_pad, d_pad // p), dtype=np.uint8)
+                half = d_pad // p
+                packed = np.zeros((n_pad, half), dtype=np.uint8)
                 for j in range(p):
-                    packed |= c[:, j::p] << ((p - 1 - j) * w)
+                    packed |= c[:, j * half : (j + 1) * half] << ((p - 1 - j) * w)
             else:
                 packed = c
             scales = np.zeros(n_pad, dtype=np.float32)

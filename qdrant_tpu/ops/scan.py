@@ -251,10 +251,14 @@ def scan_search_tq_flat(
 
     def one_block(off):
         pblk = jax.lax.dynamic_slice_in_dim(packed, off, blk)  # [blk, D/p]
+        # HALF-SPLIT convention (quantization.py::flat_device): byte column
+        # j carries dims {j, j + D/p, ...}, so unpacking is a contiguous
+        # concat. The former interleaved stack+reshape made XLA relayout
+        # (and fully COPY) the multi-GB packed parameter inside the program.
         subs = [
             (pblk >> ((pack - 1 - j) * bits_w)) & lmask for j in range(pack)
         ]
-        codes = jnp.stack(subs, axis=2).reshape(blk, -1)  # [blk, D_pad]
+        codes = jnp.concatenate(subs, axis=1)  # [blk, D_pad]
         recon = jnp.take(lv, codes.astype(jnp.int32))  # [blk, D_pad] bf16
         sc = jax.lax.dynamic_slice_in_dim(scales, off, blk)
         nrm = jax.lax.dynamic_slice_in_dim(norms, off, blk)
