@@ -144,6 +144,7 @@ class PlainIndex:
             from ..ops.pallas_scan import pallas_scan_rescore
 
             qp_dev = jnp.asarray(qp)  # ONE upload (it is both scan + rescore query)
+            qt, slots = scan.pallas_grid(b_pad, k_fetch)
             top_s, top_i = pallas_scan_rescore(
                 qp_dev,
                 qp_dev,
@@ -153,7 +154,8 @@ class PlainIndex:
                 k_fetch,
                 k_eff,
                 blk=scan.block,
-                qt=scan.pallas_qt(b_pad),
+                qt=qt,
+                slots=slots,
                 euclid=euclid,
             )
             return top_s, top_i, b, k_eff

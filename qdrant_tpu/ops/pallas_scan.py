@@ -46,12 +46,18 @@ DEFAULT_SLOTS = 16
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _scan_kernel(scale_ref, q_ref, v_ref, bias_ref, out_s_ref, out_i_ref,
-                 top_s, top_i, *, blk: int, slots: int, int8_mode: bool):
+def _scan_kernel(scale_ref, q_ref, v_ref, bias_ref, top_s, top_i,
+                 *, blk: int, slots: int, int8_mode: bool):
+    # The running winners accumulate directly in the OUTPUT refs: their
+    # index_map is constant in the vector-block grid dimension, so the tile
+    # stays VMEM-resident across all blocks of one query tile and is written
+    # back once.  (A separate VMEM scratch would double the footprint — the
+    # [qt, slots*128] f32+i32 pair is 8 MB at qt=1024 — and capped blk at
+    # 4096; measured on v5e the scratch-free kernel compiles at blk=8192,
+    # cutting per-step fixed overhead ~2x.)
     import jax.experimental.pallas as pl
 
     nb = pl.program_id(1)
-    n_blocks = pl.num_programs(1)
 
     @pl.when(nb == 0)
     def _init():
@@ -73,13 +79,20 @@ def _scan_kernel(scale_ref, q_ref, v_ref, bias_ref, out_s_ref, out_i_ref,
             q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    s = s + bias_ref[:]  # [1, blk]: -||v||^2 (euclid) + NEG_INF deleted mask
-
-    s3 = s.reshape(bt, g, LANES)
-    bmax = jnp.max(s3, axis=1)  # [bt, 128]
-    hit = s3 == bmax[:, None, :]
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, g, LANES), 1)
-    idx_in_g = jnp.min(jnp.where(hit, g_iota, g), axis=1)
+    # Lane-group running argmax: one compare + two selects per element
+    # (the earlier max / == / iota / where-min chain was 6 VPU ops per
+    # element and cost 2/3 of kernel time — measured floor on v5e: the
+    # matmul alone is 3.1 ms per 2048x1M batch, the old epilogue +5.9 ms).
+    # (statically unrolled: Mosaic has no dynamic_slice on values, and the
+    # trip count g = blk/128 is a small compile-time constant)
+    bmax = s[:, :LANES] + bias_ref[:, :LANES]
+    idx_in_g = jnp.zeros((bt, LANES), jnp.int32)
+    for j in range(1, g):
+        sj = s[:, j * LANES:(j + 1) * LANES] \
+            + bias_ref[:, j * LANES:(j + 1) * LANES]
+        better = sj > bmax
+        bmax = jnp.where(better, sj, bmax)
+        idx_in_g = jnp.where(better, j, idx_in_g)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bt, LANES), 1)
     row_id = nb * blk + idx_in_g * LANES + lane
 
@@ -89,11 +102,6 @@ def _scan_kernel(scale_ref, q_ref, v_ref, bias_ref, out_s_ref, out_i_ref,
     better = bmax > cur_s
     top_s[:, pl.ds(slot * LANES, LANES)] = jnp.where(better, bmax, cur_s)
     top_i[:, pl.ds(slot * LANES, LANES)] = jnp.where(better, row_id, cur_i)
-
-    @pl.when(nb == n_blocks - 1)
-    def _emit():
-        out_s_ref[:] = top_s[:]
-        out_i_ref[:] = top_i[:]
 
 
 @functools.partial(
@@ -145,10 +153,6 @@ def pallas_scan_survivors(
             jax.ShapeDtypeStruct((b, width), jnp.float32),
             jax.ShapeDtypeStruct((b, width), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((qt, width), jnp.float32),
-            pltpu.VMEM((qt, width), jnp.int32),
-        ],
         interpret=interpret,
     )(scale2, q_in, vectors, bias2)
     return out_s, out_i
@@ -229,6 +233,37 @@ def pallas_scan_rescore(
 def pad_for_pallas(n: int, blk: int = DEFAULT_BLK) -> int:
     """Rows must be a multiple of blk."""
     return max((n + blk - 1) // blk * blk, blk)
+
+
+def pallas_qt_slots(
+    b_pad: int, k_need: int, blk: int, d_pad: int, itemsize: int = 2
+) -> Tuple[int, int]:
+    """Query-tile + survivor-slot choice for the scan grid, from the v5e
+    sweep (tools/profile_pallas_sweep.py, honest queued-K timing):
+
+      * qt=512/slots=8 runs the 2,048x1M x128 batch in 3.2 ms vs 4.2 ms at
+        qt=256/slots=16 — half the vector-block re-reads and a better MXU
+        aspect; slots=16 at qt=512 does not compile (VMEM), so the wider
+        tile halves the survivor bins (1024): callers needing k_fetch >
+        1024, and small batches, stay on the 256/16 shape.
+      * the score tile [qt, blk] f32 + double-buffered vector tile +
+        [qt, slots*128] f32+i32 outputs must fit ~14 MB of scoped VMEM
+        (measured compile boundary; 16 MB hardware window).
+    """
+    if b_pad % 512 == 0 and k_need <= 8 * LANES:
+        vmem = (
+            512 * blk * 4
+            + 2 * blk * d_pad * itemsize
+            + 512 * 8 * LANES * 8
+            + 512 * d_pad * itemsize
+        )
+        if vmem <= 14 * (1 << 20):
+            return 512, 8
+    if b_pad % DEFAULT_QT == 0:
+        return DEFAULT_QT, DEFAULT_SLOTS
+    if b_pad % 128 == 0:
+        return 128, DEFAULT_SLOTS
+    return b_pad, DEFAULT_SLOTS
 
 
 def pallas_block_for(d: int, itemsize: int = 2, qt: int = DEFAULT_QT) -> int:

@@ -664,22 +664,19 @@ class ScanIndex:
             ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return s, ids
 
-    def pallas_qt(self, b_pad: int) -> int:
-        """Query-tile for the Pallas grid: must divide the padded batch;
-        tiles of 128/256 keep VMEM bounded ([qt, blk] f32 scores +
-        [qt, slots*128] x2 scratch). b_pad is always a multiple of 8."""
-        from .pallas_scan import DEFAULT_QT
+    def pallas_grid(self, b_pad: int, k_need: int):
+        """(qt, slots) for the Pallas grid — centralised VMEM/perf model
+        (pallas_scan.pallas_qt_slots). b_pad is always a multiple of 8;
+        non-dividing batches fall back to qt = b_pad."""
+        from .pallas_scan import pallas_qt_slots
 
-        if b_pad % DEFAULT_QT == 0:
-            return DEFAULT_QT
-        if b_pad % 128 == 0:
-            return 128
-        if b_pad <= 256:
-            return b_pad
-        for qt in range(256, 7, -8):
-            if b_pad % qt == 0:
-                return qt
-        return b_pad  # unreachable: 8 | b_pad
+        qt, slots = pallas_qt_slots(b_pad, k_need, self.block, self.d_pad)
+        if b_pad % qt:
+            for cand in range(min(b_pad, 256), 7, -8):
+                if b_pad % cand == 0:
+                    return cand, slots
+            return b_pad, slots
+        return qt, slots
 
     def pallas_candidates(
         self, q: np.ndarray, k: int, mask
@@ -688,12 +685,15 @@ class ScanIndex:
         rescore must not round-trip the candidates through the host."""
         from .pallas_scan import pallas_scan_topk
 
+        k_eff = min(k, self.n)
+        qt, slots = self.pallas_grid(q.shape[0], k_eff)
         return pallas_scan_topk(
             jnp.asarray(q),
             self._v,
             mask if mask is not None else self._mask,
-            min(k, self.n),
-            qt=self.pallas_qt(q.shape[0]),
+            k_eff,
+            qt=qt,
+            slots=slots,
         )
 
     def _search_pallas(

@@ -936,14 +936,10 @@ class Segment:
         b_pad = max(8, (b + 7) // 8 * 8)
         if b_pad >= 128 and b_pad % 128:
             b_pad = (b_pad + 127) // 128 * 128
-        qt = (
-            ps.DEFAULT_QT
-            if b_pad % ps.DEFAULT_QT == 0
-            else (128 if b_pad % 128 == 0 and b_pad >= 128 else b_pad)
-        )
         q_codes = np.zeros((b_pad, d_pad), dtype=np.int8)
         q_codes[:b, : q.shape[1]] = quant.encode_queries(q)
         k_over = min(max(k_over, 128), 1024)
+        qt, slots = ps.pallas_qt_slots(b_pad, k_over, blk, d_pad, itemsize=1)
         if params.quantization_rescore:
             vectors_f32, _ = store.device_block()
             q_f32 = np.zeros((b_pad, vectors_f32.shape[1]), dtype=np.float32)
@@ -961,6 +957,7 @@ class Segment:
                 scale_sq=scale_sq,
                 blk=blk,
                 qt=qt,
+                slots=slots,
                 euclid=euclid,
                 int8_mode=True,
             )
@@ -975,6 +972,7 @@ class Segment:
                 scale_sq=scale_sq,
                 blk=blk,
                 qt=qt,
+                slots=slots,
                 int8_mode=True,
             )
             s = np.asarray(top_s, dtype=np.float32)[:b]

@@ -1,115 +1,121 @@
-"""Pallas fused-scan roofline sweep (VERDICT r4 weak #6).
+"""Sweep Pallas fused-scan grid parameters at the headline shape — with
+HONEST timing through the tunneled device link.
 
-v5e roofline for the 1M x 128 bf16 scan at B queries:
-  * MXU: B * N * D * 2 FLOP @ ~197 TFLOP/s bf16
-  * HBM: the [N, D] bf16 block streams once PER QUERY TILE (grid dim 0), so
-    bytes = (B/qt) * N * D * 2 @ ~819 GB/s
-At B=2048, qt=256 that is ~2.7 ms MXU / ~2.4 ms HBM — the measured 29 ms
-(round 4) is ~10x off the light, i.e. the kernel is bound by neither: the
-VPU epilogue (bias add + strided argmax + slot merge over [qt, blk] f32)
-dominates. This sweep times (blk, qt, slots) x {bf16, int8} to find the
-config that minimizes epilogue passes per streamed byte.
+Timing method (see profile_honesty_check.py): block_until_ready through the
+axon tunnel returns early for small programs, and device_get pays ~30 ms
+RTT plus a slow download for MB-sized outputs. So: enqueue K kernel calls
+back-to-back (TPU executes enqueued programs in order), reduce the last
+output to ONE scalar on device, device_get that scalar (4-byte download),
+and subtract the separately measured null-RTT. Per-call time = (total -
+rtt) / K.
+
+Correct roofline for one 2,048-query batch over the 1M x 128 bf16 block
+(256 MB): bandwidth floor 0.31 ms x (B/qt) passes at 819 GB/s; compute
+floor 2*B*N*D = 524 GFLOP -> 2.7 ms at v5e's 197 TFLOP/s bf16 (1.35 ms
+int8). VERDICT r4 #4: the r4 "167 GB/s roofline" claim was 5x under
+hardware.
 
 Usage: python tools/profile_pallas_sweep.py [N] [D] [B]
 """
-
-import itertools
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
-import numpy as np  # noqa: E402
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+import jax
+import jax.numpy as jnp
 
-from qdrant_tpu.ops.pallas_scan import pallas_scan_topk  # noqa: E402
+from qdrant_tpu.ops.pallas_scan import pallas_scan_survivors, LANES
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+D = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+
+Npad = (N + 8191) // 8192 * 8192
+
+print(f"device: {jax.devices()[0]}  shape: {Npad}x{D}, B={B}")
+
+key = jax.random.PRNGKey(0)
+vec_bf16 = jax.random.normal(key, (Npad, D), dtype=jnp.bfloat16)
+vec_i8 = (vec_bf16.astype(jnp.float32) * 40).astype(jnp.int8)
+bias = jnp.zeros((Npad,), jnp.float32)
+q = jax.random.normal(jax.random.PRNGKey(1), (B, D), dtype=jnp.float32)
+q_i8 = (q * 40).astype(jnp.int8)
+jax.block_until_ready((vec_bf16, vec_i8, bias, q, q_i8))
+
+_sum = jax.jit(lambda s: jnp.sum(s))
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    d = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    b = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
-    k = 10
+def measure_rtt():
+    ts = []
+    x = jnp.float32(1.0)
+    f = jax.jit(lambda a: a + 1)
+    jax.device_get(f(x))
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
-    rng = np.random.default_rng(0)
-    n_pad = (n + 16383) // 16384 * 16384
-    q_np = rng.standard_normal((b, d), dtype=np.float32)
 
-    # device-side datagen (host is 1 throttled vCPU)
-    key = jax.random.PRNGKey(0)
-    v32 = jax.random.normal(key, (n_pad, d), dtype=jnp.float32)
-    v_bf = (2.0 * v32).astype(jnp.bfloat16)
-    bias = -(v32 * v32).sum(axis=1)
-    bias = jnp.where(jnp.arange(n_pad) < n, bias, np.float32(np.finfo(np.float32).min))
-    v_i8 = jnp.clip(jnp.round(v32 / 0.03), -127, 127).astype(jnp.int8)
-    q = jnp.asarray(q_np)
-    q_i8 = jnp.asarray(np.clip(np.round(q_np / 0.03), -127, 127).astype(np.int8))
-    jax.block_until_ready((v_bf, bias, v_i8))
-    print(f"data ready: {n_pad}x{d}, B={b}", flush=True)
+RTT = measure_rtt()
+print(f"null RTT through tunnel: {RTT*1e3:.1f} ms")
 
-    def bench(fn, reps=5):
-        jax.block_until_ready(fn())
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
 
-    flop = b * n_pad * d * 2
-    results = []
-    for blk, qt, slots in itertools.product(
-        (2048, 4096, 8192, 16384), (256, 512, 1024, 2048), (8, 16)
-    ):
-        if qt > b or n_pad % blk or b % qt:
-            continue
-        vmem_mb = (qt * slots * 128 * 8 + qt * blk * 4 + blk * d * 2) / 1e6
-        if vmem_mb > 96:
+def bench(fn, iters=8):
+    s, _ = fn()  # compile kernel
+    jax.device_get(_sum(s))  # compile reducer + settle
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.device_get(_sum(out[0]))
+    return (time.perf_counter() - t0 - RTT) / iters
+
+
+def vmem_mb(qt, blk, slots, itemsize):
+    vec = 2 * blk * D * itemsize  # double-buffered vector tile
+    score = qt * blk * 4
+    scratch = qt * slots * LANES * 8
+    qtile = qt * D * itemsize
+    return (vec + score + scratch + qtile) / (1 << 20)
+
+
+configs = []
+for qt in (256, 512, 1024, 2048):
+    for blk in (512, 1024, 2048, 4096):
+        for slots in (8, 16):
+            if B % qt or Npad % blk:
+                continue
+            configs.append((qt, blk, slots))
+
+results = []
+for int8 in (False, True):
+    v = vec_i8 if int8 else vec_bf16
+    qq = q_i8 if int8 else q
+    isz = 1 if int8 else 2
+    for qt, blk, slots in configs:
+        if vmem_mb(qt, blk, slots, isz) > 13.0:
             continue
         try:
-            t = bench(
-                lambda: pallas_scan_topk(
-                    q, v_bf, bias, k, None, blk=blk, qt=qt, slots=slots
-                )
-            )
+            def fn(qt=qt, blk=blk, slots=slots, v=v, qq=qq, int8=int8):
+                return pallas_scan_survivors(
+                    qq, v, bias, jnp.float32(1.0),
+                    blk=blk, qt=qt, slots=slots, int8_mode=int8)
+            ms = bench(fn) * 1e3
+            qps = B / ms * 1e3
+            gbs = (Npad * D * isz) * (B // qt) / (ms / 1e3) / 1e9
+            tag = "int8" if int8 else "bf16"
+            print(f"{tag} qt={qt:5d} blk={blk:5d} slots={slots:2d} "
+                  f"vmem~{vmem_mb(qt, blk, slots, isz):5.1f}MB "
+                  f"-> {ms:7.2f} ms  {qps/1e3:7.1f}k qps  "
+                  f"{gbs:6.0f} GB/s eff")
+            results.append((tag, qt, blk, slots, ms))
         except Exception as e:
-            print(f"bf16 blk={blk} qt={qt} s={slots}: FAIL {type(e).__name__}", flush=True)
-            continue
-        hbm_gb = (b / qt) * n_pad * d * 2 / 1e9
-        res = (
-            f"bf16 blk={blk:5d} qt={qt:4d} s={slots:2d}: {t * 1e3:7.2f} ms "
-            f"{b / t:9.0f} qps  mfu={flop / t / 197e12:5.1%} "
-            f"hbm={hbm_gb / t / 819:5.1%}"
-        )
-        print(res, flush=True)
-        results.append((t, res))
+            msg = str(e).split("\n")[0][:80]
+            print(f"{'int8' if int8 else 'bf16'} qt={qt} blk={blk} "
+                  f"slots={slots}: FAIL {msg}")
 
-    for blk, qt in itertools.product((4096, 8192, 16384), (512, 1024, 2048)):
-        if qt > b or n_pad % blk or b % qt:
-            continue
-        try:
-            t = bench(
-                lambda: pallas_scan_topk(
-                    q_i8, v_i8, bias, k, jnp.float32(0.03 * 0.03),
-                    blk=blk, qt=qt, slots=16, int8_mode=True,
-                )
-            )
-        except Exception as e:
-            print(f"int8 blk={blk} qt={qt}: FAIL {type(e).__name__}", flush=True)
-            continue
-        hbm_gb = (b / qt) * n_pad * d / 1e9
-        res = (
-            f"int8 blk={blk:5d} qt={qt:4d} s=16: {t * 1e3:7.2f} ms "
-            f"{b / t:9.0f} qps  mfu={flop / t / 394e12:5.1%} "
-            f"hbm={hbm_gb / t / 819:5.1%}"
-        )
-        print(res, flush=True)
-        results.append((t, res))
-
-    results.sort()
-    print("\nbest:", results[0][1] if results else "none")
-
-
-if __name__ == "__main__":
-    main()
+best = min(results, key=lambda r: r[-1])
+print("BEST:", best)
