@@ -25,9 +25,13 @@ Exactness: two of the true top-k collide only if they fall in the same
 measured recall@10 0.995 at N=1M). Callers needing exact results rescore
 the survivors (pallas_scan_rescore).
 
-Measured on the target chip (bf16 peak 41 TFLOP/s, HBM ~167 GB/s): 1M x 128
-euclid, B=1024, k=10 -> 10.5 ms/batch = ~97k QPS at ~80% MXU utilization
-(the XLA scan: ~30k; round-1 headline: 20k).
+Measured honestly (queued-K kernels, scalar readback, null-RTT subtracted;
+tools/profile_pallas_sweep.py): 2,048 x 1M x 128 bf16 euclid in 3.2 ms at
+qt=512/slots=8/blk=8192 — ~84% of the 2.7 ms bf16 compute floor (2*B*N*D =
+524 GFLOP at 197 TFLOP/s), i.e. compute-bound; the 4 passes over the 256 MB
+block cost only 1.25 ms of the ~819 GB/s HBM bandwidth. (The round-4
+"~167 GB/s roofline" note here was dispatch-inclusive timing — see
+ARCHITECTURE.md round-5 re-profile.)
 """
 
 from __future__ import annotations
