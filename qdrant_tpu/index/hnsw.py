@@ -459,12 +459,42 @@ class HnswIndex:
         ramp = [256, 2048, _pow2_at_least(max(batch_size, top_batch), 256)]
         ramp = sorted({min(r, ramp[-1]) for r in ramp})
 
+        # Cooperative mode under concurrent search load: a 4096-point batch
+        # is ~2 s of device time at 1M x 128 — any search dispatched behind
+        # it waits that long, so the throttle alone cannot bound p99
+        # (measured: p99 4.7 s with sync_every=4 regardless of throttle).
+        # When searches are in flight the builder drops to the SMALLEST
+        # ramp shape (already compiled during ramp-up — no new programs)
+        # and syncs after every batch, bounding a search's queue wait to
+        # ~one small batch (~0.15 s). Build throughput recovers as soon as
+        # the search stream goes quiet. 0 disables. (Reference behavior:
+        # optimizer cedes CPU permits to searches, budget.rs.)
+        from ..utils.budget import BUDGET
+
+        throttle_on = float(
+            os.environ.get("QDRANT_TPU_BUILD_THROTTLE_MS", 5)
+        ) > 0
+        contended_cap = int(
+            os.environ.get("QDRANT_TPU_BUILD_CONTENDED_BATCH", 256)
+        )
+        sync_every = int(os.environ.get("QDRANT_TPU_BUILD_SYNC_EVERY", 4))
+
         inserted = n_seed
+        batches_since_sync = 0
         while inserted < n_alive:
             b_pad = ramp[0]
             for r in ramp:
                 if inserted >= 2 * r:
                     b_pad = r
+            contended = (
+                throttle_on and contended_cap > 0 and BUDGET.search_pressure()
+            )
+            if contended:
+                # largest ramp shape within the cap — ramp shapes are the
+                # ones already compiled, so cooperative mode never triggers
+                # a fresh XLA compile mid-build
+                coop = [r for r in ramp if r <= contended_cap] or [ramp[0]]
+                b_pad = min(b_pad, coop[-1])
             bsz = min(b_pad, n_alive - inserted)
             batch_levels = self.levels[order[inserted : inserted + bsz]]
             bmax = int(batch_levels[0]) if bsz else 0
@@ -513,16 +543,17 @@ class HnswIndex:
             # the loop queues the WHOLE build on the device and the
             # cooperative yield below is meaningless — searches would wait
             # behind minutes of queued build programs no matter how long
-            # the builder sleeps. Draining every few batches bounds the
-            # queue to ~one batch of device work (the interleave slice a
-            # concurrent search actually waits for).
-            sync_every = int(os.environ.get("QDRANT_TPU_BUILD_SYNC_EVERY", 4))
-            if sync_every and (inserted // b_pad) % sync_every == 0:
+            # the builder sleeps. Draining every few batches (every batch
+            # under contention) bounds the queue to ~one batch of device
+            # work — the interleave slice a concurrent search waits for.
+            batches_since_sync += 1
+            if sync_every and (
+                contended or batches_since_sync >= sync_every
+            ):
                 jax.block_until_ready(links0_dev)
+                batches_since_sync = 0
             # let queued search programs run before the next build batch
             # (utils/budget.py; reference: ResourceBudget in main.rs:509)
-            from ..utils.budget import BUDGET
-
             BUDGET.yield_to_searches()
 
         # ---- refine pass(es): re-insert points against the FINAL graph.

@@ -57,6 +57,16 @@ class ResourceBudget:
     def searches_inflight(self) -> int:
         return self._searches_inflight
 
+    def search_pressure(self, window_s: float = 0.5) -> bool:
+        """True when a search is in flight or finished within `window_s`.
+        Builders use this to switch into cooperative mode (small batches +
+        per-batch sync) so a concurrent search never waits behind more
+        than ~one small batch of queued device work."""
+        with self._lock:
+            if self._searches_inflight > 0:
+                return True
+            return (time.monotonic() - self._last_search) < window_s
+
     # -- build side ----------------------------------------------------
 
     @contextmanager
