@@ -456,26 +456,32 @@ class HnswIndex:
         top_batch = int(
             os.environ.get("QDRANT_TPU_BUILD_TOP_BATCH", top_batch)
         )
-        ramp = [256, 2048, _pow2_at_least(max(batch_size, top_batch), 256)]
+        # 1024 is in the ramp so cooperative mode (below) has a mid-size
+        # compiled shape to drop to — 256 alone starves the build under a
+        # saturated search stream
+        ramp = [256, 1024, 2048, _pow2_at_least(max(batch_size, top_batch), 256)]
         ramp = sorted({min(r, ramp[-1]) for r in ramp})
 
         # Cooperative mode under concurrent search load: a 4096-point batch
         # is ~2 s of device time at 1M x 128 — any search dispatched behind
         # it waits that long, so the throttle alone cannot bound p99
         # (measured: p99 4.7 s with sync_every=4 regardless of throttle).
-        # When searches are in flight the builder drops to the SMALLEST
-        # ramp shape (already compiled during ramp-up — no new programs)
-        # and syncs after every batch, bounding a search's queue wait to
-        # ~one small batch (~0.15 s). Build throughput recovers as soon as
-        # the search stream goes quiet. 0 disables. (Reference behavior:
-        # optimizer cedes CPU permits to searches, budget.rs.)
+        # When searches are in flight the builder drops to a smaller ramp
+        # shape (already compiled during ramp-up — no new programs) and
+        # syncs after every batch, bounding a search's queue wait to ~one
+        # small batch. The cap is 1024, not the smallest shape: per-batch
+        # fixed costs (sequential beam iterations + sync RTT + the bounded
+        # yield below) make 256-point batches starve the build ~6x under a
+        # saturated search stream, while 1024 keeps the builder at ~60% of
+        # device time with a ~0.5 s p99 bound. 0 disables. (Reference
+        # behavior: optimizer cedes CPU permits to searches, budget.rs.)
         from ..utils.budget import BUDGET
 
         throttle_on = float(
             os.environ.get("QDRANT_TPU_BUILD_THROTTLE_MS", 5)
         ) > 0
         contended_cap = int(
-            os.environ.get("QDRANT_TPU_BUILD_CONTENDED_BATCH", 256)
+            os.environ.get("QDRANT_TPU_BUILD_CONTENDED_BATCH", 1024)
         )
         sync_every = int(os.environ.get("QDRANT_TPU_BUILD_SYNC_EVERY", 4))
 

@@ -61,6 +61,15 @@ def test_build_permits_serialize(monkeypatch):
     assert order[2][0] == "start" and order[3][0] == "end"
 
 
+def test_search_pressure_window():
+    budget = ResourceBudget()
+    assert not budget.search_pressure()  # fresh: no search ever ran
+    with budget.search():
+        assert budget.search_pressure()  # in flight
+    assert budget.search_pressure(window_s=5.0)  # just finished
+    assert not budget.search_pressure(window_s=0.0)  # window elapsed
+
+
 def test_search_registers_inflight():
     from qdrant_tpu.storage.segment import Segment
     from qdrant_tpu.types import CollectionParams, Distance, VectorParams
